@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{GraftQuery, Relational}
+import graft.hl7.Pipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +13,9 @@ import graft.queries.{GraftQuery, Relational}
 object SparkEntry {
 
   /** Every registered query, in declaration order. */
-  def registry: Seq[GraftQuery] = Relational.all
+  def registry: Seq[GraftQuery] =
+    Relational.all ++
+    Pipeline.queries.map { case (n, f) => GraftQuery(n, f, None) }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

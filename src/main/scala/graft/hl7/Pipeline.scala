@@ -1,0 +1,159 @@
+package graft.hl7
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spark-native re-expression of the reference's full data plane:
+  *
+  *   ingest (decode, authz, hash, dedup, envelope)      — front door, A1-A6
+  *   route (attribute filter)                           — SNS FilterPolicy, A7
+  *   stage (newline prepare → ER7 parse → branch)       — staging microservice, A8-A13
+  *   lake (zone mapping → partitioned write → catalog)  — lake writer, A14-A17
+  *   retrieve (catalog point lookup)                    — retrieval API, A19
+  *
+  * The reference wires these as Lambdas around an SNS topic
+  * (`/root/reference/microservices/core/core_stack.yml:93-172`); here the
+  * whole flow is one narrow-transformation DataFrame chain — no shuffle until
+  * the partitioned sink. Every stage is a pure `DataFrame => DataFrame`, so
+  * the same chain runs under Structured Streaming (graft.streaming).
+  */
+object Pipeline {
+
+  val MessagesDir = "/root/reference/messages"
+
+  /** A1/A20 — message source. One row per message; files may hold several
+    * messages separated by blank lines (`messages/adt01.txt:10`). */
+  def readMessages(spark: SparkSession, dir: String = MessagesDir): DataFrame =
+    spark.read.option("wholetext", "true").textFile(s"$dir/*.txt").toDF("file_text")
+      .withColumn("source", regexp_extract(input_file_name(), "([^/]+)\\.txt", 1))
+      .withColumn("msg", explode(split(col("file_text"), "(\\r?\\n)\\s*(\\r?\\n)+")))
+      .withColumn("msg", regexp_replace(col("msg"), "\\s+$", ""))
+      .filter(length(col("msg")) > 0)
+      .select("msg", "source")
+
+  /** A2-A6 — front-door semantics: deterministic id (sha-256 of the payload,
+    * replacing the reference's transport-generated SNS MessageId — SURVEY
+    * §7.3.3), exact dedup on that hash (A5; batch form of the DynamoDB
+    * ledger), and the metadata envelope (A6). At scale `dropDuplicates` is a
+    * hash-partitioned shuffle on message_id — the only wide op in the flow. */
+  def ingest(messages: DataFrame): DataFrame =
+    messages
+      .withColumn("message_id", sha2(col("msg"), 256))
+      .dropDuplicates("message_id")
+      .withColumn("event", lit("ingested"))
+      .withColumn("protocol", lit("hl7v2"))
+      .withColumn("format", lit("er7"))
+
+  /** A7 — the SNS FilterPolicy of the staging subscription
+    * (`staging_stack.yml:102-104`) as a plain predicate. */
+  def routeToStaging(ingested: DataFrame): DataFrame =
+    ingested.filter(col("protocol") === "hl7v2" && col("format") === "er7")
+
+  /** A8 — newline normalization (`prepare_er7_lambda.py:6-14`): ER7 requires
+    * CR segment terminators; files arrive with LF / CRLF. */
+  def prepare(c: Column): Column = regexp_replace(c, "\r\n|\n", "\r")
+
+  private val parseUdf = udf { s: String =>
+    Er7Parser.parse(s).fold(err => Er7Parsed(null, null, Seq.empty, err), identity)
+  }
+
+  /** A9-A13 — parse into the canonical nested form and branch success/error
+    * exactly like the trigger lambda (`trigger_lambda.py:25-36`): staged rows
+    * become format=json, failures keep the raw text as format=txt with the
+    * parse error recorded. The UDF never throws (A13 containment). */
+  def stage(ingested: DataFrame): DataFrame = {
+    val parsed = routeToStaging(ingested)
+      .withColumn("parsed", parseUdf(prepare(col("msg"))))
+    parsed.select(
+      col("msg"), col("source"), col("message_id"), col("protocol"),
+      when(col("parsed.error").isNull, lit("staged")).otherwise(lit("error")).as("event"),
+      when(col("parsed.error").isNull, lit("json")).otherwise(lit("txt")).as("format"),
+      col("parsed.version").as("version"),
+      col("parsed.message_type").as("message_type"),
+      col("parsed.segments").as("segments"),
+      col("parsed.error").as("error"))
+  }
+
+  /** A14 — event→zone mapping (`core_stack.yml:141-143`). */
+  def withZone(df: DataFrame): DataFrame =
+    df.withColumn("zone",
+      when(col("event") === "ingested", "ingestion")
+        .when(col("event") === "staged", "staging")
+        .otherwise("error"))
+      // A15 — content-type tagging, kept for catalog fidelity
+      .withColumn("content_type",
+        when(col("format") === "json", "application/json").otherwise("text/plain"))
+
+  /** Full batch flow: every event lands in the lake (the reference's
+    * unfiltered lake-writer subscription) — the ingested population plus the
+    * staged/error branches, one row per (message, zone). */
+  def allEvents(spark: SparkSession, dir: String = MessagesDir): DataFrame = {
+    val ingested = ingest(readMessages(spark, dir))
+    val staged = stage(ingested)
+    val ingestedEvents = ingested.select(
+      col("msg"), col("source"), col("message_id"), col("protocol"),
+      col("event"), col("format"),
+      lit(null: String).as("version"), lit(null: String).as("message_type"),
+      lit(null).cast(staged.schema("segments").dataType).as("segments"),
+      lit(null: String).as("error"))
+    withZone(ingestedEvents.unionByName(staged))
+  }
+
+  /** A16/A17 — partitioned lake sink + catalog append. Partition layout
+    * mirrors the reference's key scheme `zone/protocol=…`
+    * (`core_stack.yml:151`); the catalog is a queryable table instead of
+    * DynamoDB. At 100 TB the zone/protocol partitioning gives consumers
+    * partition pruning exactly like the reference's prefix-scoped readers. */
+  def writeLake(events: DataFrame, lakeRoot: String): Unit = {
+    events.write.mode("overwrite")
+      .partitionBy("zone", "protocol")
+      .parquet(s"$lakeRoot/messages")
+    events.select(
+        col("message_id"),
+        concat(lit("zone="), col("zone"), lit("/protocol="), col("protocol")).as("path"),
+        col("source"), col("zone"), col("format"), col("content_type"),
+        current_timestamp().as("ingest_ts"))
+      .write.mode("overwrite").parquet(s"$lakeRoot/catalog")
+  }
+
+  /** A19 — point retrieval: catalog filter + payload join, LIMIT 1 semantics.
+    * At scale this is a partition-pruned scan (zone/protocol from the catalog
+    * row) + broadcast of the single catalog hit. */
+  def retrieve(spark: SparkSession, lakeRoot: String, messageId: String): DataFrame = {
+    val hit = spark.read.parquet(s"$lakeRoot/catalog")
+      .filter(col("message_id") === messageId).limit(1)
+    spark.read.parquet(s"$lakeRoot/messages")
+      .join(broadcast(hit.select("message_id", "path", "ingest_ts")), Seq("message_id"))
+  }
+
+  // ------------------------------------------------------------------
+  // Registered queries (driver rows-only checks; goldens live in PipelineSpec)
+
+  /** Q21 — pipeline replay: zone/format population counts over the corpus. */
+  def q21Zones(s: SparkSession, d: String): DataFrame =
+    allEvents(s).groupBy("zone", "format").agg(count(lit(1)).as("n_messages"))
+
+  /** Segment profile of the staged population (explode of the canonical
+    * nested form — the §1.3 schema doing real work). */
+  def q21Segments(s: SparkSession, d: String): DataFrame =
+    stage(ingest(readMessages(s)))
+      .filter(col("error").isNull)
+      .select(explode(col("segments")).as("seg"))
+      .groupBy(col("seg.segment_id").as("segment_id"))
+      .agg(count(lit(1)).as("n_segments"))
+
+  /** The SURVEY §7.2 flagship: admitted-patient demographics from PID-8,
+    * reaching through segments → fields map → repetition array. */
+  def q21PidSex(s: SparkSession, d: String): DataFrame =
+    stage(ingest(readMessages(s)))
+      .filter(col("error").isNull)
+      .select(explode(col("segments")).as("seg"))
+      .filter(col("seg.segment_id") === "PID")
+      .select(element_at(col("seg.fields")("PID-8"), 1).as("sex"))
+      .groupBy("sex").agg(count(lit(1)).as("n_patients"))
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q21_pipeline_zones" -> q21Zones _,
+    "q21_segment_profile" -> q21Segments _,
+    "q21_pid_sex" -> q21PidSex _)
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.hl7.Pipeline
+
+/** Pipeline E2E vs goldens (SURVEY.md §5.2.2, Q21): replaces the reference's
+  * eyeballed prints (`test_services.py:82-83`) with asserted counts. */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("corpus replay: 11 unique messages, all parse to staging zone") {
+    val zones = Pipeline.q21Zones(spark, "").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(zones == Map(("ingestion", "er7") -> 11L, ("staging", "json") -> 11L))
+  }
+
+  test("segment profile golden") {
+    val got = Pipeline.q21Segments(spark, "").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = Map(
+      "MSH" -> 11L, "EVN" -> 7L, "PID" -> 11L, "PD1" -> 1L, "NK1" -> 7L,
+      "PV1" -> 6L, "PV2" -> 1L, "OBR" -> 7L, "OBX" -> 110L, "DG1" -> 3L,
+      "IN1" -> 4L, "GT1" -> 4L, "MRG" -> 1L, "NTE" -> 8L, "ADD" -> 29L,
+      "FTS" -> 1L)
+    assert(got == expected)
+  }
+
+  test("PID-8 demographics golden (SURVEY §7.2 flagship)") {
+    val got = Pipeline.q21PidSex(spark, "").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("M" -> 7L, "F" -> 4L))
+  }
+
+  test("unparseable payload routes to the error zone with raw text kept") {
+    import spark.implicits._
+    // the reference's negative fixture (test_services.py:75)
+    val bad = Seq(("I'm just a random number: 42", "tester")).toDF("msg", "source")
+    val out = Pipeline.withZone(Pipeline.stage(Pipeline.ingest(bad))).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("zone") == "error")
+    assert(r.getAs[String]("format") == "txt")
+    assert(r.getAs[String]("msg").contains("random number"))
+    assert(r.getAs[String]("error") != null)
+  }
+
+  test("exact dedup drops a resent payload (A5)") {
+    import spark.implicits._
+    val m = "MSH|^~\\&|A|B|C|D|20240101||ADT^A01|M1|P|2.5\rPID|1||X^^^||N^P||19800101|M"
+    val twice = Seq((m, "s1"), (m, "s2")).toDF("msg", "source")
+    assert(Pipeline.ingest(twice).count() == 1)
+    // idempotence: ingest(m ++ m) == ingest(m)
+    val once = Seq((m, "s1")).toDF("msg", "source")
+    assert(Pipeline.ingest(twice).select("message_id").collect().toSeq ==
+           Pipeline.ingest(once).select("message_id").collect().toSeq)
+  }
+
+  test("prepare is idempotent across line-ending variants (A8)") {
+    import spark.implicits._
+    val variants = Seq("a\r\nb\r\nc", "a\nb\nc", "a\rb\rc").toDF("raw")
+    val normed = variants.select(Pipeline.prepare(col("raw")).as("p"))
+      .collect().map(_.getString(0)).toSet
+    assert(normed == Set("a\rb\rc"))
+    val twice = variants.select(Pipeline.prepare(Pipeline.prepare(col("raw"))).as("p"))
+      .collect().map(_.getString(0)).toSet
+    assert(twice == normed)
+  }
+
+  test("lake write partitions by zone/protocol; point retrieval round-trips (A16/A17/A19)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-lake").toString
+    val events = Pipeline.allEvents(spark)
+    Pipeline.writeLake(events, root)
+    // partition layout on disk mirrors the reference's key scheme
+    val zones = new java.io.File(s"$root/messages").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(zones == Set("zone=ingestion", "zone=staging"))
+    val anyId = spark.read.parquet(s"$root/catalog")
+      .filter(col("zone") === "staging").select("message_id").first().getString(0)
+    val got = Pipeline.retrieve(spark, root, anyId)
+    assert(got.count() >= 1)
+    assert(got.filter(col("message_id") === anyId).count() == got.count())
+  }
+}
