@@ -15,7 +15,12 @@ object SparkEntry {
   /** Every registered query, in declaration order. */
   def registry: Seq[GraftQuery] =
     Relational.all ++
-    Pipeline.queries.map { case (n, f) => GraftQuery(n, f, None) }
+    Pipeline.queries.map { case (n, f) => GraftQuery(n, f, None) } ++
+    graft.llm.TextAnalysis.queries ++
+    graft.llm.Dedup.queries ++
+    graft.llm.Similarity.queries ++
+    graft.llm.Multimodal.queries ++
+    graft.operators.AsOf.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,152 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.queries.GraftQuery
+
+/** Deduplication family for a training-data pipeline: exact (hash groupBy),
+  * MinHash+LSH near-dup, SimHash near-dup. All three are built shuffle-
+  * conscious: the only wide operations are hash-partitioned equi-joins on
+  * dedup keys (hash / LSH band / SimHash chunk) — never an O(n²) cross join,
+  * so each scales to 100 TB corpora where brute-force pairing is impossible.
+  */
+object Dedup {
+
+  /** Word 3-gram shingle set per document. */
+  private def shingled(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), array_distinct(
+        expr("transform(sequence(0, size(t)-3), i -> concat_ws(' ', slice(t, i+1, 3)))")
+      ).as("sh"))
+
+  // ---------------------------------------------------------------- exact
+  /** Exact dedup profile per source: sha-256 content hash groupBy — the
+    * scaled-up form of the reference's dedup ledger (A5). */
+  def exactDedup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(sha2(col("text"), 256)).as("n_unique"))
+
+  val exactDedupSql: String =
+    """SELECT source, count(*) AS n_docs, count(DISTINCT sha256(text)) AS n_unique
+      |FROM documents GROUP BY source""".stripMargin
+
+  // ---------------------------------------------------------------- minhash
+  private val NumHashes = 64
+  private val BandRows = 2 // 32 bands of 2 rows: P(miss | J=0.5) ≈ 1e-4, ≈0 at J≥0.9
+
+  /** MinHash signature (k seeded xxhash64 minima over the shingle set). */
+  def minhashSignature(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), col("sh"),
+      array((0 until NumHashes).map(i =>
+        array_min(transform(col("sh"), x => xxhash64(lit(i), x)))): _*).as("sig"))
+
+  /** Near-dup pairs via MinHash + LSH banding + exact-Jaccard confirmation.
+    *
+    * Plan shape (the part that matters at scale): signature is map-side;
+    * banding explodes each doc into 32 (band, value) keys; candidate
+    * generation is an equi self-join on those keys (shuffle partitioned by
+    * band value — no cross join anywhere); exact Jaccard runs only on the
+    * candidate pairs. The oracle states the same answer declaratively via a
+    * full shingle-join, so the LSH path is verified to have no false
+    * negatives at the 0.5 threshold on the test corpus. */
+  def minhashNearDup(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(Tables.documents(s, d)).cache()
+    val sig = minhashSignature(sh)
+    val numBands = NumHashes / BandRows
+    val bands = sig.select(col("doc_id"),
+      posexplode(array((0 until numBands).map(b =>
+        xxhash64(lit(b),
+          element_at(col("sig"), b * BandRows + 1),
+          element_at(col("sig"), b * BandRows + 2))): _*)).as(Seq("band", "bv")))
+    // rename-before-join: a self-join on dataset aliases can resolve both
+    // sides to the same attribute (silently degenerate condition); renamed
+    // projections force distinct attribute ids
+    val bx = bands.select(col("doc_id").as("a_id"), col("band"), col("bv"))
+    val by = bands.select(col("doc_id").as("b_id"), col("band").as("band_r"), col("bv").as("bv_r"))
+    val cand = bx.join(by,
+        col("band") === col("band_r") && col("bv") === col("bv_r") &&
+        col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+    val a = sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
+    cand.join(a, "a_id").join(b, "b_id")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard",
+        round(col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** Declarative exact-Jaccard oracle: shingle inverted-index join (itself
+    * the scalable exact algorithm — no cross join). */
+  val minhashNearDupSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |                                     for i in range(1, len(t) - 1)]) s FROM toks),
+      |ex AS (SELECT doc_id, unnest(s) shingle FROM sh),
+      |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) n
+      |          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT a_id, b_id, jaccard FROM (
+      |  SELECT i.a_id, i.b_id,
+      |         round(i.n::DOUBLE / (len(sa.s) + len(sb.s) - i.n), 4) AS jaccard
+      |  FROM inter i
+      |  JOIN sh sa ON i.a_id = sa.doc_id
+      |  JOIN sh sb ON i.b_id = sb.doc_id)
+      |WHERE jaccard >= 0.5""".stripMargin
+
+  // ---------------------------------------------------------------- simhash
+  /** 64-bit SimHash over the word set: per-token xxhash64, signed bit votes,
+    * sign → bit. Computed with built-in expressions (explode + conditional
+    * sums per bit), no UDF. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitVotes = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val voted = words.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    val sh = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    voted.select(col("doc_id"), sh.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs, hamming ≤ MaxHamming. Candidate generation by
+    * the pigeonhole trick: split the 64-bit hash into 4×16-bit chunks; any
+    * pair within hamming 3 shares ≥1 identical chunk, so an equi-join on
+    * (chunk_idx, chunk_value) finds all of them without a cross join. No SQL
+    * oracle (hash constants are engine-specific); SimilaritySpec verifies
+    * against brute-force hamming on the test corpus. */
+  private val MaxHamming = 3
+
+  def simhashNearDup(s: SparkSession, d: String): DataFrame = {
+    val sh = simhash(Tables.documents(s, d)).cache()
+    val chunks = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("chunk", "cv")))
+    val cx = chunks.select(col("doc_id").as("a_id"), col("simhash").as("sh_a"),
+                           col("chunk"), col("cv"))
+    val cy = chunks.select(col("doc_id").as("b_id"), col("simhash").as("sh_b"),
+                           col("chunk").as("chunk_r"), col("cv").as("cv_r"))
+    cx.join(cy,
+        col("chunk") === col("chunk_r") && col("cv") === col("cv_r") &&
+        col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "sh_a", "sh_b")
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= MaxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q35_dedup_exact", exactDedup _, Some(exactDedupSql)),
+    GraftQuery("q36_minhash_neardup", minhashNearDup _, Some(minhashNearDupSql)),
+    GraftQuery("q37_simhash_neardup", simhashNearDup _, None))
+}

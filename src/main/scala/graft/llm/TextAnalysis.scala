@@ -1,0 +1,162 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.queries.GraftQuery
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * token counting, quality scoring, language ID, fingerprinting. Everything
+  * is built-in expressions (codegen'd, no UDFs) so the whole stage stays
+  * inside WholeStageCodegen — at 100 TB these run as pure map-side work,
+  * zero shuffles until the final aggregate.
+  */
+object TextAnalysis {
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  // ---------------------------------------------------------------- stats
+  def textStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("n_chars"), 4).as("avg_chars"),
+        round(avg(size(toks(col("text")))), 4).as("avg_tokens"),
+        countDistinct(col("source")).as("n_sources"))
+
+  val textStatsSql: String =
+    """SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+      |  round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+      |  count(DISTINCT source) AS n_sources
+      |FROM documents GROUP BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- tokens
+  /** Whitespace + regex ("BPE-ish" letter-run) token counts per document. */
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_text"),
+        size(toks(col("text"))).as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+")).as("alpha_tokens"),
+        size(array_distinct(toks(col("text")))).as("distinct_tokens"))
+
+  val tokenCountSql: String =
+    """SELECT doc_id, CAST(length(text) AS INT) AS n_chars_text,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS alpha_tokens,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS distinct_tokens
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- quality
+  private val stopwords = Seq("the", "a", "of", "and", "is")
+
+  /** Deterministic quality score: length saturation, stopword ratio, mean
+    * word length — the standard cheap pre-filters before expensive dedup. */
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    val nTok = size(t).cast("double")
+    val stopHits = size(filter(t, w => w.isInCollection(stopwords))).cast("double")
+    val meanWordLen = length(regexp_replace(col("text"), " ", "")).cast("double") / nTok
+    val stopRatio = stopHits / nTok
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(t).as("n_tokens"),
+      round(stopRatio, 4).as("stopword_ratio"),
+      round(meanWordLen, 4).as("mean_word_len"),
+      // floor-truncate, not round: both engines compute bit-identical doubles
+      // here, and floor of the same bits can't straddle a half-way boundary
+      // the way round() can (Spark BigDecimal HALF_UP vs DuckDB's *1e4+0.5)
+      (floor((
+        least(lit(1.0), nTok / 50.0) * 0.4 +
+        (lit(1.0) - stopRatio) * 0.3 +
+        least(lit(1.0), meanWordLen / 8.0) * 0.3) * 10000) / 10000).as("quality"))
+  }
+
+  val qualityScoreSql: String =
+    """WITH q AS (
+      |  SELECT doc_id,
+      |    len(string_split(text, ' '))::DOUBLE AS n_tokens,
+      |    len(list_filter(string_split(text, ' '),
+      |        w -> w IN ('the', 'a', 'of', 'and', 'is')))::DOUBLE AS stop_hits,
+      |    length(replace(text, ' ', ''))::DOUBLE AS n_letters
+      |  FROM documents)
+      |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+      |  round(stop_hits / n_tokens, 4) AS stopword_ratio,
+      |  round(n_letters / n_tokens, 4) AS mean_word_len,
+      |  floor((least(1.0, n_tokens / 50.0) * 0.4 +
+      |         (1.0 - stop_hits / n_tokens) * 0.3 +
+      |         least(1.0, (n_letters / n_tokens) / 8.0) * 0.3) * 10000) / 10000 AS quality
+      |FROM q""".stripMargin
+
+  // ---------------------------------------------------------------- lang id
+  /** Marker-token language ID (n-gram heuristic): count stopword hits per
+    * candidate language, argmax with a fixed priority order, 'und' when no
+    * marker fires. */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "la", "de", "et", "un"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "zh" -> Seq("的", "是", "在"))
+
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    val hitCols = markers.map { case (lang, ws) =>
+      lang -> size(filter(t, w => w.isInCollection(ws)))
+    }
+    val maxHits = greatest(hitCols.map(_._2): _*)
+    val pred = hitCols.foldRight(lit("und")) { case ((lang, hits), elseCol) =>
+      when(maxHits > 0 && hits === maxHits, lang).otherwise(elseCol)
+    }
+    // foldRight gives en > es > fr > de > zh priority on ties
+    Tables.documents(s, d).select(col("doc_id"), pred.as("pred_lang"))
+  }
+
+  val langIdSql: String = {
+    val hit = markers.map { case (lang, ws) =>
+      s"len(list_filter(string_split(text, ' '), w -> w IN (${ws.map("'" + _ + "'").mkString(", ")}))) AS ${lang}_hits"
+    }.mkString(",\n    ")
+    val caseChain = markers.map { case (lang, _) =>
+      s"WHEN ${lang}_hits = mx THEN '$lang'"
+    }.mkString(" ")
+    s"""WITH h AS (SELECT doc_id, $hit FROM documents),
+       |m AS (SELECT *, greatest(en_hits, es_hits, fr_hits, de_hits, zh_hits) AS mx FROM h)
+       |SELECT doc_id, CASE WHEN mx = 0 THEN 'und' $caseChain END AS pred_lang FROM m""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- fingerprint
+  /** Canonical content fingerprint: normalize (lowercase, strip non-alnum,
+    * collapse whitespace) then hash — the exact-dedup key that survives
+    * formatting noise. */
+  private def normalized(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      md5(normalized(col("text"))).as("fingerprint"))
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
+      |FROM documents""".stripMargin
+
+  /** Rolling-hash fingerprint via the custom codegen'd Catalyst expression
+    * (graft.functions.RollingHash). No SQL oracle — hash constants are
+    * engine-specific; RollingHashSpec verifies interpreted == codegen ==
+    * reference impl. */
+  def rollingFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      graft.functions.RollingHash.rolling_hash(normalized(col("text"))).as("rolling_fp"))
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q30_text_stats", textStats _, Some(textStatsSql)),
+    GraftQuery("q31_token_count", tokenCount _, Some(tokenCountSql)),
+    GraftQuery("q32_quality_score", qualityScore _, Some(qualityScoreSql)),
+    GraftQuery("q33_lang_id", langId _, Some(langIdSql)),
+    GraftQuery("q34_fingerprint", fingerprint _, Some(fingerprintSql)),
+    GraftQuery("q34b_rolling_fingerprint", rollingFingerprint _, None))
+}

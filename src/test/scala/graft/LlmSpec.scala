@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Multimodal, Similarity}
+import graft.functions.RollingHash
+
+/** Verifies the operators whose queries have no SQL oracle (hash-based and
+  * approximate paths) against brute-force references on sf0.001. */
+class LlmSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("rolling_hash codegen == interpreted == reference") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val samples = Seq("", "a", "hello world", "café ☕", "x" * 1000)
+    samples.foreach { s =>
+      val interp = RollingHash(Literal(UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType)).eval(null)
+      assert(interp == RollingHash.reference(s), s"interpreted mismatch for '$s'")
+    }
+    // codegen path through a real plan
+    import spark.implicits._
+    val df = samples.toDF("s")
+      .select(col("s"), RollingHash.rolling_hash(col("s")).as("h"))
+    df.collect().foreach { r =>
+      assert(r.getLong(1) == RollingHash.reference(r.getString(0)))
+    }
+  }
+
+  test("simhash LSH pairs == brute-force hamming pairs") {
+    // NB: iterate a Seq, not the Map — a for/yield over a Map collapses
+    // result pairs by key
+    val sh = Dedup.simhash(graft.core.Tables.documents(spark, sf))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    val brute = (for {
+      (a, ha) <- sh; (b, hb) <- sh if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    val lsh = Dedup.simhashNearDup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == brute, s"lsh=${lsh.size} brute=${brute.size}")
+    assert(brute.nonEmpty, "test corpus should contain simhash near-dups")
+  }
+
+  test("minhash near-dup pairs == brute-force jaccard >= 0.5") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").sliding(3).map(_.mkString(" ")).toSet)
+      .filter(_._2.nonEmpty)
+    val brute = (for {
+      (a, sa) <- docs; (b, sb) <- docs if a < b
+      inter = (sa & sb).size.toDouble
+      j = inter / (sa.size + sb.size - inter) if j >= 0.5
+    } yield (a, b)).toSet
+    val lsh = Dedup.minhashNearDup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == brute, s"lsh=${lsh.size} brute=${brute.size}")
+    assert(brute.nonEmpty, "test corpus should contain minhash near-dups")
+  }
+
+  test("IVF knn finds most of the brute-force top-5") {
+    val brute = Similarity.knnBrute(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.knnIvf(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf.size == 5)
+    val recall = (brute & ivf).size / 5.0
+    assert(recall >= 0.6, s"IVF recall $recall too low (ivf=$ivf brute=$brute)")
+  }
+
+  test("multimodal feature extraction applies the stub decoder per row") {
+    import spark.implicits._
+    val feats = Multimodal.extractFeatures(
+        Multimodal.media(spark, sf).as[graft.llm.MediaRow])
+      .filter(col("media_id") < 5).collect().sortBy(_.media_id)
+    val texts = graft.core.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 5).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    feats.foreach { f =>
+      val bytes = texts(f.media_id).getBytes("UTF-8")
+      var h = 0L; bytes.foreach(b => h = h * 31 + (b & 0xff))
+      assert(f.checksum == h)
+      assert(f.n_bytes == bytes.length)
+      assert(f.n_frames == bytes.length / 100 + 1)
+    }
+  }
+}
