@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+import graft.hl7.Pipeline
+
+/** Streaming variants of the pipeline (SURVEY.md §2B streaming surface).
+  *
+  * The reference's SNS topic + Lambda consumers (A7/A20) map onto Structured
+  * Streaming directly: the topic is the unbounded DataFrame, FilterPolicies
+  * are predicates, the lake-writer subscription is a `foreachBatch` sink, and
+  * the dedup ledger is `dropDuplicates` state. The batch stages in
+  * graft.hl7.Pipeline are pure DataFrame=>DataFrame narrow transforms, so
+  * they compose unchanged onto a streaming source — one definition, two
+  * execution modes.
+  */
+object StreamingPipeline {
+
+  /** A20 — storage-event source: new files in the inbox dir trigger
+    * processing, exactly the reference's CloudTrail→EventBridge flow. One
+    * message per file row; multi-message files are exploded like batch. */
+  def messagesStream(spark: SparkSession, inboxDir: String): DataFrame =
+    spark.readStream
+      .option("wholetext", "true")
+      .text(inboxDir)
+      .withColumn("msg", explode(split(col("value"), "(\\r?\\n)\\s*(\\r?\\n)+")))
+      .withColumn("msg", regexp_replace(col("msg"), "\\s+$", ""))
+      .filter(length(col("msg")) > 0)
+      .withColumn("source", lit("inbox"))
+      .select("msg", "source")
+
+  /** A5 streaming — the dedup ledger as streaming state. The reference's
+    * DynamoDB ledger is global and unbounded; `withWatermarkedDedup` bounds
+    * state for 100 TB streams (documented divergence, SURVEY §7.3.2). */
+  def ingestStream(messages: DataFrame): DataFrame =
+    Pipeline.ingest(messages) // dropDuplicates is stateful on a stream
+
+  def ingestStreamWatermarked(messages: DataFrame, tsCol: String, delay: String): DataFrame =
+    messages
+      .withColumn("message_id", sha2(col("msg"), 256))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("message_id")
+      .withColumn("event", lit("ingested"))
+      .withColumn("protocol", lit("hl7v2"))
+      .withColumn("format", lit("er7"))
+
+  /** A7+A16+A17 — multi-sink fan-out per micro-batch: one batch, two writes
+    * (zoned lake + catalog), idempotent under replay because message_id is
+    * deterministic (sha-256 of payload) and both writes are append-only
+    * keyed by it. */
+  def lakeSink(events: DataFrame, lakeRoot: String, checkpoint: String): DataStreamWriter[Row] =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        batch.write.mode("append")
+          .partitionBy("zone", "protocol")
+          .parquet(s"$lakeRoot/messages")
+        batch.select(
+            col("message_id"),
+            concat(lit("zone="), col("zone"), lit("/protocol="), col("protocol")).as("path"),
+            col("source"), col("zone"), col("format"), col("content_type"),
+            current_timestamp().as("ingest_ts"))
+          .write.mode("append").parquet(s"$lakeRoot/catalog")
+        batch.unpersist()
+        ()
+      }
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+
+  /** Full streaming pipeline: inbox → ingest(dedup) → stage(parse/branch) →
+    * zone → two-sink lake write. */
+  def run(spark: SparkSession, inboxDir: String, lakeRoot: String, checkpoint: String): Unit = {
+    val ingested = ingestStream(messagesStream(spark, inboxDir))
+    val staged = Pipeline.withZone(Pipeline.stage(ingested))
+    val q = lakeSink(staged.drop("segments"), lakeRoot, checkpoint).start()
+    q.awaitTermination()
+  }
+
+  // ------------------------------------------------------------------
+  // Streaming analytics over the events shape (q20's streaming twins)
+
+  /** Tumbling 1-hour counts with a 10-minute watermark: late rows beyond the
+    * watermark are dropped, state is bounded by (watermark horizon / window)
+    * — the correctness upgrade over the reference's at-least-once SNS. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("bucket_start"), col("event_type"),
+              col("n"), col("sum_value"))
+
+  /** Sliding window variant (1 hour every 15 minutes). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket_start"), col("n"))
+
+  /** Per-user session windows (5-minute gap): user activity sessionization. */
+  def userSessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts")).as("session_start"),
+           max(col("ts")).as("session_end"))
+      .select(col("user_id"), col("n_events"),
+              col("session_start"), col("session_end"))
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+import graft.streaming.StreamingPipeline
+import graft.hl7.Pipeline
+
+/** Streaming semantics (SURVEY.md §5.2.5): MemoryStream-driven checks of
+  * stateful dedup, watermarks/late data, and foreachBatch idempotence. */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming dedup holds state across micro-batches (A5)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val out = StreamingPipeline.ingestStream(in.toDF().toDF("msg", "source"))
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      val m1 = "MSH|^~\\&|A|B|C|D|20240101||ADT^A01|M1|P|2.5\rPID|1||X||N||19800101|M"
+      val m2 = "MSH|^~\\&|A|B|C|D|20240102||ADT^A01|M2|P|2.5\rPID|1||Y||N||19900101|F"
+      in.addData(("" + m1, "s1")); q.processAllAvailable()
+      in.addData((m1, "s2"), (m2, "s1")); q.processAllAvailable() // m1 is a replay
+      val got = spark.table("dedup_out").select("message_id").collect().map(_.getString(0))
+      assert(got.length == 2, s"resent message must be dropped by state, got ${got.length}")
+      assert(got.distinct.length == 2)
+    } finally q.stop()
+  }
+
+  test("watermark drops late events beyond the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val out = StreamingPipeline.hourlyCounts(
+      in.toDF().toDF("ts", "event_type", "value"))
+    val q = out.writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").start()
+    try {
+      in.addData((ts("2024-01-01 10:05:00"), "click", 1.0),
+                 (ts("2024-01-01 10:45:00"), "click", 2.0))
+      q.processAllAvailable()
+      // advance watermark far past the 10:00 window
+      in.addData((ts("2024-01-01 13:00:00"), "click", 3.0))
+      q.processAllAvailable()
+      // this event is hours late — must be dropped, not re-open the window
+      in.addData((ts("2024-01-01 10:10:00"), "click", 99.0))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 15:00:00"), "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("wm_out")
+        .filter(col("bucket_start") === ts("2024-01-01 10:00:00")).collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Long]("n") == 2, "late event must not be counted")
+    } finally q.stop()
+  }
+
+  test("session windows split on the 5-minute gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val out = StreamingPipeline.userSessions(
+      in.toDF().toDF("ts", "user_id").withColumn("value", lit(0.0)))
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:03:00"), 1L),
+        (ts("2024-01-01 10:20:00"), 1L), // > 5 min gap ⇒ new session
+        (ts("2024-01-01 10:00:00"), 2L))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 12:00:00"), 99L)) // advance watermark to close sessions
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .filter(col("user_id") === 1L).collect()
+      assert(got.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("streaming lake write equals the batch pipeline on the same corpus") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    StreamingPipeline.run(spark, s"${Pipeline.MessagesDir}/*.txt",
+      s"$tmp/lake", s"$tmp/ckpt")
+    val streamed = spark.read.parquet(s"$tmp/lake/messages")
+    val batch = Pipeline.withZone(Pipeline.stage(Pipeline.ingest(
+      Pipeline.readMessages(spark))))
+    assert(streamed.count() == batch.count())
+    val a = streamed.groupBy("zone").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = batch.groupBy("zone").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    // catalog written too, one row per message
+    assert(spark.read.parquet(s"$tmp/lake/catalog").count() == batch.count())
+    // idempotence: re-running with the same checkpoint adds nothing
+    StreamingPipeline.run(spark, s"${Pipeline.MessagesDir}/*.txt",
+      s"$tmp/lake", s"$tmp/ckpt")
+    assert(spark.read.parquet(s"$tmp/lake/messages").count() == batch.count())
+  }
+}
