@@ -38,11 +38,30 @@ object Dedup {
   private val NumHashes = 64
   private val BandRows = 2 // 32 bands of 2 rows: P(miss | J=0.5) ≈ 1e-4, ≈0 at J≥0.9
 
-  /** MinHash signature (k seeded xxhash64 minima over the shingle set). */
-  def minhashSignature(sh: DataFrame): DataFrame =
-    sh.select(col("doc_id"), col("sh"),
-      array((0 until NumHashes).map(i =>
-        array_min(transform(col("sh"), x => xxhash64(lit(i), x)))): _*).as("sig"))
+  /** MinHash signature: k minima over the shingle set.
+    *
+    * Shape matters twice here. (1) Double hashing (Kirsch-Mitzenmacher
+    * style): two real xxhash64 evaluations per shingle, the k functions are
+    * cheap combines h_i = h1 XOR rot(h2, i) — bitwise, because ANSI mode
+    * throws on the additive form's intentional overflow. (2) Explode +
+    * groupBy with k codegen'd `min` aggregates instead of k higher-order
+    * `transform`/`array_min` passes — Spark's array lambdas run interpreted
+    * and allocate per row, while min-aggregates collapse map-side inside
+    * WholeStageCodegen. Any LSH quality loss from double hashing is
+    * irrelevant: candidates are confirmed with exact Jaccard afterwards. */
+  def minhashSignature(sh: DataFrame): DataFrame = {
+    def rot(h: Column, i: Int): Column =
+      if (i == 0) h
+      else shiftleft(h, i).bitwiseOR(shiftrightunsigned(h, 64 - i))
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"),
+        xxhash64(col("s")).as("h1"), xxhash64(lit("km2"), col("s")).as("h2"))
+    val mins = (0 until NumHashes).map(i =>
+      min(col("h1").bitwiseXOR(rot(col("h2"), i))).as(s"m$i"))
+    ex.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   /** Near-dup pairs via MinHash + LSH banding + exact-Jaccard confirmation.
     *

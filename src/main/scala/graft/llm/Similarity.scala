@@ -15,9 +15,11 @@ import graft.queries.GraftQuery
   */
 object Similarity {
 
-  /** Dot product of two array<double> columns (fold in element order). */
+  /** Dot product of two array<double> columns. Same left-to-right fold as
+    * `aggregate(zip_with(...))` but via the codegen'd native expression —
+    * the higher-order form runs interpreted and allocates per row. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProduct.dot_product(a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -32,12 +34,16 @@ object Similarity {
     * blocking pattern that keeps near-dup joins feasible at scale (blocks
     * shuffle-partition independently; no global cross join). */
   def cosineNearDup(s: SparkSession, d: String): DataFrame = {
-    val e = vecs(s, d)
-    val a = e.select(col("label"), col("vec_id").as("a_id"), col("v").as("va"))
-    val b = e.select(col("label"), col("vec_id").as("b_id"), col("v").as("vb"))
+    // precompute each vector's norm once (map-side, n rows) instead of
+    // folding dot(a,a)/dot(b,b) again for every one of the n² pairs
+    val e = vecs(s, d).withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val a = e.select(col("label"), col("vec_id").as("a_id"),
+                     col("v").as("va"), col("norm").as("na"))
+    val b = e.select(col("label"), col("vec_id").as("b_id"),
+                     col("v").as("vb"), col("norm").as("nb"))
     a.join(b, "label")
       .filter(col("a_id") < col("b_id"))
-      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .filter(col("cos") >= 0.35)
       .select(col("label"), col("a_id"), col("b_id"), col("cos"))
   }
@@ -90,12 +96,14 @@ object Similarity {
     val e = vecs(s, d).cache()
     val cents = e.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    val assignW = Window.partitionBy(col("vec_id")).orderBy(col("cdist").asc, col("cent_id").asc)
+    // nearest-centroid assignment via min_by aggregation: one partial-agg
+    // pass, no per-vector sort (a row_number window would shuffle + sort the
+    // whole corpus); deterministic tiebreak on cent_id
     val assigned = e.crossJoin(broadcast(cents))
       .withColumn("cdist", -cosine(col("v"), col("cv")))
-      .withColumn("crn", row_number().over(assignW))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("v"), col("cent_id"))
+      .groupBy("vec_id")
+      .agg(min_by(col("cent_id"), struct(col("cdist"), col("cent_id"))).as("cent_id"),
+           first(col("v")).as("v"))
     val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
     val probes = cents.crossJoin(broadcast(q))
       .withColumn("qdist", -cosine(col("qv"), col("cv")))

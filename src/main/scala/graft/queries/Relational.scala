@@ -190,15 +190,16 @@ object Relational {
     * linear in data size, no broadcast of the big side, skew bounded by
     * events-per-hour. The oracle states the same semantics declaratively. */
   private def q09(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.events(s, d).select("event_id", "ts", "event_type")
+    // minimal projection: ids are not in the output, so only (ts, type)
+    // flow through the exploded shuffle
+    val e = Tables.events(s, d).select("ts", "event_type")
     val withBucket = e.withColumn("bucket", floor(unix_timestamp(col("ts")) / 3600))
     val a = withBucket
       .withColumn("probe", explode(array(col("bucket"), col("bucket") + 1)))
-      .select(col("event_id").as("a_id"), col("ts").as("a_ts"),
-              col("event_type").as("type_a"), col("probe"))
+      .select(col("ts").as("a_ts"), col("event_type").as("type_a"), col("probe"))
     val b = withBucket
-      .select(col("event_id").as("b_id"), col("ts").as("b_ts"),
-              col("event_type").as("type_b"), col("bucket").as("probe"))
+      .select(col("ts").as("b_ts"), col("event_type").as("type_b"),
+              col("bucket").as("probe"))
     a.join(b, "probe")
       .filter(col("b_ts") > col("a_ts") &&
               col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"))
