@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{GraftQuery, Relational}
+import graft.queries.{GraftQuery, Relational, Relational2}
 import graft.hl7.Pipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -15,6 +15,7 @@ object SparkEntry {
   /** Every registered query, in declaration order. */
   def registry: Seq[GraftQuery] =
     Relational.all ++
+    Relational2.all ++
     Pipeline.queries.map { case (n, f) => GraftQuery(n, f, None) } ++
     graft.llm.TextAnalysis.queries ++
     graft.llm.Dedup.queries ++
