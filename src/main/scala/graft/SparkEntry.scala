@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{GraftQuery, Relational, Relational2, Relational3}
+import graft.queries.{GraftQuery, Relational, Relational2, Relational3, Relational4}
 import graft.hl7.Pipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -17,6 +17,7 @@ object SparkEntry {
     Relational.all ++
     Relational2.all ++
     Relational3.all ++
+    Relational4.all ++
     Pipeline.queries.map { case (n, f) => GraftQuery(n, f, None) } ++
     graft.llm.TextAnalysis.queries ++
     graft.llm.Dedup.queries ++

@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Fourth batch: batch sessionization (the declarative twin of streaming
+  * session windows) and keep-first dedup semantics. */
+object Relational4 {
+
+  // ---------------------------------------------------------------- q51
+  /** Batch sessionization with a 5-minute inactivity gap, via the classic
+    * lag → gap-flag → running-sum-session-id composition. One shuffle
+    * (by user), sessions of any length in O(1) memory per row — this is
+    * the 100 TB formulation; `session_window` in graft.streaming is the
+    * streaming twin. Oracle states the identical window algebra. */
+  private def q51(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select("user_id", "event_id", "ts")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+             unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 300, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts")).as("session_start"),
+           max(col("ts")).as("session_end"))
+      .select(col("user_id"), col("session_id").cast("long").as("session_id"),
+              col("n_events"), col("session_start"), col("session_end"))
+  }
+
+  private val q51Sql =
+    """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch(ts) - epoch(lag(ts) OVER w) > 300 THEN 1 ELSE 0 END AS new_session
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, event_id, ts,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |       count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
+      |FROM sessions GROUP BY user_id, session_id""".stripMargin
+
+  // ---------------------------------------------------------------- q52
+  /** Keep-first dedup: earliest event per (user, type) via min_by — the
+    * ordered flavor of dropDuplicates (which keeps an arbitrary row). */
+  private def q52(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("user_id", "event_type")
+      .agg(min_by(col("event_id"), struct(col("ts"), col("event_id"))).as("first_event_id"),
+           min(col("ts")).as("first_ts"),
+           count(lit(1)).as("n_total"))
+
+  private val q52Sql =
+    """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+      |ranked AS (
+      |  SELECT user_id, event_type, event_id, ts,
+      |    row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY user_id, event_type) AS n_total,
+      |    min(ts) OVER (PARTITION BY user_id, event_type) AS first_ts
+      |  FROM ev)
+      |SELECT user_id, event_type, event_id AS first_event_id, first_ts, n_total
+      |FROM ranked WHERE rn = 1""".stripMargin
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery("q51_sessionize", q51, Some(q51Sql)),
+    GraftQuery("q52_dedup_keep_first", q52, Some(q52Sql)),
+  )
+}
