@@ -19,6 +19,7 @@ object SparkEntry {
     Relational3.all ++
     Relational4.all ++
     Pipeline.queries.map { case (n, f) => GraftQuery(n, f, None) } ++
+    graft.hl7.Views.queries.map { case (n, f) => GraftQuery(n, f, None) } ++
     graft.llm.TextAnalysis.queries ++
     graft.llm.Dedup.queries ++
     graft.llm.Similarity.queries ++

@@ -74,6 +74,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(twice == normed)
   }
 
+  test("typed views: OBX value-type profile and patient roster goldens") {
+    val obx = graft.hl7.Views.q21ObxTypes(spark, "").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(obx == Map("CE" -> 9L, "FT" -> 2L, "NM" -> 63L, "ST" -> 32L,
+                      "TS" -> 2L, "TX" -> 2L))
+    assert(obx.values.sum == 110L) // every corpus OBX accounted for
+    val pats = graft.hl7.Views.q21Patients(spark, "").collect()
+    assert(pats.length == 11) // one PID per message
+    val sexes = pats.map(_.getAs[String]("sex")).groupBy(identity).view.mapValues(_.length).toMap
+    assert(sexes == Map("M" -> 7, "F" -> 4))
+    // dirty-data fidelity: the "" HL7-null family name survives verbatim
+    assert(pats.exists(_.getAs[String]("family_name") == "\"\""))
+  }
+
   test("lake write partitions by zone/protocol; point retrieval round-trips (A16/A17/A19)") {
     val root = java.nio.file.Files.createTempDirectory("graft-lake").toString
     val events = Pipeline.allEvents(spark)
