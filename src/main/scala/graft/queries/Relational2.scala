@@ -44,12 +44,15 @@ object Relational2 {
       |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin
 
   // ---------------------------------------------------------------- q24
-  /** The full ranking-window family over one deterministic total order. */
+  /** The full ranking-window family over one deterministic total order.
+    * Partitioned by customer (high cardinality): a window keyed on a
+    * 5-value column like priority would funnel 1/5 of a 100 TB table into
+    * each sort task. */
   private def q24(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("o_orderpriority"))
+    val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
     Tables.orders(s, d)
-      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         rank().over(w).as("rnk"),
         dense_rank().over(w).as("drnk"),
         ntile(4).over(w).as("quartile"),
@@ -60,7 +63,7 @@ object Relational2 {
   }
 
   private val q24Sql =
-    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+    """SELECT o_orderkey, o_custkey, o_totalprice,
       |  CAST(rank() OVER w AS INT) AS rnk,
       |  CAST(dense_rank() OVER w AS INT) AS drnk,
       |  CAST(ntile(4) OVER w AS INT) AS quartile,
@@ -69,7 +72,7 @@ object Relational2 {
       |  first_value(o_orderkey) OVER w AS top_order,
       |  lead(o_orderkey, 1) OVER w AS next_order
       |FROM orders
-      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin
 
   // ---------------------------------------------------------------- q25
   /** Multiset set-ops: INTERSECT ALL / EXCEPT ALL preserve multiplicity. */
