@@ -65,10 +65,12 @@ object Similarity {
     val scored = e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .withColumn("cosine", round(cosine(col("v"), col("qv")), 4))
-    scored
+    // top-k via orderBy+limit (TakeOrderedAndProject: per-partition heaps,
+    // k-row merge) — a global row_number window here would funnel the whole
+    // scored corpus through one sort task; the rank window runs on 5 rows
+    scored.orderBy(col("cosine").desc, col("vec_id").asc).limit(5)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("cosine").desc, col("vec_id").asc)))
-      .filter(col("rank") <= 5)
       .select(col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
   }
 
@@ -114,9 +116,9 @@ object Similarity {
     candidates.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .withColumn("cosine", round(cosine(col("v"), col("qv")), 4))
+      .orderBy(col("cosine").desc, col("vec_id").asc).limit(5) // TakeOrdered
       .withColumn("rank", row_number().over(
         Window.orderBy(col("cosine").desc, col("vec_id").asc)))
-      .filter(col("rank") <= 5)
       .select(col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
   }
 
