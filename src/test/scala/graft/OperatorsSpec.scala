@@ -28,6 +28,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("bucketed join of co-located tables plans without a shuffle") {
+    import graft.operators.Bucketing
+    val sf = "/root/testdata/sf0.001"
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    try {
+      Bucketing.writeBucketed(graft.core.Tables.orders(s2, sf), "orders_b", "o_orderkey")
+      Bucketing.writeBucketed(graft.core.Tables.lineitem(s2, sf), "lineitem_b", "l_orderkey")
+      val joined = Bucketing.bucketedJoin(s2, "orders_b", "lineitem_b",
+        "o_orderkey", "l_orderkey")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == graft.core.Tables.lineitem(s2, sf).count())
+    } finally {
+      s2.sql("DROP TABLE IF EXISTS orders_b")
+      s2.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
   test("custom expressions register at the SQL surface") {
     GraftExtensions.install(spark)
     val h = spark.sql("SELECT rolling_hash('hello world') AS h").collect().head.getLong(0)
