@@ -101,6 +101,25 @@ object StreamingPipeline {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("bucket_start"), col("n"))
 
+  /** Arbitrary keyed state (§2B "mapGroupsWithState"): lifetime event count
+    * per user, maintained across micro-batches. One long of state per key —
+    * bounded, and the shape to extend for custom session/ledger semantics
+    * the built-in windows can't express. */
+  def userRunningCounts(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id").cast("long"), col("event_id").cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Long, (Long, Long)](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (user, n)
+      }
+      .toDF("user_id", "n_events_total")
+  }
+
   /** Per-user session windows (5-minute gap): user activity sessionization. */
   def userSessions(events: DataFrame): DataFrame =
     events

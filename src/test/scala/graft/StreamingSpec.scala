@@ -88,6 +88,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState accumulates per-user counts across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val out = StreamingPipeline.userRunningCounts(
+      in.toDF().toDF("user_id", "event_id"))
+    val q = out.writeStream.format("memory").queryName("state_out")
+      .outputMode("update").start()
+    try {
+      in.addData((1L, 100L), (1L, 101L), (2L, 102L)); q.processAllAvailable()
+      in.addData((1L, 103L)); q.processAllAvailable()
+      // last update per user wins
+      val latest = spark.table("state_out").groupBy("user_id")
+        .agg(max("n_events_total").as("n")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(latest == Map(1L -> 3L, 2L -> 1L), s"state lost across batches: $latest")
+    } finally q.stop()
+  }
+
   test("streaming lake write equals the batch pipeline on the same corpus") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
     StreamingPipeline.run(spark, s"${Pipeline.MessagesDir}/*.txt",
