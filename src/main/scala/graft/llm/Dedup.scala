@@ -127,12 +127,16 @@ object Dedup {
     val words = docs
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
       .withColumn("h", xxhash64(col("w")))
-    val bitVotes = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    // branch-free bit votes: sum the raw bit s_b and the token count n once;
+    // the majority test is s_b*2 > n (equivalent to summing ±1 votes, minus
+    // 64 conditionals per token)
+    val bitSums = (0 until 64).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"b$b")
     }
-    val voted = words.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    val voted = words.groupBy("doc_id")
+      .agg(bitSums.head, (bitSums.tail :+ count(lit(1)).as("n")): _*)
     val sh = (0 until 64).map { b =>
-      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)
+      when(col(s"b$b") * 2 > col("n"), shiftleft(lit(1L), b)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
     voted.select(col("doc_id"), sh.as("simhash"))
   }

@@ -196,13 +196,17 @@ object Relational {
     val withBucket = e.withColumn("bucket", floor(unix_timestamp(col("ts")) / 3600))
     val a = withBucket
       .withColumn("probe", explode(array(col("bucket"), col("bucket") + 1)))
-      .select(col("ts").as("a_ts"), col("event_type").as("type_a"), col("probe"))
+      // precompute the horizon bound once per left row — the join predicate
+      // evaluates per PAIR (~events²/hours rows), so interval arithmetic
+      // there would run millions of times instead of thousands
+      .select(col("ts").as("a_ts"),
+              (col("ts") + expr("INTERVAL 1 HOUR")).as("a_hi"),
+              col("event_type").as("type_a"), col("probe"))
     val b = withBucket
       .select(col("ts").as("b_ts"), col("event_type").as("type_b"),
               col("bucket").as("probe"))
     a.join(b, "probe")
-      .filter(col("b_ts") > col("a_ts") &&
-              col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"))
+      .filter(col("b_ts") > col("a_ts") && col("b_ts") <= col("a_hi"))
       .groupBy("type_a", "type_b")
       .agg(count(lit(1)).as("n_pairs"))
   }
