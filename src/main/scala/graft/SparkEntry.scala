@@ -12,14 +12,37 @@ import graft.hl7.Pipeline
   */
 object SparkEntry {
 
+  /** Precomputed pipeline goldens as constant oracle SQL (SURVEY §2B Q21:
+    * "oracle: precomputed expected counts") — upgrades the corpus-replay
+    * queries from rows-only checks to full hash compares, and doubles as a
+    * parser-regression tripwire. */
+  private val pipelineOracles: Map[String, String] = Map(
+    "q21_pipeline_zones" ->
+      """SELECT * FROM (VALUES ('ingestion', 'er7', CAST(11 AS BIGINT)),
+        |                      ('staging', 'json', CAST(11 AS BIGINT)))
+        |  AS t(zone, format, n_messages)""".stripMargin,
+    "q21_pid_sex" ->
+      """SELECT * FROM (VALUES ('M', CAST(7 AS BIGINT)), ('F', CAST(4 AS BIGINT)))
+        |  AS t(sex, n_patients)""".stripMargin,
+    "q21_segment_profile" ->
+      """SELECT segment_id, CAST(n AS BIGINT) AS n_segments FROM (VALUES
+        |  ('ADD', 29), ('DG1', 3), ('EVN', 7), ('FTS', 1), ('GT1', 4),
+        |  ('IN1', 4), ('MRG', 1), ('MSH', 11), ('NK1', 7), ('NTE', 8),
+        |  ('OBR', 7), ('OBX', 110), ('PD1', 1), ('PID', 11), ('PV1', 6),
+        |  ('PV2', 1)) AS t(segment_id, n)""".stripMargin,
+    "q21_obx_value_types" ->
+      """SELECT value_type, CAST(a AS BIGINT) AS n_obs, CAST(b AS BIGINT) AS n_codes
+        |FROM (VALUES ('CE', 9, 3), ('FT', 2, 1), ('NM', 63, 63),
+        |             ('ST', 32, 26), ('TS', 2, 1), ('TX', 2, 1)) AS t(value_type, a, b)""".stripMargin)
+
   /** Every registered query, in declaration order. */
   def registry: Seq[GraftQuery] =
     Relational.all ++
     Relational2.all ++
     Relational3.all ++
     Relational4.all ++
-    Pipeline.queries.map { case (n, f) => GraftQuery(n, f, None) } ++
-    graft.hl7.Views.queries.map { case (n, f) => GraftQuery(n, f, None) } ++
+    Pipeline.queries.map { case (n, f) => GraftQuery(n, f, pipelineOracles.get(n)) } ++
+    graft.hl7.Views.queries.map { case (n, f) => GraftQuery(n, f, pipelineOracles.get(n)) } ++
     graft.llm.TextAnalysis.queries ++
     graft.llm.Dedup.queries ++
     graft.llm.Similarity.queries ++
