@@ -265,8 +265,21 @@ object Relational2 {
       |WHERE p_retailprice > (SELECT avg(p_retailprice) * 1.05 FROM part
       |                       WHERE p_type = p.p_type)""".stripMargin
 
+  /** Sketch-based quantiles — the constant-memory 100 TB answer to q26's
+    * exact median. No oracle (sketch values are engine-specific);
+    * RelationalSpec asserts each estimate within the declared 1% rank
+    * accuracy against the exact percentile. */
+  private def q26approx(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 100)")
+          .as("price_quartiles"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact_median"))
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q22_pivot", q22, Some(q22Sql)),
+    GraftQuery("q26_approx_percentile", q26approx, None),
     GraftQuery("q23_cube", q23, Some(q23Sql)),
     GraftQuery("q24_window_family", q24, Some(q24Sql)),
     GraftQuery("q25_multiset_ops", q25, Some(q25Sql)),
