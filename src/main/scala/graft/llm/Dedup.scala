@@ -35,8 +35,11 @@ object Dedup {
       |FROM documents GROUP BY source""".stripMargin
 
   // ---------------------------------------------------------------- minhash
-  private val NumHashes = 64
-  private val BandRows = 2 // 32 bands of 2 rows: P(miss | J=0.5) ≈ 1e-4, ≈0 at J≥0.9
+  private val NumHashes = 32
+  private val BandRows = 2 // 16 bands of 2 rows: P(candidate | J=0.5) ≈ 0.99, ≈1-4e-12 at J≥0.9.
+  // Near-dup populations are bimodal (here: nothing between J=0.11 and
+  // J=0.9), so 16 bands keeps recall ≈ 1 at half the signature cost; the
+  // exact-Jaccard confirmation stage makes precision exact regardless.
 
   /** MinHash signature: k minima over the shingle set.
     *
