@@ -345,7 +345,11 @@ object Relational {
         upper(col("p_type")).as("type_upper"),
         length(col("p_name")).as("name_len"),
         regexp_extract(col("p_brand"), "(\\d+)", 1).cast("int").as("brand_num"),
-        levenshtein(col("p_brand"), lit("Brand#13")).as("lev_to_13"))
+        levenshtein(col("p_brand"), lit("Brand#13")).as("lev_to_13"),
+        trim(concat(lit(" "), col("p_name"), lit(" "))).as("trimmed"),
+        lpad(col("p_brand"), 10, "*").as("padded"),
+        translate(col("p_type"), "AEO", "aeo").as("translated"),
+        substring(col("p_name"), 2, 5).as("name_sub"))
 
   private val q16Sql =
     """SELECT p_partkey,
@@ -354,7 +358,11 @@ object Relational {
       |  upper(p_type) AS type_upper,
       |  CAST(length(p_name) AS INT) AS name_len,
       |  CAST(regexp_extract(p_brand, '(\d+)', 1) AS INT) AS brand_num,
-      |  CAST(levenshtein(p_brand, 'Brand#13') AS INT) AS lev_to_13
+      |  CAST(levenshtein(p_brand, 'Brand#13') AS INT) AS lev_to_13,
+      |  trim(' ' || p_name || ' ') AS trimmed,
+      |  lpad(p_brand, 10, '*') AS padded,
+      |  translate(p_type, 'AEO', 'aeo') AS translated,
+      |  substring(p_name, 2, 5) AS name_sub
       |FROM part""".stripMargin
 
   // ---------------------------------------------------------------- q17
@@ -371,6 +379,30 @@ object Relational {
       |       count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue,
       |       count(DISTINCT o_custkey) AS n_customers
       |FROM orders GROUP BY 1""".stripMargin
+
+  /** Date extraction/arithmetic family (per-row): year/month/day/quarter,
+    * date_add, datediff, unix epoch. */
+  private def q17b(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("yr"),
+      month(col("o_orderdate")).as("mo"),
+      dayofmonth(col("o_orderdate")).as("dom"),
+      quarter(col("o_orderdate")).as("qtr"),
+      date_add(col("o_orderdate"), 30).as("due_date"),
+      datediff(lit("1998-01-01").cast("date"), col("o_orderdate")).as("days_to_98"),
+      unix_timestamp(col("o_orderdate")).as("epoch_s"))
+
+  private val q17bSql =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS INT) AS yr,
+      |  CAST(month(o_orderdate) AS INT) AS mo,
+      |  CAST(day(o_orderdate) AS INT) AS dom,
+      |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+      |  CAST(o_orderdate AS DATE) + 30 AS due_date,
+      |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INT) AS days_to_98,
+      |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+      |FROM orders""".stripMargin
 
   // ---------------------------------------------------------------- q18
   /** JSON extraction over events.props (a JSON string column). */
@@ -447,6 +479,7 @@ object Relational {
     GraftQuery("q15_set_ops", q15, Some(q15Sql)),
     GraftQuery("q16_string_funcs", q16, Some(q16Sql)),
     GraftQuery("q17_date_funcs", q17, Some(q17Sql)),
+    GraftQuery("q17b_date_extract", q17b, Some(q17bSql)),
     GraftQuery("q18_json_funcs", q18, Some(q18Sql)),
     GraftQuery("q19_array_funcs", q19, Some(q19Sql)),
     GraftQuery("q20_time_bucket", q20, Some(q20Sql)),
