@@ -63,6 +63,37 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: a real implementation decodes, scales to target
+    * dimensions, re-encodes. The stub deterministically truncates/extends
+    * the payload proportional to the pixel-count change so downstream size
+    * accounting behaves like a real resize; metadata is updated for real. */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val srcPixels = math.max(1, m.width * m.height)
+        val scale = (w.toLong * h).toDouble / srcPixels
+        val newLen = math.max(1, math.min((m.payload.length * scale).toInt, 1 << 20))
+        m.copy(payload = java.util.Arrays.copyOf(m.payload, newLen),
+               width = w, height = h)
+      }
+    }
+  }
+
+  /** STUB frame sampling for video-kind rows: emit every `stride`-th
+    * 100-byte "frame" of the payload as its own row (media_id, frame_idx,
+    * frame bytes) — the explode shape a real video pipeline needs, with the
+    * codec swapped for deterministic slicing. */
+  def sampleFrames(media: Dataset[MediaRow], stride: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { m =>
+      val frames = m.payload.grouped(100).toSeq
+      frames.indices.collect {
+        case i if i % stride == 0 => (m.media_id, i, frames(i))
+      }
+    }.toDF("media_id", "frame_idx", "frame")
+  }
+
   /** Deterministic fake decoder (polynomial byte hash). */
   private def decode(payload: Array[Byte]): Long = {
     var h = 0L

@@ -78,6 +78,18 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"IVF recall $recall too low (ivf=$ivf brute=$brute)")
   }
 
+  test("multimodal resize updates metadata and scales payloads; frame sampling strides") {
+    import spark.implicits._
+    val media = Multimodal.media(spark, sf).as[graft.llm.MediaRow]
+    val resized = Multimodal.resize(media, 64, 48).collect()
+    assert(resized.forall(m => m.width == 64 && m.height == 48))
+    assert(resized.forall(m => m.payload.length >= 1))
+    val frames = Multimodal.sampleFrames(media, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(frames.nonEmpty)
+    assert(frames.forall(_._2 % 2 == 0), "sampled frame indices must honor the stride")
+  }
+
   test("multimodal feature extraction applies the stub decoder per row") {
     import spark.implicits._
     val feats = Multimodal.extractFeatures(

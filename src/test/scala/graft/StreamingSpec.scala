@@ -39,6 +39,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked dedup drops replays inside the horizon (bounded-state A5)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String, Timestamp)]
+    val out = StreamingPipeline.ingestStreamWatermarked(
+      in.toDF().toDF("msg", "source", "arrival_ts"), "arrival_ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("wmdedup_out")
+      .outputMode("append").start()
+    try {
+      val m = "MSH|^~\\&|A|B|C|D|20240101||ADT^A01|W1|P|2.5\rPID|1||X||N||19800101|M"
+      in.addData((m, "s1", ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // replay within the watermark horizon: must be dropped
+      in.addData((m, "s2", ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      assert(spark.table("wmdedup_out").count() == 1)
+    } finally q.stop()
+  }
+
   test("watermark drops late events beyond the horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
