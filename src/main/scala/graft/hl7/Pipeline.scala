@@ -37,12 +37,39 @@ object Pipeline {
     * ledger), and the metadata envelope (A6). At scale `dropDuplicates` is a
     * hash-partitioned shuffle on message_id — the only wide op in the flow. */
   def ingest(messages: DataFrame): DataFrame =
-    messages
+    authorize(messages)
+      .filter(col("authorized"))
+      .drop("authorized", "deny_reason")
       .withColumn("message_id", sha2(col("msg"), 256))
       .dropDuplicates("message_id")
       .withColumn("event", lit("ingested"))
       .withColumn("protocol", lit("hl7v2"))
       .withColumn("format", lit("er7"))
+
+  /** The A3 rejection branch: denied rows with the reason, for the audit
+    * sink (the reference's 403 responses, as data). */
+  def rejected(messages: DataFrame): DataFrame =
+    authorize(messages).filter(!col("authorized"))
+      .select(col("msg"), col("source"), col("deny_reason"))
+
+  /** A3 — authorization filter (`front_door_lambda.py:17-22`): a message is
+    * accepted only when the caller carries the write claim
+    * (`front_door_stack.yml:24-32` schema, `custom:write`). Rejected rows
+    * are not dropped silently — they go to an audit branch with the denial
+    * recorded, mirroring the 403 the reference returns. Input carries a
+    * nullable `write_claim` column; absent column ⇒ all authorized (the
+    * batch-ingest trust boundary). */
+  def authorize(messages: DataFrame): DataFrame = {
+    if (!messages.columns.contains("write_claim"))
+      messages.withColumn("authorized", lit(true))
+        .withColumn("deny_reason", lit(null: String))
+    else
+      messages
+        .withColumn("authorized", col("write_claim").isNotNull)
+        .withColumn("deny_reason",
+          when(col("write_claim").isNull, "missing write claim"))
+        .drop("write_claim")
+  }
 
   /** A7 — the SNS FilterPolicy of the staging subscription
     * (`staging_stack.yml:102-104`) as a plain predicate. */

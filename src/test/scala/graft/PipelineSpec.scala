@@ -52,6 +52,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getAs[String]("error") != null)
   }
 
+  test("authz matrix: only writers pass; rejections audited with reason (A3)") {
+    import spark.implicits._
+    val m = "MSH|^~\\&|A|B|C|D|20240101||ADT^A01|%s|P|2.5\rPID|1||X||N||19800101|M"
+    // the reference's user matrix (test_services.py:59-67): admin RW,
+    // writer W — both pass; reader R (no write claim) — rejected
+    val batch = Seq(
+      (m.format("M1"), "admin", "rw"),
+      (m.format("M2"), "writer", "w"),
+      (m.format("M3"), "reader", null)).toDF("msg", "source", "write_claim")
+    val accepted = Pipeline.ingest(batch).select("source").collect().map(_.getString(0)).toSet
+    assert(accepted == Set("admin", "writer"))
+    val denied = Pipeline.rejected(batch).collect()
+    assert(denied.length == 1)
+    assert(denied.head.getAs[String]("source") == "reader")
+    assert(denied.head.getAs[String]("deny_reason") == "missing write claim")
+    // no claim column at all ⇒ trusted batch ingest, everything passes
+    val trusted = Seq((m.format("M4"), "batch")).toDF("msg", "source")
+    assert(Pipeline.ingest(trusted).count() == 1)
+  }
+
   test("exact dedup drops a resent payload (A5)") {
     import spark.implicits._
     val m = "MSH|^~\\&|A|B|C|D|20240101||ADT^A01|M1|P|2.5\rPID|1||X^^^||N^P||19800101|M"
