@@ -52,6 +52,19 @@ object Pipeline {
     authorize(messages).filter(!col("authorized"))
       .select(col("msg"), col("source"), col("deny_reason"))
 
+  /** A2 — transport decode (`front_door_lambda.py:76-79`): the front door
+    * receives base64 payloads; apply before `ingest` when the source is the
+    * wire format rather than plain files. */
+  def decodeBase64(messages: DataFrame, column: String = "msg"): DataFrame =
+    messages.withColumn(column, decode(unbase64(col(column)), "UTF-8"))
+
+  /** A18 — key-prefix routing (`old_reference/hcdl_stack.txt:265-283`): the
+    * Choice-state string-range predicate over storage keys, as a catalog
+    * filter. With the zone=/protocol= layout this is exactly partition
+    * pruning: the scan touches only the matching prefix. */
+  def byPrefix(catalog: DataFrame, prefix: String): DataFrame =
+    catalog.filter(col("path").startsWith(prefix))
+
   /** A3 — authorization filter (`front_door_lambda.py:17-22`): a message is
     * accepted only when the caller carries the write claim
     * (`front_door_stack.yml:24-32` schema, `custom:write`). Rejected rows

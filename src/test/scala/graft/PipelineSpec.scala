@@ -52,6 +52,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getAs[String]("error") != null)
   }
 
+  test("base64 wire decode feeds the same pipeline (A2)") {
+    import spark.implicits._
+    val m = "MSH|^~\\&|A|B|C|D|20240101||ADT^A01|B1|P|2.5\rPID|1||X||N||19800101|M"
+    val wire = Seq((java.util.Base64.getEncoder.encodeToString(m.getBytes("UTF-8")), "poster"))
+      .toDF("msg", "source")
+    val staged = Pipeline.stage(Pipeline.ingest(Pipeline.decodeBase64(wire)))
+    assert(staged.filter(col("error").isNull).count() == 1)
+  }
+
+  test("key-prefix routing prunes the catalog to one zone (A18)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-prefix").toString
+    Pipeline.writeLake(Pipeline.allEvents(spark), root)
+    val catalog = spark.read.parquet(s"$root/catalog")
+    val staged = Pipeline.byPrefix(catalog, "zone=staging").count()
+    assert(staged == catalog.filter(col("zone") === "staging").count())
+    assert(Pipeline.byPrefix(catalog, "zone=nope").count() == 0)
+  }
+
   test("authz matrix: only writers pass; rejections audited with reason (A3)") {
     import spark.implicits._
     val m = "MSH|^~\\&|A|B|C|D|20240101||ADT^A01|%s|P|2.5\rPID|1||X||N||19800101|M"
