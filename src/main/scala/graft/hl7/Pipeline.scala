@@ -124,12 +124,30 @@ object Pipeline {
       .withColumn("content_type",
         when(col("format") === "json", "application/json").otherwise("text/plain"))
 
+  /** Per-session cache of the corpus replay: five registered queries replay
+    * ingest+parse over the same fixed corpus — materialize once per session
+    * instead of re-parsing per query. Keyed weakly so stopped test sessions
+    * don't pin state. */
+  private val stagedCache =
+    new java.util.WeakHashMap[SparkSession, (DataFrame, DataFrame)]()
+
+  def corpusCached(spark: SparkSession): (DataFrame, DataFrame) =
+    stagedCache.synchronized {
+      Option(stagedCache.get(spark)).getOrElse {
+        val ingested = ingest(readMessages(spark)).persist()
+        val staged = stage(ingested).persist()
+        stagedCache.put(spark, (ingested, staged))
+        (ingested, staged)
+      }
+    }
+
   /** Full batch flow: every event lands in the lake (the reference's
     * unfiltered lake-writer subscription) — the ingested population plus the
     * staged/error branches, one row per (message, zone). */
   def allEvents(spark: SparkSession, dir: String = MessagesDir): DataFrame = {
-    val ingested = ingest(readMessages(spark, dir))
-    val staged = stage(ingested)
+    val (ingested, staged) =
+      if (dir == MessagesDir) corpusCached(spark)
+      else { val i = ingest(readMessages(spark, dir)); (i, stage(i)) }
     val ingestedEvents = ingested.select(
       col("msg"), col("source"), col("message_id"), col("protocol"),
       col("event"), col("format"),
@@ -176,7 +194,7 @@ object Pipeline {
   /** Segment profile of the staged population (explode of the canonical
     * nested form — the §1.3 schema doing real work). */
   def q21Segments(s: SparkSession, d: String): DataFrame =
-    stage(ingest(readMessages(s)))
+    corpusCached(s)._2
       .filter(col("error").isNull)
       .select(explode(col("segments")).as("seg"))
       .groupBy(col("seg.segment_id").as("segment_id"))
@@ -185,7 +203,7 @@ object Pipeline {
   /** The SURVEY §7.2 flagship: admitted-patient demographics from PID-8,
     * reaching through segments → fields map → repetition array. */
   def q21PidSex(s: SparkSession, d: String): DataFrame =
-    stage(ingest(readMessages(s)))
+    corpusCached(s)._2
       .filter(col("error").isNull)
       .select(explode(col("segments")).as("seg"))
       .filter(col("seg.segment_id") === "PID")

@@ -67,15 +67,14 @@ object Views {
   /** OBX value-type profile over the corpus (ST/NM/CE/TS/TX/FT…) — the
     * "what kinds of observations flow through this lake" question. */
   def q21ObxTypes(s: SparkSession, d: String): DataFrame =
-    observations(Pipeline.stage(Pipeline.ingest(Pipeline.readMessages(s))))
+    observations(Pipeline.corpusCached(s)._2)
       .groupBy("value_type")
       .agg(count(lit(1)).as("n_obs"),
            countDistinct(col("code")).as("n_codes"))
 
   /** Typed patient roster (one row per PID across the corpus). */
   def q21Patients(s: SparkSession, d: String): DataFrame =
-    patients(Pipeline.stage(Pipeline.ingest(Pipeline.readMessages(s))))
-      .toDF()
+    patients(Pipeline.corpusCached(s)._2).toDF()
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_obx_value_types" -> q21ObxTypes _,
