@@ -15,6 +15,12 @@ class OperatorsSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("driver smoke contract: entry returns rows; every query has a runner") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    assert(SparkEntry.queries.size == SparkEntry.registry.size, "duplicate query names")
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
   test("salted join == plain inner join (orders x customer)") {
     val sf = "/root/testdata/sf0.001"
     val o = graft.core.Tables.orders(spark, sf)
