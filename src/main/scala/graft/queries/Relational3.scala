@@ -101,7 +101,27 @@ object Relational3 {
       |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2) AS trailing_30d
       |FROM orders""".stripMargin
 
+  // ---------------------------------------------------------------- q53
+  /** ORC source round-trip — the other columnar format Spark ships a
+    * vectorized reader for; same lossless-write-read contract as q28/q47. */
+  private def q53(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    Tables.supplier(s, d)
+      .write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp)
+      .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_suppliers"),
+           round(sum("s_acctbal"), 2).as("total_bal"))
+  }
+
+  private val q53Sql =
+    """SELECT n_name, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS total_bal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
+    GraftQuery("q53_orc_roundtrip", q53, Some(q53Sql)),
     GraftQuery("q47_json_roundtrip", q47, Some(q47Sql)),
     GraftQuery("q48_predicates", q48, Some(q48Sql)),
     GraftQuery("q49_full_outer", q49, Some(q49Sql)),
