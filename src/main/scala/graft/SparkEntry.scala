@@ -33,7 +33,17 @@ object SparkEntry {
     "q21_obx_value_types" ->
       """SELECT value_type, CAST(a AS BIGINT) AS n_obs, CAST(b AS BIGINT) AS n_codes
         |FROM (VALUES ('CE', 9, 3), ('FT', 2, 1), ('NM', 63, 63),
-        |             ('ST', 32, 26), ('TS', 2, 1), ('TX', 2, 1)) AS t(value_type, a, b)""".stripMargin)
+        |             ('ST', 32, 26), ('TS', 2, 1), ('TX', 2, 1)) AS t(value_type, a, b)""".stripMargin,
+    "q54_map_funcs" ->
+      """SELECT segment_id, CAST(a AS BIGINT) AS n_keys, CAST(b AS BIGINT) AS n_values,
+        |       CAST(c AS BIGINT) AS n_first_elems, CAST(e AS BIGINT) AS n_keys_plus
+        |FROM (VALUES
+        |  ('ADD', 28, 28, 28, 57), ('DG1', 21, 21, 6, 24), ('EVN', 18, 18, 6, 25),
+        |  ('FTS', 2, 2, 1, 3), ('GT1', 74, 74, 15, 78), ('IN1', 69, 69, 15, 73),
+        |  ('MRG', 1, 1, 0, 2), ('MSH', 154, 154, 27, 165), ('NK1', 58, 58, 17, 65),
+        |  ('NTE', 24, 24, 8, 32), ('OBR', 114, 114, 21, 121), ('OBX', 966, 966, 216, 1076),
+        |  ('PD1', 4, 4, 1, 5), ('PID', 261, 317, 48, 272), ('PV1', 61, 61, 15, 67),
+        |  ('PV2', 2, 2, 0, 3)) AS t(segment_id, a, b, c, e)""".stripMargin)
 
   /** Every registered query, in declaration order. */
   def registry: Seq[GraftQuery] =

@@ -76,7 +76,27 @@ object Views {
   def q21Patients(s: SparkSession, d: String): DataFrame =
     patients(Pipeline.corpusCached(s)._2).toDF()
 
+  /** Map-function family over the canonical `fields` map (§2B Map row):
+    * map_keys, map_values (+ aggregate over them), map_filter, map_concat.
+    * PID's n_values > n_keys exposes the repetition arrays. Oracle: golden
+    * VALUES constants (SparkEntry.pipelineOracles). */
+  def q54MapFuncs(s: SparkSession, d: String): DataFrame =
+    Pipeline.corpusCached(s)._2
+      .filter(col("error").isNull)
+      .select(explode(col("segments")).as("seg"))
+      .select(col("seg.segment_id").as("segment_id"), col("seg.fields").as("fields"))
+      .groupBy("segment_id")
+      .agg(
+        sum(size(map_keys(col("fields")))).as("n_keys"),
+        sum(aggregate(map_values(col("fields")), lit(0), (acc, x) => acc + size(x)))
+          .as("n_values"),
+        sum(size(map_filter(col("fields"), (k, _) => k.endsWith("-1"))))
+          .as("n_first_elems"),
+        sum(size(map_concat(col("fields"), map(lit("__seg"), array(col("segment_id"))))))
+          .as("n_keys_plus"))
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_obx_value_types" -> q21ObxTypes _,
-    "q21_patient_roster" -> q21Patients _)
+    "q21_patient_roster" -> q21Patients _,
+    "q54_map_funcs" -> q54MapFuncs _)
 }
