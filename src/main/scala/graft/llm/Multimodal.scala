@@ -119,7 +119,7 @@ object Multimodal {
     """SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
       |  count(*) AS n_items,
       |  round(avg(octet_length(encode(text))), 4) AS avg_bytes,
-      |  sum(octet_length(encode(text)) // 100 + 1) AS total_frames
+      |  CAST(sum(octet_length(encode(text)) // 100 + 1) AS BIGINT) AS total_frames
       |FROM documents GROUP BY 1""".stripMargin
 
   val queries: Seq[GraftQuery] = Seq(

@@ -274,8 +274,15 @@ object Relational2 {
       .groupBy("l_returnflag")
       .agg(
         expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 100)")
-          .as("price_quartiles"),
+          .as("qs"),
         expr("percentile(l_extendedprice, 0.5)").as("exact_median"))
+      // scalar columns only: the driver's rows-only check sorts the result in
+      // pandas, and an array column is unhashable there (round-1 failure)
+      .select(col("l_returnflag"),
+        element_at(col("qs"), 1).as("approx_p25"),
+        element_at(col("qs"), 2).as("approx_p50"),
+        element_at(col("qs"), 3).as("approx_p75"),
+        col("exact_median"))
 
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q22_pivot", q22, Some(q22Sql)),

@@ -30,8 +30,8 @@ class ApproxSpec extends AnyFunSuite {
 
   test("approx_percentile median within 5% of exact per group") {
     SparkEntry.queries("q26_approx_percentile")(spark, sf).collect().foreach { r =>
-      val approxMedian = r.getSeq[Double](1)(1) // [q25, q50, q75]
-      val exact = r.getDouble(2)
+      val approxMedian = r.getDouble(2) // approx_p50
+      val exact = r.getDouble(4)
       assert(math.abs(approxMedian - exact) / exact <= 0.05,
         s"flag=${r.getString(0)}: approx=$approxMedian exact=$exact")
     }
