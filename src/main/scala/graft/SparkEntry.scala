@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{GraftQuery, Relational, Relational2, Relational3, Relational4}
+import graft.queries.{GraftQuery, Relational, Relational2, Relational3, Relational4, Relational5}
 import graft.hl7.Pipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -34,6 +34,20 @@ object SparkEntry {
       """SELECT value_type, CAST(a AS BIGINT) AS n_obs, CAST(b AS BIGINT) AS n_codes
         |FROM (VALUES ('CE', 9, 3), ('FT', 2, 1), ('NM', 63, 63),
         |             ('ST', 32, 26), ('TS', 2, 1), ('TX', 2, 1)) AS t(value_type, a, b)""".stripMargin,
+    "q21_patient_roster" ->
+      """SELECT * FROM (VALUES
+        |  ('1072f823357ad96f4a62cf0c9e8fca41c1da68a369ece7c71673610d378ccc7b', '000395122', 'LEVERKUHN', 'ADRIAN', '19880517180606', 'M'),
+        |  ('240b7a5ccb6df15d0c74c742b9ccf48fd783d4c05def68a0016c4775892d9b44', '299202', 'TEST', 'SPEC', '19900101', 'F'),
+        |  ('4274c688c64c90b4b8aa2478d3f0855eca5d018d74c41c6cb1c9e638a6f2613a', '900001', 'DOE', 'JOHN', '19601111', 'M'),
+        |  ('50be00bcd3b203104d7c44493e62990babd4ce6ee7c9c6ab2ebb8a3e281aea27', '456789', 'LASTNAME', 'FIRSTNAME', '19900101', 'M'),
+        |  ('691d730971add877b3da513e820a537d21843d103bdb89d0b65fe1252b7cd1bc', '299202', 'TEST', 'SPEC', '19900101', 'F'),
+        |  ('84c736ccdd6692b5faaa04779582e6592306e8d6cd49cfc0cbc94b00409ae575', '999999999', 'TEST', 'PATIENT', '18450101', 'F'),
+        |  ('8e5b3964ac86109d085a05dda8507ead7b5029511cdda638d0f33d7b928c41cc', '456789', 'LASTNAME', 'FIRSTNAME', '19900101', 'M'),
+        |  ('a87eb542002e1b6df88dcc259987474cad1b190984a8db37c823cb6bcc8deacc', '123456', 'PATIENTLASTNAME', 'PATIENTFIRSTNAME', '19900101', 'M'),
+        |  ('b568d604835830102d08bd0ced636daaf74e7d3333aa6396a41780cce74bc0ea', 'P410000', '""', '', '196505', 'M'),
+        |  ('ba1dda4f745ec83255a05c6274c08692d4112d92cda0530874c53a8db8f2945c', '999999999', 'TEST', 'PATIENT', '18450101', 'F'),
+        |  ('f16ffbd7ade613da299c015ea5dce61eddf90c61b9779ba093603dd014893867', '108512373', 'SAMPLES', 'JUNIOR', '01/10/1948^53 Y', 'M'))
+        |  AS t(message_id, patient_id, family_name, given_name, birth_date, sex)""".stripMargin,
     "q54_map_funcs" ->
       """SELECT segment_id, CAST(a AS BIGINT) AS n_keys, CAST(b AS BIGINT) AS n_values,
         |       CAST(c AS BIGINT) AS n_first_elems, CAST(e AS BIGINT) AS n_keys_plus
@@ -51,6 +65,7 @@ object SparkEntry {
     Relational2.all ++
     Relational3.all ++
     Relational4.all ++
+    Relational5.all ++
     Pipeline.queries.map { case (n, f) => GraftQuery(n, f, pipelineOracles.get(n)) } ++
     graft.hl7.Views.queries.map { case (n, f) => GraftQuery(n, f, pipelineOracles.get(n)) } ++
     graft.llm.TextAnalysis.queries ++

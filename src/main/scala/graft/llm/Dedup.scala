@@ -13,13 +13,16 @@ import graft.queries.GraftQuery
   */
 object Dedup {
 
-  /** Word 3-gram shingle set per document. */
-  private def shingled(docs: DataFrame): DataFrame =
+  /** Word n-gram shingle set per document. */
+  private def shingledN(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 3)
+      .filter(size(col("t")) >= n)
       .select(col("doc_id"), array_distinct(
-        expr("transform(sequence(0, size(t)-3), i -> concat_ws(' ', slice(t, i+1, 3)))")
+        expr(s"transform(sequence(0, size(t)-$n), i -> concat_ws(' ', slice(t, i+1, $n)))")
       ).as("sh"))
+
+  /** Word 3-gram shingle set per document (MinHash input). */
+  private def shingled(docs: DataFrame): DataFrame = shingledN(docs, 3)
 
   // ---------------------------------------------------------------- exact
   /** Exact dedup profile per source: sha-256 content hash groupBy — the
@@ -96,7 +99,10 @@ object Dedup {
       .distinct()
     val a = sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
     val b = sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
-    cand.join(a, "a_id").join(b, "b_id")
+    // the candidate set is tiny (LSH collisions only) — broadcast it through
+    // both confirm joins so the cached shingle table is never shuffled
+    val withA = a.join(broadcast(cand), "a_id")
+    b.join(broadcast(withA), "b_id")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard",
         round(col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
@@ -121,6 +127,55 @@ object Dedup {
       |  JOIN sh sa ON i.a_id = sa.doc_id
       |  JOIN sh sb ON i.b_id = sb.doc_id)
       |WHERE jaccard >= 0.5""".stripMargin
+
+  // ---------------------------------------------------------------- n-gram jaccard
+  /** Exact n-gram Jaccard all-pairs similarity (word bigrams, J ≥ 0.3) via
+    * the shingle inverted-index join — the direct form of the algorithm the
+    * MinHash path approximates, useful when the corpus slice is small enough
+    * (or the threshold low enough) that candidate generation isn't needed.
+    *
+    * Plan shape: explode shingles → equi self-join on the shingle (shuffle
+    * partitioned by shingle value — never a cross join) → per-pair
+    * intersection counts → broadcast-join the tiny per-doc size table for
+    * the union term. At 100 TB the standard refinement is a document-
+    * frequency cap on the exploded shingles (drop stop-shingles that pair
+    * everything with everything) — semantics-changing, so not applied here
+    * where the oracle states exact Jaccard. */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = shingledN(Tables.documents(s, d), 2)
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val ax = ex.select(col("doc_id").as("a_id"), col("shingle"))
+    val bx = ex.select(col("doc_id").as("b_id"), col("shingle").as("shingle_r"))
+    val inter = ax.join(bx,
+        col("shingle") === col("shingle_r") && col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).cast("double").as("n_inter"))
+    inter
+      .join(broadcast(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("na"))), "a_id")
+      .join(broadcast(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("nb"))), "b_id")
+      .withColumn("jaccard",
+        round(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 4))
+      .filter(col("jaccard") >= 0.3)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  val ngramJaccardSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents
+      |              WHERE len(string_split(text, ' ')) >= 2),
+      |sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1]
+      |                                     for i in range(1, len(t))]) s FROM toks),
+      |ex AS (SELECT doc_id, unnest(s) shingle FROM sh),
+      |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) n
+      |          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT a_id, b_id, jaccard FROM (
+      |  SELECT i.a_id, i.b_id,
+      |         round(i.n::DOUBLE / (len(sa.s) + len(sb.s) - i.n), 4) AS jaccard
+      |  FROM inter i
+      |  JOIN sh sa ON i.a_id = sa.doc_id
+      |  JOIN sh sb ON i.b_id = sb.doc_id)
+      |WHERE jaccard >= 0.3""".stripMargin
 
   // ---------------------------------------------------------------- simhash
   /** 64-bit SimHash over the word set: per-token xxhash64, signed bit votes,
@@ -174,5 +229,6 @@ object Dedup {
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q35_dedup_exact", exactDedup _, Some(exactDedupSql)),
     GraftQuery("q36_minhash_neardup", minhashNearDup _, Some(minhashNearDupSql)),
-    GraftQuery("q37_simhash_neardup", simhashNearDup _, None))
+    GraftQuery("q37_simhash_neardup", simhashNearDup _, None),
+    GraftQuery("q55_ngram_jaccard", ngramJaccard _, Some(ngramJaccardSql)))
 }

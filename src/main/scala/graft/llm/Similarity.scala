@@ -7,11 +7,12 @@ import graft.core.Tables
 import graft.queries.GraftQuery
 
 /** Similarity search over the `embeddings` table (`Array[Float]` vectors):
-  * brute-force cosine as the correctness baseline, IVF-bucketed search as
-  * the scale path, and an embedding-cosine near-dup join with label
-  * blocking. Vector math is `zip_with`/`aggregate` over double-cast arrays —
-  * codegen'd builtins, element-order folds that match DuckDB's
-  * `list_cosine_similarity` bit-for-bit.
+  * brute-force cosine as the correctness baseline, IVF-bucketed and
+  * random-hyperplane-LSH search as the two scale paths, and an
+  * embedding-cosine near-dup join with label blocking. Vector math goes
+  * through the codegen'd DotProduct expression over double-cast arrays —
+  * element-order folds that match DuckDB's `list_cosine_similarity`
+  * bit-for-bit.
   */
 object Similarity {
 
@@ -57,14 +58,18 @@ object Similarity {
 
   // ---------------------------------------------------------------- knn brute
   /** Exact top-5 cosine neighbors of vec_id=0: broadcast the single query
-    * vector (map-side compare), TakeOrderedAndProject for the top-k — no
-    * global sort, no shuffle of the corpus at any scale. */
+    * vector WITH its precomputed norm (the old form re-folded dot(qv,qv)
+    * for every corpus row — n redundant 64-element folds), then
+    * TakeOrderedAndProject for the top-k — no global sort, no shuffle of
+    * the corpus at any scale. */
   def knnBrute(s: SparkSession, d: String): DataFrame = {
     val e = vecs(s, d)
-    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), sqrt(dot(col("v"), col("v"))).as("qnorm"))
     val scored = e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
-      .withColumn("cosine", round(cosine(col("v"), col("qv")), 4))
+      .withColumn("cosine",
+        round(dot(col("v"), col("qv")) / (sqrt(dot(col("v"), col("v"))) * col("qnorm")), 4))
     // top-k via orderBy+limit (TakeOrderedAndProject: per-partition heaps,
     // k-row merge) — a global row_number window here would funnel the whole
     // scored corpus through one sort task; the rank window runs on 5 rows
@@ -92,31 +97,89 @@ object Similarity {
     * are assigned to their nearest centroid via a broadcast join (centroid
     * set is tiny by construction — map-side, no shuffle of the corpus);
     * the query probes only its 4 nearest centroids' buckets, so the scored
-    * candidate set is ~4/k of the corpus. SimilaritySpec asserts recall vs
-    * the brute-force baseline instead of a SQL oracle. */
+    * candidate set is ~4/k of the corpus. All norms are computed ONCE per
+    * row/centroid before the n×k pairing, and the per-vector norm divides
+    * out of the argmin entirely — the pairing stage folds one dot product
+    * per pair instead of three. SimilaritySpec asserts recall vs the
+    * brute-force baseline instead of a SQL oracle. */
   def knnIvf(s: SparkSession, d: String): DataFrame = {
-    val e = vecs(s, d).cache()
+    val e = vecs(s, d).withColumn("norm", sqrt(dot(col("v"), col("v")))).cache()
     val cents = e.filter(col("vec_id") % 25 === 0)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cnorm"))
     // nearest-centroid assignment via min_by aggregation: one partial-agg
     // pass, no per-vector sort (a row_number window would shuffle + sort the
-    // whole corpus); deterministic tiebreak on cent_id
+    // whole corpus); deterministic tiebreak on cent_id. cosine(v,c) ranks
+    // identically to dot(v,c)/|c| for a fixed v (positive constant |v|), so
+    // the per-pair fold is a single dot product.
     val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("cdist", -cosine(col("v"), col("cv")))
+      .withColumn("cdist", -dot(col("v"), col("cv")) / col("cnorm"))
       .groupBy("vec_id")
       .agg(min_by(col("cent_id"), struct(col("cdist"), col("cent_id"))).as("cent_id"),
-           first(col("v")).as("v"))
-    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+           first(col("v")).as("v"), first(col("norm")).as("norm"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("norm").as("qnorm"))
     val probes = cents.crossJoin(broadcast(q))
-      .withColumn("qdist", -cosine(col("qv"), col("cv")))
+      .withColumn("qdist", -dot(col("qv"), col("cv")) / col("cnorm"))
       .orderBy(col("qdist").asc, col("cent_id").asc)
       .limit(4)
       .select("cent_id")
     val candidates = assigned.join(broadcast(probes), "cent_id")
     candidates.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
-      .withColumn("cosine", round(cosine(col("v"), col("qv")), 4))
+      .withColumn("cosine", round(dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 4))
       .orderBy(col("cosine").desc, col("vec_id").asc).limit(5) // TakeOrdered
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col("vec_id").asc)))
+      .select(col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------- knn LSH
+  private val LshTables = 16
+  private val LshBits = 4
+
+  /** Random-hyperplane LSH ANN — the other scale path (vs IVF): L tables of
+    * B sign-bits each. (B, L) trades candidate-set size against recall:
+    * P(bit agrees) = 1 − θ/π, recall ≈ 1 − (1 − p^B)^L. This synthetic
+    * corpus has near-orthogonal "neighbors" (top-5 cosine ≈ 0.33 ⇒
+    * p ≈ 0.61), so it needs shallow buckets (B=4, L=16 ⇒ recall ≈ 0.9 at
+    * the cost of a large candidate fraction); a real near-dup corpus
+    * (cosine ≳ 0.8 ⇒ p ≳ 0.85) runs B=16, L=8 and scores ≪ 1% of rows.
+    * Hyperplanes are a fixed seeded Gaussian matrix baked
+    * into the plan as literals (the "model" is tiny — L×B×dim doubles — and
+    * broadcast inside the serialized expressions; only the embedding
+    * dimension is probed from data, a single-row schema lookup). Each
+    * vector's bucket signature is pure map-side codegen'd dot products; the
+    * query's L buckets reach the corpus as a broadcast equi-join on
+    * (table, bucket), so candidate generation touches each corpus row once
+    * and shuffles nothing — at 100 TB the bucket scan is a partition-local
+    * hash probe. Candidates (~L·n/2^B rows) are then scored exactly.
+    *
+    * P(bit agrees) = 1 − θ/π; recall for the top-5 (cosine ≳ 0.5 on this
+    * corpus) ≈ 1 − (1 − p^B)^L — LlmSpec asserts it against knnBrute. */
+  def knnLsh(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d).withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val dim = Tables.embeddings(s, d).select(size(col("embedding"))).head.getInt(0)
+    val rnd = new scala.util.Random(42)
+    val planes = Array.fill(LshTables * LshBits)(Array.fill(dim)(rnd.nextGaussian()))
+    def signature(t: Int): Column =
+      (0 until LshBits).map { b =>
+        when(dot(col("v"), typedLit(planes(t * LshBits + b).toSeq)) >= 0, lit(1L << b))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    val withBuckets = e.select(col("vec_id"), col("v"), col("norm"),
+      posexplode(array((0 until LshTables).map(signature): _*)).as(Seq("tbl", "bucket")))
+    val qb = withBuckets.filter(col("vec_id") === 0)
+      .select(col("tbl").as("q_tbl"), col("bucket").as("q_bucket"),
+              col("v").as("qv"), col("norm").as("qnorm"))
+    val cand = withBuckets.filter(col("vec_id") =!= 0)
+      .join(broadcast(qb),
+        col("tbl") === col("q_tbl") && col("bucket") === col("q_bucket"))
+      .groupBy("vec_id")
+      .agg(first(col("v")).as("v"), first(col("norm")).as("norm"),
+           first(col("qv")).as("qv"), first(col("qnorm")).as("qnorm"))
+    cand
+      .withColumn("cosine", round(dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 4))
+      .orderBy(col("cosine").desc, col("vec_id").asc).limit(5)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("cosine").desc, col("vec_id").asc)))
       .select(col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
@@ -125,5 +188,6 @@ object Similarity {
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q38_cosine_neardup", cosineNearDup _, Some(cosineNearDupSql)),
     GraftQuery("q39_knn_brute", knnBrute _, Some(knnBruteSql)),
-    GraftQuery("q40_knn_ivf", knnIvf _, None))
+    GraftQuery("q40_knn_ivf", knnIvf _, None),
+    GraftQuery("q56_knn_lsh", knnLsh _, None))
 }

@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, IntegerType}
+import graft.core.Tables
+
+/** Fifth batch: the remaining array/JSON scalar-family surface as scalar
+  * outputs (the driver's comparer can't sort array cells — round-1 lesson),
+  * and deterministic hash-based dataset splitting (the train/test-split
+  * primitive of a training-data pipeline).
+  */
+object Relational5 {
+
+  // ---------------------------------------------------------------- q57
+  /** Array function family beyond q19: slice/flatten/reverse/sort_array/
+    * array_position/array_distinct/filter/zip_with — each collapsed to a
+    * scalar so the result stays comparer-friendly. All map-side codegen'd
+    * built-ins; zero shuffles. */
+  private def q57(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select(
+        col("vec_id"),
+        size(col("v")).as("dim"),
+        round(array_max(col("v")), 4).as("mx"),
+        round(array_min(col("v")), 4).as("mn"),
+        round(element_at(sort_array(col("v")), 2), 4).as("second_smallest"),
+        round(aggregate(zip_with(col("v"), reverse(col("v")), (x, y) => x * y),
+                        lit(0.0), (acc, x) => acc + x), 4).as("rev_dot"),
+        size(filter(col("v"), x => x > 0)).as("n_pos"),
+        size(array_distinct(col("v"))).as("n_distinct"),
+        round(aggregate(flatten(array(slice(col("v"), 1, 2), slice(col("v"), 3, 2))),
+                        lit(0.0), (acc, x) => acc + x), 4).as("head4_sum"),
+        array_position(col("v"), array_max(col("v"))).as("pos_max"))
+
+  private val q57Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+      |SELECT vec_id, CAST(len(v) AS INT) AS dim,
+      |  round(list_max(v), 4) AS mx,
+      |  round(list_min(v), 4) AS mn,
+      |  round(list_sort(v)[2], 4) AS second_smallest,
+      |  round(list_dot_product(v, list_reverse(v)), 4) AS rev_dot,
+      |  CAST(len(list_filter(v, x -> x > 0)) AS INT) AS n_pos,
+      |  CAST(len(list_distinct(v)) AS INT) AS n_distinct,
+      |  round(list_sum(flatten([v[1:2], v[3:4]])), 4) AS head4_sum,
+      |  CAST(list_position(v, list_max(v)) AS BIGINT) AS pos_max
+      |FROM e""".stripMargin
+
+  // ---------------------------------------------------------------- q58
+  /** JSON function family beyond q18/q29: json_tuple (generator form),
+    * to_json∘struct → get_json_object round-trip, from_json over an array,
+    * schema_of_json (schema inference as data). The round-trip column proves
+    * serialize∘extract is lossless on doubles; the oracle states the
+    * identity directly. */
+  private def q58(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"), col("props"),
+        json_tuple(col("props"), "k").as("k_str"))
+      .select(
+        col("event_id"),
+        col("k_str"),
+        get_json_object(to_json(struct(col("event_type"), col("value"))), "$.value")
+          .cast("double").as("value_rt"),
+        size(from_json(lit("[1,2,3]"), ArrayType(IntegerType))).as("arr_len"),
+        schema_of_json(lit("""{"k": 1}""")).as("props_schema"))
+
+  private val q58Sql =
+    """SELECT event_id, props->>'$.k' AS k_str, value AS value_rt,
+      |  CAST(json_array_length('[1,2,3]') AS INT) AS arr_len,
+      |  'STRUCT<k: BIGINT>' AS props_schema
+      |FROM events""".stripMargin
+
+  // ---------------------------------------------------------------- q59
+  /** Deterministic hash-based train/test split — the reproducible sampling
+    * primitive of a training-data pipeline (same row → same split on any
+    * cluster, any run, any engine; no seeded RNG drift). The split predicate
+    * is a pure map-side function of the row key (md5 first hex nibble:
+    * 2/16 → test), so at 100 TB it costs one hash per row, no shuffle, and
+    * composes with partition pruning. */
+  private def q59(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .withColumn("h", md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"))))
+      .withColumn("split",
+        when(substring(col("h"), 1, 1).isin("0", "1"), "test").otherwise("train"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_rows"),
+           countDistinct(col("l_orderkey")).as("n_orders"),
+           round(sum("l_extendedprice"), 2).as("sum_price"),
+           round(avg("l_quantity"), 4).as("avg_qty"))
+
+  private val q59Sql =
+    """WITH keyed AS (
+      |  SELECT *, md5(concat_ws('-', l_orderkey, l_linenumber)) AS h FROM lineitem)
+      |SELECT CASE WHEN substring(h, 1, 1) IN ('0', '1') THEN 'test' ELSE 'train' END AS split,
+      |       count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders,
+      |       round(sum(l_extendedprice), 2) AS sum_price,
+      |       round(avg(l_quantity), 4) AS avg_qty
+      |FROM keyed GROUP BY 1""".stripMargin
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery("q57_array_extra", q57, Some(q57Sql)),
+    GraftQuery("q58_json_extra", q58, Some(q58Sql)),
+    GraftQuery("q59_hash_split", q59, Some(q59Sql)),
+  )
+}

@@ -120,6 +120,56 @@ object StreamingPipeline {
       .toDF("user_id", "n_events_total")
   }
 
+  /** Custom stateful sessionization via flatMapGroupsWithState with an
+    * event-time timeout — the shape for session semantics the built-in
+    * `session_window` can't express (e.g. emitting one row per CLOSED
+    * session only, with custom carry-over fields). State per user is one
+    * (start, end, count) triple — bounded; sessions close either by an
+    * explicit gap in-batch or by watermark timeout across batches. */
+  def userSessionsCustom(events: DataFrame, gapSeconds: Long = 300): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    case class Sess(start: Long, end: Long, n: Long)
+    // project BEFORE the watermark: the event-time column must survive as a
+    // timestamp all the way into the stateful operator, or the analyzer
+    // rejects EventTimeTimeout
+    val typed = events
+      .select(col("user_id").cast("long").as("user_id"), col("ts"))
+      .withWatermark("ts", "10 minutes")
+      .as[(Long, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
+        OM.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (st, en, n) = state.get
+            state.remove()
+            Iterator((user, st, en, n))
+          } else {
+            val sorted = rows.map(_._2.getTime / 1000).toSeq.sorted
+            var closed = List.empty[(Long, Long, Long, Long)]
+            var cur = state.getOption
+            sorted.foreach { sec =>
+              cur match {
+                case Some((st, en, n)) if sec - en <= gapSeconds =>
+                  cur = Some((st, sec, n + 1))
+                case Some((st, en, n)) =>
+                  closed ::= (user, st, en, n)
+                  cur = Some((sec, sec, 1L))
+                case None =>
+                  cur = Some((sec, sec, 1L))
+              }
+            }
+            cur.foreach { c =>
+              state.update(c)
+              state.setTimeoutTimestamp(c._2 * 1000 + gapSeconds * 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+      .toDF("user_id", "session_start_s", "session_end_s", "n_events")
+  }
+
   /** Per-user session windows (5-minute gap): user activity sessionization. */
   def userSessions(events: DataFrame): DataFrame =
     events

@@ -78,6 +78,33 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"IVF recall $recall too low (ivf=$ivf brute=$brute)")
   }
 
+  test("LSH knn finds most of the brute-force top-5") {
+    val brute = Similarity.knnBrute(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val lsh = Similarity.knnLsh(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(lsh.size == 5, s"LSH buckets must yield >= 5 candidates, got $lsh")
+    val recall = (brute & lsh).size / 5.0
+    assert(recall >= 0.6, s"LSH recall $recall too low (lsh=$lsh brute=$brute)")
+  }
+
+  test("ngram jaccard pairs == brute-force bigram jaccard >= 0.3") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" "))
+      .filter(_._2.length >= 2)
+      .map { case (id, t) => id -> t.sliding(2).map(_.mkString(" ")).toSet }
+    val brute = (for {
+      (a, sa) <- docs; (b, sb) <- docs if a < b
+      inter = (sa & sb).size.toDouble
+      j = inter / (sa.size + sb.size - inter) if j >= 0.3
+    } yield (a, b)).toSet
+    val got = Dedup.ngramJaccard(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute, s"got=${got.size} brute=${brute.size}")
+    assert(brute.nonEmpty, "test corpus should contain bigram near-dups")
+  }
+
   test("multimodal resize updates metadata and scales payloads; frame sampling strides") {
     import spark.implicits._
     val media = Multimodal.media(spark, sf).as[graft.llm.MediaRow]

@@ -107,6 +107,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState emits closed sessions with event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val out = StreamingPipeline.userSessionsCustom(
+      in.toDF().toDF("ts", "user_id"))
+    val q = out.writeStream.format("memory").queryName("custom_sess_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:03:00"), 1L),
+        (ts("2024-01-01 10:20:00"), 1L)) // > 5 min gap ⇒ closes first session in-batch
+      q.processAllAvailable()
+      val inBatch = spark.table("custom_sess_out").collect()
+      assert(inBatch.length == 1, s"first session must close on the in-batch gap: ${inBatch.length}")
+      assert(inBatch.head.getAs[Long]("n_events") == 2)
+      // advance the watermark far past the open session ⇒ timeout closes it
+      in.addData((ts("2024-01-01 12:00:00"), 99L))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 14:00:00"), 99L)) // one more batch so the timeout fires
+      q.processAllAvailable()
+      val u1 = spark.table("custom_sess_out").filter(col("user_id") === 1L).collect()
+      assert(u1.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L),
+        s"timed-out session missing: ${u1.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user counts across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
