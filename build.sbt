@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 60+ distinct queries compile 100s of whole-stage-codegen classes; the
+  // JDK default 240m code cache overflows mid-suite and the JIT falls back
+  // to interpreted execution (5-10x slowdown on map-heavy queries)
+  "-XX:ReservedCodeCacheSize=512m",
 )

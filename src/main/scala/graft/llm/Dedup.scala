@@ -129,20 +129,23 @@ object Dedup {
       |WHERE jaccard >= 0.5""".stripMargin
 
   // ---------------------------------------------------------------- n-gram jaccard
-  /** Exact n-gram Jaccard all-pairs similarity (word bigrams, J ≥ 0.3) via
+  /** Exact n-gram Jaccard all-pairs similarity (word trigrams, J ≥ 0.4) via
     * the shingle inverted-index join — the direct form of the algorithm the
-    * MinHash path approximates, useful when the corpus slice is small enough
-    * (or the threshold low enough) that candidate generation isn't needed.
+    * MinHash path approximates, for when exactness below the LSH threshold
+    * matters.
     *
     * Plan shape: explode shingles → equi self-join on the shingle (shuffle
     * partitioned by shingle value — never a cross join) → per-pair
     * intersection counts → broadcast-join the tiny per-doc size table for
-    * the union term. At 100 TB the standard refinement is a document-
-    * frequency cap on the exploded shingles (drop stop-shingles that pair
-    * everything with everything) — semantics-changing, so not applied here
-    * where the oracle states exact Jaccard. */
+    * the union term. The shingle width is the scale lever: candidate pairs
+    * grow as Σ df(shingle)² — on this corpus bigrams blow up 29× vs
+    * trigrams (hot bigrams hit df≈340 at sf0.1 → 36M pairs) while trigram
+    * df caps at 25 → 1.3M. At 100 TB the further standard refinements are
+    * df-ordered prefix filtering (lossless) and a df cap on stop-shingles
+    * (lossy) — both left out here where the oracle states exact Jaccard on
+    * a corpus the exact join handles. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = shingledN(Tables.documents(s, d), 2)
+    val sh = shingledN(Tables.documents(s, d), 3)
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val ax = ex.select(col("doc_id").as("a_id"), col("shingle"))
@@ -156,15 +159,15 @@ object Dedup {
       .join(broadcast(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("nb"))), "b_id")
       .withColumn("jaccard",
         round(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 4))
-      .filter(col("jaccard") >= 0.3)
+      .filter(col("jaccard") >= 0.4)
       .select("a_id", "b_id", "jaccard")
   }
 
   val ngramJaccardSql: String =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents
-      |              WHERE len(string_split(text, ' ')) >= 2),
-      |sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1]
-      |                                     for i in range(1, len(t))]) s FROM toks),
+      |              WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |                                     for i in range(1, len(t) - 1)]) s FROM toks),
       |ex AS (SELECT doc_id, unnest(s) shingle FROM sh),
       |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) n
       |          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -175,7 +178,7 @@ object Dedup {
       |  FROM inter i
       |  JOIN sh sa ON i.a_id = sa.doc_id
       |  JOIN sh sb ON i.b_id = sb.doc_id)
-      |WHERE jaccard >= 0.3""".stripMargin
+      |WHERE jaccard >= 0.4""".stripMargin
 
   // ---------------------------------------------------------------- simhash
   /** 64-bit SimHash over the word set: per-token xxhash64, signed bit votes,

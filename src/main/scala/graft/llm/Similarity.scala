@@ -166,8 +166,11 @@ object Similarity {
         when(dot(col("v"), typedLit(planes(t * LshBits + b).toSeq)) >= 0, lit(1L << b))
           .otherwise(lit(0L))
       }.reduce(_ + _)
+    // materialize the signatures once — the frame feeds both the query-
+    // bucket lookup and the corpus side of the candidate join
     val withBuckets = e.select(col("vec_id"), col("v"), col("norm"),
       posexplode(array((0 until LshTables).map(signature): _*)).as(Seq("tbl", "bucket")))
+      .cache()
     val qb = withBuckets.filter(col("vec_id") === 0)
       .select(col("tbl").as("q_tbl"), col("bucket").as("q_bucket"),
               col("v").as("qv"), col("norm").as("qnorm"))

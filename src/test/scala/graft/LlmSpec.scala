@@ -88,16 +88,16 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"LSH recall $recall too low (lsh=$lsh brute=$brute)")
   }
 
-  test("ngram jaccard pairs == brute-force bigram jaccard >= 0.3") {
+  test("ngram jaccard pairs == brute-force trigram jaccard >= 0.4") {
     val docs = graft.core.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1).split(" "))
-      .filter(_._2.length >= 2)
-      .map { case (id, t) => id -> t.sliding(2).map(_.mkString(" ")).toSet }
+      .filter(_._2.length >= 3)
+      .map { case (id, t) => id -> t.sliding(3).map(_.mkString(" ")).toSet }
     val brute = (for {
       (a, sa) <- docs; (b, sb) <- docs if a < b
       inter = (sa & sb).size.toDouble
-      j = inter / (sa.size + sb.size - inter) if j >= 0.3
+      j = inter / (sa.size + sb.size - inter) if j >= 0.4
     } yield (a, b)).toSet
     val got = Dedup.ngramJaccard(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

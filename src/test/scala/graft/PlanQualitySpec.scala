@@ -65,6 +65,30 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan("q08_anti_join").contains("LeftAnti"))
   }
 
+  test("q55: exact jaccard join is an equi-join with broadcast size lookups") {
+    val p = plan("q55_ngram_jaccard")
+    assert(!p.contains("CartesianProduct"), s"q55 has a cartesian product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"q55 has a nested-loop join:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"per-doc size table should broadcast into both confirm joins:\n$p")
+  }
+
+  test("q56: LSH candidate generation is a broadcast equi-join + TakeOrdered top-k") {
+    val p = plan("q56_knn_lsh")
+    assert(!p.contains("CartesianProduct"), s"q56 has a cartesian product:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"q56 top-k fell back to a global sort:\n$p")
+  }
+
+  test("q57: array scalar family runs map-side — zero exchanges") {
+    val p = plan("q57_array_extra")
+    assert(!p.contains("Exchange"), s"pure per-row projection must not shuffle:\n$p")
+  }
+
+  test("q59: hash split aggregates partially before the exchange") {
+    val p = plan("q59_hash_split")
+    assert(p.contains("partial_"), s"no partial aggregation before shuffle:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-to-aggregate pipeline of q02") {
     // AQE finalizes the plan lazily — execute, then inspect the final plan
     val df = SparkEntry.queries("q02_agg_pricing")(spark, sf)
