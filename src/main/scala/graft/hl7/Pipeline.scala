@@ -174,6 +174,35 @@ object Pipeline {
       .write.mode("overwrite").parquet(s"$lakeRoot/catalog")
   }
 
+  /** Lake maintenance — small-file compaction (the A16 sink's long-run
+    * health). The streaming writer (foreachBatch) appends a handful of rows
+    * per micro-batch; over months a 100 TB zone table accumulates millions
+    * of tiny parquet files and scan planning/open costs dominate. Rewrite
+    * the table into ~`targetBytes` files while preserving the zone/protocol
+    * layout and every row: rows are redistributed on (partition keys +
+    * a bounded salt of the primary key), so each Hive partition lands in
+    * at most `nFiles` writer tasks — one output file each — instead of one
+    * file per historical micro-batch. The rewrite goes to a sibling temp
+    * directory then swaps in (read path and write path must differ).
+    * Returns the compacted file count. */
+  def compactLake(spark: SparkSession, messagesDir: String,
+                  targetBytes: Long = 128L << 20): Int = {
+    import org.apache.hadoop.fs.Path
+    val path = new Path(messagesDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(path).getLength
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val tmp = new Path(messagesDir + "__compacting")
+    val df = spark.read.parquet(messagesDir)
+    df.repartition(nFiles, col("zone"), col("protocol"),
+        pmod(xxhash64(col("message_id")), lit(nFiles)))
+      .write.mode("overwrite").partitionBy("zone", "protocol")
+      .parquet(tmp.toString)
+    fs.delete(path, true)
+    fs.rename(tmp, path)
+    nFiles
+  }
+
   /** A19 — point retrieval: catalog filter + payload join, LIMIT 1 semantics.
     * At scale this is a partition-pruned scan (zone/protocol from the catalog
     * row) + broadcast of the single catalog hit. */

@@ -98,9 +98,25 @@ object Relational5 {
       |       round(avg(l_quantity), 4) AS avg_qty
       |FROM keyed GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q60
+  /** Seeded stratified sampling (`sampleBy`): per-stratum Bernoulli
+    * fractions — downsample dominant languages, keep the rare ones whole,
+    * the class-rebalancing primitive of corpus construction. Map-side
+    * (a seeded hash draw per row, no shuffle before the profile agg).
+    * No SQL oracle: the draw sequence is engine-specific; the spec bounds
+    * each stratum's realized fraction and asserts run-to-run determinism. */
+  private def q60(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .stat.sampleBy("lang",
+        Map("en" -> 0.5, "es" -> 0.5, "fr" -> 1.0, "de" -> 1.0, "zh" -> 1.0),
+        42L)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"))
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q57_array_extra", q57, Some(q57Sql)),
     GraftQuery("q58_json_extra", q58, Some(q58Sql)),
     GraftQuery("q59_hash_split", q59, Some(q59Sql)),
+    GraftQuery("q60_stratified_sample", q60, None),
   )
 }

@@ -54,6 +54,49 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("stratified sample: fractions bounded, deterministic under a fixed seed") {
+    val sf = "/root/testdata/sf0.01"
+    val base = graft.core.Tables.documents(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val run = () => SparkEntry.queries("q60_stratified_sample")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s1 = run()
+    assert(s1 == run(), "seeded sampleBy must be deterministic within a session")
+    val fractions = Map("en" -> 0.5, "es" -> 0.5, "fr" -> 1.0, "de" -> 1.0, "zh" -> 1.0)
+    fractions.foreach { case (lang, f) =>
+      val n = base.getOrElse(lang, 0L)
+      if (n > 0) {
+        val got = s1.getOrElse(lang, 0L).toDouble / n
+        if (f == 1.0) assert(got == 1.0, s"$lang: whole stratum must be kept")
+        else assert(math.abs(got - f) < 0.2, s"$lang: fraction $got far from $f")
+      }
+    }
+  }
+
+  test("lake compaction shrinks file count and preserves every row") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val events = graft.hl7.Pipeline.allEvents(spark)
+    // fragment the write: many tasks -> one tiny file each, per partition
+    events.repartition(40).write.mode("overwrite")
+      .partitionBy("zone", "protocol").parquet(s"$tmp/messages")
+    def parquetFiles(): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else Seq(f).filter(_.getName.endsWith(".parquet"))
+      walk(new java.io.File(s"$tmp/messages"))
+    }
+    val before = parquetFiles().size
+    val rowsBefore = spark.read.parquet(s"$tmp/messages")
+      .select("message_id", "zone").collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    graft.hl7.Pipeline.compactLake(spark, s"$tmp/messages")
+    val after = parquetFiles().size
+    val rowsAfter = spark.read.parquet(s"$tmp/messages")
+      .select("message_id", "zone").collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(after < before, s"compaction must reduce files: $before -> $after")
+    assert(rowsAfter == rowsBefore, "compaction must preserve rows exactly")
+  }
+
   test("custom expressions register at the SQL surface") {
     GraftExtensions.install(spark)
     val h = spark.sql("SELECT rolling_hash('hello world') AS h").collect().head.getLong(0)
