@@ -120,6 +120,29 @@ object StreamingPipeline {
       .toDF("user_id", "n_events_total")
   }
 
+  /** Watermarked stream-stream inner join: purchases attributed to the
+    * click they followed within one hour, per user — the streaming twin of
+    * the batch as-of/range shapes (q41/q09). Both sides carry watermarks
+    * and the join condition bounds purchase_ts relative to click_ts, so
+    * Spark can expire buffered rows once the watermark passes the bound —
+    * state stays proportional to the time window, not the stream length
+    * (the 100 TB/∞-stream requirement; an unbounded-condition join would
+    * buffer forever). */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("click_id"), col("user_id"),
+              col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+              col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    c.join(p,
+        col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select("click_id", "user_id", "click_ts",
+              "purchase_id", "purchase_ts", "purchase_value")
+  }
+
   /** Custom stateful sessionization via flatMapGroupsWithState with an
     * event-time timeout — the shape for session semantics the built-in
     * `session_window` can't express (e.g. emitting one row per CLOSED

@@ -107,6 +107,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join attributes purchases to clicks within the hour") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp, Double)]
+    val out = StreamingPipeline.clickPurchaseJoin(
+      clicks.toDF().toDF("event_id", "user_id", "ts").withColumn("value", lit(0.0)),
+      purchases.toDF().toDF("event_id", "user_id", "ts", "value"))
+    val q = out.writeStream.format("memory").queryName("ss_join_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, 7L, ts("2024-01-01 10:00:00")),
+                     (2L, 8L, ts("2024-01-01 10:00:00")))
+      purchases.addData(
+        (100L, 7L, ts("2024-01-01 10:30:00"), 9.5),  // in-window, same user
+        (101L, 8L, ts("2024-01-01 12:00:00"), 1.0),  // outside the hour
+        (102L, 9L, ts("2024-01-01 10:15:00"), 2.0))  // no matching click
+      q.processAllAvailable()
+      val got = spark.table("ss_join_out")
+        .select("click_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 100L)), s"unexpected join result: $got")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState emits closed sessions with event-time timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
