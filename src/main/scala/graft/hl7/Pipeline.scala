@@ -206,11 +206,22 @@ object Pipeline {
   /** A19 — point retrieval: catalog filter + payload join, LIMIT 1 semantics.
     * At scale this is a partition-pruned scan (zone/protocol from the catalog
     * row) + broadcast of the single catalog hit. */
-  def retrieve(spark: SparkSession, lakeRoot: String, messageId: String): DataFrame = {
-    val hit = spark.read.parquet(s"$lakeRoot/catalog")
-      .filter(col("message_id") === messageId).limit(1)
+  def retrieve(spark: SparkSession, lakeRoot: String, messageId: String): DataFrame =
+    retrieve(spark, lakeRoot, messageId, None)
+
+  /** Format-qualified variant — the old design's route shape
+    * `GET /hl7v2/format/{format}/msg_uuid/{msg_uuid}`
+    * (`old_reference/hcdl_stack.txt:503-510`): the same message exists in
+    * both er7 (ingestion zone) and json (staging zone); the format picks
+    * which materialization to fetch. */
+  def retrieve(spark: SparkSession, lakeRoot: String, messageId: String,
+               format: Option[String]): DataFrame = {
+    val cat = spark.read.parquet(s"$lakeRoot/catalog")
+      .filter(col("message_id") === messageId)
+    val hit = format.fold(cat)(f => cat.filter(col("format") === f)).limit(1)
     spark.read.parquet(s"$lakeRoot/messages")
-      .join(broadcast(hit.select("message_id", "path", "ingest_ts")), Seq("message_id"))
+      .join(broadcast(hit.select("message_id", "path", "format", "ingest_ts")),
+            Seq("message_id", "format"))
   }
 
   // ------------------------------------------------------------------

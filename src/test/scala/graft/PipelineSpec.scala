@@ -139,5 +139,13 @@ class PipelineSpec extends AnyFunSuite {
     val got = Pipeline.retrieve(spark, root, anyId)
     assert(got.count() >= 1)
     assert(got.filter(col("message_id") === anyId).count() == got.count())
+    // format-qualified retrieval (old_reference GET /hl7v2/format/{format}/
+    // msg_uuid/{id}): same message, distinct materializations per format
+    val er7 = Pipeline.retrieve(spark, root, anyId, Some("er7")).collect()
+    val json = Pipeline.retrieve(spark, root, anyId, Some("json")).collect()
+    assert(er7.length == 1 && json.length == 1)
+    assert(er7.head.getAs[String]("zone") == "ingestion")
+    assert(json.head.getAs[String]("zone") == "staging")
+    assert(Pipeline.retrieve(spark, root, anyId, Some("txt")).isEmpty)
   }
 }
