@@ -188,9 +188,24 @@ object Similarity {
       .select(col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Pinned sf0.01 golden for the two approximate ANN paths. The driver's
+    * correctness gate always runs at sf0.01, where both IVF and LSH recover
+    * the exact brute-force top-5 (deterministic arithmetic: fixed
+    * centroids/planes, round-4 scores, vec_id tiebreak — no partition-order
+    * dependence). Upgrades both from rows-only to full hash compares; the
+    * recall specs in LlmSpec remain the semantic check. */
+  private val annGoldenSql: String =
+    """SELECT * FROM (VALUES
+      |  (CAST(365 AS BIGINT), CAST(0.37 AS DOUBLE), CAST(1 AS INT)),
+      |  (CAST(334 AS BIGINT), CAST(0.3627 AS DOUBLE), CAST(2 AS INT)),
+      |  (CAST(387 AS BIGINT), CAST(0.3311 AS DOUBLE), CAST(3 AS INT)),
+      |  (CAST(423 AS BIGINT), CAST(0.2969 AS DOUBLE), CAST(4 AS INT)),
+      |  (CAST(73 AS BIGINT), CAST(0.2954 AS DOUBLE), CAST(5 AS INT)))
+      |  AS t(neighbor_id, cosine, rank)""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q38_cosine_neardup", cosineNearDup _, Some(cosineNearDupSql)),
     GraftQuery("q39_knn_brute", knnBrute _, Some(knnBruteSql)),
-    GraftQuery("q40_knn_ivf", knnIvf _, None),
-    GraftQuery("q56_knn_lsh", knnLsh _, None))
+    GraftQuery("q40_knn_ivf", knnIvf _, Some(annGoldenSql)),
+    GraftQuery("q56_knn_lsh", knnLsh _, Some(annGoldenSql)))
 }
