@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants of the text-analysis / dedup / split operators
+  * (same direct-ScalaCheck pattern as Er7PropertySpec). Each property runs
+  * one Spark job over a generated corpus rather than a job per case. */
+class LlmPropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def sample[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val word: Gen[String] =
+    Gen.chooseNum(1, 10).flatMap(n => Gen.stringOfN(n, Gen.alphaLowerChar))
+  private val text: Gen[String] =
+    Gen.chooseNum(1, 80).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+
+  /** Run a TextAnalysis-style query against an ad-hoc generated corpus by
+    * materializing it as the `documents` table shape in a temp dir. */
+  private def corpusDir(texts: Seq[String]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-prop").toString
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "gen", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("quality score is always within [0, 1]; token counts are consistent") {
+    val d = corpusDir(sample(text, 300))
+    val rows = graft.llm.TextAnalysis.qualityScore(spark, d).collect()
+    assert(rows.length == 300)
+    rows.foreach { r =>
+      val q = r.getAs[Double]("quality")
+      assert(q >= 0.0 && q <= 1.0, s"quality $q out of range")
+      assert(r.getAs[Int]("n_tokens") >= 1)
+    }
+    val toks = graft.llm.TextAnalysis.tokenCount(spark, d).collect()
+    toks.foreach { r =>
+      assert(r.getAs[Int]("distinct_tokens") <= r.getAs[Int]("ws_tokens"),
+        "distinct tokens cannot exceed whitespace tokens")
+    }
+  }
+
+  test("langId only emits declared codes") {
+    val d = corpusDir(sample(text, 300))
+    val codes = graft.llm.TextAnalysis.langId(spark, d)
+      .select("pred_lang").distinct().collect().map(_.getString(0)).toSet
+    assert(codes.subsetOf(Set("en", "es", "fr", "de", "zh", "und")), codes)
+  }
+
+  test("fingerprint is invariant under case and whitespace noise") {
+    val texts = sample(text, 150)
+    val noisy = texts.map(t => "  " + t.toUpperCase.replace(" ", "   ") + " ")
+    val a = graft.llm.TextAnalysis.fingerprint(spark, corpusDir(texts))
+      .orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    val b = graft.llm.TextAnalysis.fingerprint(spark, corpusDir(noisy))
+      .orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    assert(a == b, "normalization must erase case/whitespace noise")
+  }
+
+  test("hash split is a partition: counts cover the table exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val splits = SparkEntry.queries("q59_hash_split")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_rows")).toMap
+    val total = graft.core.Tables.lineitem(spark, sf).count()
+    assert(splits.values.sum == total, s"splits $splits must sum to $total")
+    assert(splits.keySet == Set("train", "test"))
+    assert(splits("test") > 0 && splits("train") > 0)
+  }
+
+  test("exact dedup: duplicating every document never changes n_unique") {
+    val texts = sample(text, 100)
+    val once = graft.llm.Dedup.exactDedup(spark, corpusDir(texts)).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_unique")).toMap
+    val twice = graft.llm.Dedup.exactDedup(spark, corpusDir(texts ++ texts)).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_unique")).toMap
+    assert(once == twice, "n_unique must be idempotent under duplication")
+  }
+}
