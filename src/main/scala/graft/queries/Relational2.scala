@@ -59,6 +59,9 @@ object Relational2 {
         round(percent_rank().over(w), 6).as("pct_rank"),
         round(cume_dist().over(w), 6).as("cdist"),
         first_value(col("o_orderkey")).over(w).as("top_order"),
+        last_value(col("o_orderkey")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+          .as("bottom_order"),
         lead(col("o_orderkey"), 1).over(w).as("next_order"))
   }
 
@@ -70,6 +73,9 @@ object Relational2 {
       |  round(percent_rank() OVER w, 6) AS pct_rank,
       |  round(cume_dist() OVER w, 6) AS cdist,
       |  first_value(o_orderkey) OVER w AS top_order,
+      |  last_value(o_orderkey) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS bottom_order,
       |  lead(o_orderkey, 1) OVER w AS next_order
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin

@@ -97,6 +97,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rowsAfter == rowsBefore, "compaction must preserve rows exactly")
   }
 
+  test("crc32 matches the java.util.zip reference (no DuckDB oracle exists)") {
+    import spark.implicits._
+    val samples = Seq("", "hello", "MSH|^~\\&|A|B", "café ☕")
+    val got = samples.toDF("s")
+      .select(col("s"), crc32(col("s").cast("binary")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    samples.foreach { s =>
+      val ref = new java.util.zip.CRC32()
+      ref.update(s.getBytes("UTF-8"))
+      assert(got(s) == ref.getValue, s"crc32 mismatch for '$s'")
+    }
+  }
+
   test("custom expressions register at the SQL surface") {
     GraftExtensions.install(spark)
     val h = spark.sql("SELECT rolling_hash('hello world') AS h").collect().head.getLong(0)
