@@ -113,10 +113,35 @@ object Relational5 {
       .groupBy("lang")
       .agg(count(lit(1)).as("n_sampled"))
 
+  // ---------------------------------------------------------------- q61
+  /** Map explode (§2B map family): parse `events.props` schema-on-read into
+    * MapType, explode to (key, value) rows, aggregate per key — the generic
+    * attribute-bag pattern for semi-structured payloads whose keys aren't
+    * known at compile time. */
+  private def q61(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(explode(from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.IntegerType))).as(Seq("key", "value")))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("long")).as("sum_value"),
+           min(col("value")).as("min_value"),
+           max(col("value")).as("max_value"))
+
+  private val q61Sql =
+    """SELECT 'k' AS key, count(*) AS n,
+      |  CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_value,
+      |  CAST(min(CAST(props->>'$.k' AS INT)) AS INT) AS min_value,
+      |  CAST(max(CAST(props->>'$.k' AS INT)) AS INT) AS max_value
+      |FROM events WHERE props->>'$.k' IS NOT NULL""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q57_array_extra", q57, Some(q57Sql)),
     GraftQuery("q58_json_extra", q58, Some(q58Sql)),
     GraftQuery("q59_hash_split", q59, Some(q59Sql)),
     GraftQuery("q60_stratified_sample", q60, None),
+    GraftQuery("q61_map_explode", q61, Some(q61Sql)),
   )
 }
