@@ -120,8 +120,32 @@ object Relational3 {
       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
       |GROUP BY n_name""".stripMargin
 
+  // ---------------------------------------------------------------- q62
+  /** XML source round-trip (Spark 4 native XML data source — the remaining
+    * interchange format after parquet/csv/json/orc/text; HL7 v3 and CDA are
+    * XML, so a healthcare lake needs the path even though the v2 corpus is
+    * ER7). Same lossless-write-read contract as q28/q47/q53. */
+  private def q62(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-xml").toString
+    Tables.nation(s, d)
+      .write.mode("overwrite").option("rowTag", "nation").xml(tmp)
+    s.read
+      .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+      .option("rowTag", "nation").xml(tmp)
+      .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_nations"),
+           min(col("n_name")).as("first_nation"))
+  }
+
+  private val q62Sql =
+    """SELECT r_name, count(*) AS n_nations, min(n_name) AS first_nation
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q53_orc_roundtrip", q53, Some(q53Sql)),
+    GraftQuery("q62_xml_roundtrip", q62, Some(q62Sql)),
     GraftQuery("q47_json_roundtrip", q47, Some(q47Sql)),
     GraftQuery("q48_predicates", q48, Some(q48Sql)),
     GraftQuery("q49_full_outer", q49, Some(q49Sql)),
