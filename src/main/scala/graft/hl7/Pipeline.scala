@@ -184,22 +184,41 @@ object Pipeline {
     * at most `nFiles` writer tasks — one output file each — instead of one
     * file per historical micro-batch. The rewrite goes to a sibling temp
     * directory then swaps in (read path and write path must differ).
-    * Returns the compacted file count. */
+    * Returns the compacted file count.
+    *
+    * CONCURRENCY CONTRACT: the streaming writer on `messagesDir` MUST be
+    * stopped while this runs. The swap is not transactional against a live
+    * appender — a micro-batch landing between the rewrite's snapshot read
+    * and the swap would be silently dropped (a format without a commit log
+    * cannot do better; a table format with one — e.g. an ACID lakehouse
+    * table — is the real 100 TB answer).
+    *
+    * Crash safety: the live table is renamed aside to `__old` before the
+    * rewrite is promoted, so no crash point loses data — at worst the read
+    * path is briefly absent between the two renames, and `__old` (plus the
+    * fully-materialized `__compacting`) survives for recovery. A leftover
+    * `__old` from a crashed prior run is restored before starting. */
   def compactLake(spark: SparkSession, messagesDir: String,
                   targetBytes: Long = 128L << 20): Int = {
     import org.apache.hadoop.fs.Path
     val path = new Path(messagesDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(messagesDir + "__old")
+    val tmp = new Path(messagesDir + "__compacting")
+    // recover from a crash between the two promote renames of a prior run
+    if (!fs.exists(path) && fs.exists(old)) fs.rename(old, path)
+    fs.delete(old, true)
+    fs.delete(tmp, true)
     val totalBytes = fs.getContentSummary(path).getLength
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    val tmp = new Path(messagesDir + "__compacting")
     val df = spark.read.parquet(messagesDir)
     df.repartition(nFiles, col("zone"), col("protocol"),
         pmod(xxhash64(col("message_id")), lit(nFiles)))
       .write.mode("overwrite").partitionBy("zone", "protocol")
       .parquet(tmp.toString)
-    fs.delete(path, true)
+    fs.rename(path, old)
     fs.rename(tmp, path)
+    fs.delete(old, true)
     nFiles
   }
 

@@ -79,6 +79,18 @@ object Dedup {
     * full shingle-join, so the LSH path is verified to have no false
     * negatives at the 0.5 threshold on the test corpus. */
   def minhashNearDup(s: SparkSession, d: String): DataFrame = {
+    val (pairs, sh) = minhashNearDupPlan(s, d)
+    // materialize the (unbounded but near-dup-sized) pair set eagerly so the
+    // corpus-sized shingle cache can be released before returning; the
+    // checkpoint's own blocks are unpersisted by the ContextCleaner once the
+    // caller drops the frame — unlike a CacheManager entry, which the
+    // session strong-holds for its lifetime
+    try pairs.localCheckpoint(true) finally sh.unpersist(false)
+  }
+
+  /** Lazy plan + the cached frame it reads — split out so PlanQualitySpec
+    * can assert the physical shape (the public entry is eager). */
+  private[graft] def minhashNearDupPlan(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val sh = shingled(Tables.documents(s, d)).cache()
     val sig = minhashSignature(sh)
     val numBands = NumHashes / BandRows
@@ -99,15 +111,18 @@ object Dedup {
       .distinct()
     val a = sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
     val b = sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
-    // the candidate set is tiny (LSH collisions only) — broadcast it through
-    // both confirm joins so the cached shingle table is never shuffled
-    val withA = a.join(broadcast(cand), "a_id")
-    b.join(broadcast(withA), "b_id")
+    // confirm joins: the candidate set is O(LSH collisions) — small relative
+    // to the corpus but NOT constant-size, so no forced broadcast; AQE
+    // converts these to broadcast joins at bench scale from runtime stats
+    // and degrades to shuffle joins when candidates outgrow the threshold
+    val withA = a.join(cand, "a_id")
+    val pairs = b.join(withA, "b_id")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard",
         round(col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
       .filter(col("jaccard") >= 0.5)
       .select("a_id", "b_id", "jaccard")
+    (pairs, sh)
   }
 
   /** Declarative exact-Jaccard oracle: shingle inverted-index join (itself
@@ -136,8 +151,11 @@ object Dedup {
     *
     * Plan shape: explode shingles → equi self-join on the shingle (shuffle
     * partitioned by shingle value — never a cross join) → per-pair
-    * intersection counts → broadcast-join the tiny per-doc size table for
-    * the union term. The shingle width is the scale lever: candidate pairs
+    * intersection counts; the per-doc shingle count rides along through the
+    * explode (a constant-width column, `first()` in the pair aggregate), so
+    * the union term needs NO extra join — a per-document side table would be
+    * O(corpus) and must never be broadcast. The shingle width is the scale
+    * lever: candidate pairs
     * grow as Σ df(shingle)² — on this corpus bigrams blow up 29× vs
     * trigrams (hot bigrams hit df≈340 at sf0.1 → 36M pairs) while trigram
     * df caps at 25 → 1.3M. At 100 TB the further standard refinements are
@@ -146,17 +164,16 @@ object Dedup {
     * a corpus the exact join handles. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
     val sh = shingledN(Tables.documents(s, d), 3)
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val ax = ex.select(col("doc_id").as("a_id"), col("shingle"))
-    val bx = ex.select(col("doc_id").as("b_id"), col("shingle").as("shingle_r"))
-    val inter = ax.join(bx,
+    val ex = sh.select(col("doc_id"), size(col("sh")).as("n_sh"),
+                       explode(col("sh")).as("shingle"))
+    val ax = ex.select(col("doc_id").as("a_id"), col("n_sh").as("na"), col("shingle"))
+    val bx = ex.select(col("doc_id").as("b_id"), col("n_sh").as("nb"),
+                       col("shingle").as("shingle_r"))
+    ax.join(bx,
         col("shingle") === col("shingle_r") && col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id")
-      .agg(count(lit(1)).cast("double").as("n_inter"))
-    inter
-      .join(broadcast(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("na"))), "a_id")
-      .join(broadcast(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("nb"))), "b_id")
+      .agg(count(lit(1)).cast("double").as("n_inter"),
+           first(col("na")).as("na"), first(col("nb")).as("nb"))
       .withColumn("jaccard",
         round(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 4))
       .filter(col("jaccard") >= 0.4)
@@ -211,6 +228,13 @@ object Dedup {
   private val MaxHamming = 3
 
   def simhashNearDup(s: SparkSession, d: String): DataFrame = {
+    val (pairs, sh) = simhashNearDupPlan(s, d)
+    // see minhashNearDup: eager checkpoint + unpersist, no session-lifetime leak
+    try pairs.localCheckpoint(true) finally sh.unpersist(false)
+  }
+
+  /** Lazy plan + the cached frame it reads (see minhashNearDupPlan). */
+  private[graft] def simhashNearDupPlan(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val sh = simhash(Tables.documents(s, d)).cache()
     val chunks = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
@@ -219,7 +243,7 @@ object Dedup {
                            col("chunk"), col("cv"))
     val cy = chunks.select(col("doc_id").as("b_id"), col("simhash").as("sh_b"),
                            col("chunk").as("chunk_r"), col("cv").as("cv_r"))
-    cx.join(cy,
+    val pairs = cx.join(cy,
         col("chunk") === col("chunk_r") && col("cv") === col("cv_r") &&
         col("a_id") < col("b_id"))
       .select("a_id", "b_id", "sh_a", "sh_b")
@@ -227,6 +251,7 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= MaxHamming)
       .select("a_id", "b_id", "hamming")
+    (pairs, sh)
   }
 
   val queries: Seq[GraftQuery] = Seq(

@@ -174,8 +174,11 @@ object StreamingPipeline {
             var cur = state.getOption
             sorted.foreach { sec =>
               cur match {
+                // merge with min/max: the 10-minute watermark admits events
+                // that arrive out of order ACROSS batches, so `sec` may be
+                // older than the stored bounds — never shrink the session
                 case Some((st, en, n)) if sec - en <= gapSeconds =>
-                  cur = Some((st, sec, n + 1))
+                  cur = Some((math.min(st, sec), math.max(en, sec), n + 1))
                 case Some((st, en, n)) =>
                   closed ::= (user, st, en, n)
                   cur = Some((sec, sec, 1L))

@@ -95,6 +95,16 @@ class OperatorsSpec extends AnyFunSuite {
       .select("message_id", "zone").collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
     assert(after < before, s"compaction must reduce files: $before -> $after")
     assert(rowsAfter == rowsBefore, "compaction must preserve rows exactly")
+
+    // crash recovery: simulate a death between the two promote renames
+    // (table gone, __old holds the data) — the next run must restore first
+    val dir = new java.io.File(s"$tmp/messages")
+    assert(dir.renameTo(new java.io.File(s"$tmp/messages__old")))
+    graft.hl7.Pipeline.compactLake(spark, s"$tmp/messages")
+    val rowsRecovered = spark.read.parquet(s"$tmp/messages")
+      .select("message_id", "zone").collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(rowsRecovered == rowsBefore, "recovery from __old must preserve rows")
+    assert(!new java.io.File(s"$tmp/messages__old").exists(), "__old must be cleaned up")
   }
 
   test("crc32 matches the java.util.zip reference (no DuckDB oracle exists)") {

@@ -19,9 +19,18 @@ class PlanQualitySpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  private def plan(name: String): String = {
-    val df = SparkEntry.queries(name)(spark, sf)
+  private def plan(name: String): String =
+    planOf(SparkEntry.queries(name)(spark, sf))
+
+  private def planOf(df: DataFrame): String =
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  /** The near-dup/ANN entries are eager (cache-leak fix) — their registered
+    * form returns a materialized local relation, so plan assertions go
+    * through the lazy `…Plan` builders; unpersist what they cached. */
+  private def lazyPlan(build: (SparkSession, String) => (DataFrame, DataFrame)): String = {
+    val (df, cached) = build(spark, sf)
+    try planOf(df) finally cached.unpersist(false)
   }
 
   test("q01: filter and projection reach the parquet scan") {
@@ -53,8 +62,11 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("near-dup joins are equi-joins — no cartesian/nested-loop anywhere") {
-    for (q <- Seq("q36_minhash_neardup", "q37_simhash_neardup", "q38_cosine_neardup")) {
-      val p = plan(q)
+    val plans = Seq(
+      "q36_minhash_neardup" -> lazyPlan(graft.llm.Dedup.minhashNearDupPlan),
+      "q37_simhash_neardup" -> lazyPlan(graft.llm.Dedup.simhashNearDupPlan),
+      "q38_cosine_neardup" -> plan("q38_cosine_neardup"))
+    for ((q, p) <- plans) {
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join:\n$p")
     }
@@ -65,16 +77,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan("q08_anti_join").contains("LeftAnti"))
   }
 
-  test("q55: exact jaccard join is an equi-join with broadcast size lookups") {
+  test("q55: exact jaccard is ONE inverted-index equi-join — sizes ride the explode") {
     val p = plan("q55_ngram_jaccard")
     assert(!p.contains("CartesianProduct"), s"q55 has a cartesian product:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"q55 has a nested-loop join:\n$p")
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
-      s"per-doc size table should broadcast into both confirm joins:\n$p")
+    // the union term must come from carried columns, not per-doc side-table
+    // joins (a per-document broadcast is O(corpus) — the round-2 shape);
+    // count join nodes in the simple tree (one line per operator)
+    val simple = SparkEntry.queries("q55_ngram_jaccard")(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    val joins = simple.linesIterator.count(_.contains("Join"))
+    assert(joins == 1, s"expected exactly one join (the shingle self-join), got $joins:\n$simple")
   }
 
   test("q56: LSH candidate generation is a broadcast equi-join + TakeOrdered top-k") {
-    val p = plan("q56_knn_lsh")
+    val p = lazyPlan(graft.llm.Similarity.knnLshPlan)
     assert(!p.contains("CartesianProduct"), s"q56 has a cartesian product:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"q56 top-k fell back to a global sort:\n$p")
   }

@@ -159,6 +159,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("custom sessions never shrink on late out-of-order events across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    val out = StreamingPipeline.userSessionsCustom(
+      in.toDF().toDF("ts", "user_id"))
+    val q = out.writeStream.format("memory").queryName("late_sess_out")
+      .outputMode("append").start()
+    try {
+      in.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:04:00"), 1L))
+      q.processAllAvailable()
+      // a late event INSIDE the stored bounds, admitted by the 10-min
+      // watermark — must merge via min/max, not drag the end backwards
+      in.addData((ts("2024-01-01 10:02:00"), 1L))
+      q.processAllAvailable()
+      // advance the watermark past the event-time timeout, then one more
+      // batch so the timeout fires and the session is emitted
+      in.addData((ts("2024-01-01 12:00:00"), 99L)); q.processAllAvailable()
+      in.addData((ts("2024-01-01 14:00:00"), 99L)); q.processAllAvailable()
+      val u1 = spark.table("late_sess_out").filter(col("user_id") === 1L).collect()
+      assert(u1.length == 1, s"expected one closed session: ${u1.mkString(",")}")
+      val r = u1.head
+      assert(r.getAs[Long]("session_start_s") == ts("2024-01-01 10:00:00").getTime / 1000)
+      assert(r.getAs[Long]("session_end_s") == ts("2024-01-01 10:04:00").getTime / 1000,
+        s"late event shrank the session end: $r")
+      assert(r.getAs[Long]("n_events") == 3)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user counts across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
