@@ -29,11 +29,29 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     }
+    // host-starvation marker: this VM suffers hypervisor CPU-starvation
+    // windows that uniformly inflate wall-clock (measured 45s..589s for
+    // identical builds). A fixed single-thread spin timed before and after
+    // the suite gives the reader an objective scale factor: steady state is
+    // ~250-350 ms; a starved run shows a multiple.
+    def calibMs(): Double = {
+      val t0 = System.nanoTime()
+      var acc = 0L; var i = 0L
+      while (i < 400000000L) { acc += i; i += 1 }
+      if (acc == 42) println(acc) // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e6
+    }
+    val calibBefore = calibMs()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          -1L
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val calibAfter = calibMs()
     def r3(v: Double): String = f"$v%.3f"
     // Keep the JSON line SHORT (<1k chars): the driver captures only a tail
     // window of stdout, and a 62-query dict overflows it (round-1 parse
@@ -45,14 +63,15 @@ object Bench {
     val qs = headline.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val calib = s""""calib_ms":[${calibBefore.round},${calibAfter.round}]"""
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},$calib,"queries":$fullQs,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_local.json"),
         (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},$calib,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

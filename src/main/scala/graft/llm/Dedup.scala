@@ -164,8 +164,13 @@ object Dedup {
     * a corpus the exact join handles. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
     val sh = shingledN(Tables.documents(s, d), 3)
+    // explode_outer, deliberately: plain explode's inferred non-empty/
+    // non-null constraints get pushed below the projection, where the alias
+    // substitution re-computes the whole shingling expression 2 extra times
+    // per row in the filter; outer generate infers nothing, and the equi-
+    // join drops a null shingle anyway
     val ex = sh.select(col("doc_id"), size(col("sh")).as("n_sh"),
-                       explode(col("sh")).as("shingle"))
+                       explode_outer(col("sh")).as("shingle"))
     val ax = ex.select(col("doc_id").as("a_id"), col("n_sh").as("na"), col("shingle"))
     val bx = ex.select(col("doc_id").as("b_id"), col("n_sh").as("nb"),
                        col("shingle").as("shingle_r"))
@@ -202,8 +207,12 @@ object Dedup {
     * sign → bit. Computed with built-in expressions (explode + conditional
     * sums per bit), no UDF. */
   def simhash(docs: DataFrame): DataFrame = {
+    // explode_outer for the same reason as ngramJaccard: plain explode's
+    // inferred constraints re-compute array_distinct(split(...)) per row in
+    // a pushed filter; split() never yields an empty array so the row sets
+    // are identical
     val words = docs
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+      .select(col("doc_id"), explode_outer(array_distinct(split(col("text"), " "))).as("w"))
       .withColumn("h", xxhash64(col("w")))
     // branch-free bit votes: sum the raw bit s_b and the token count n once;
     // the majority test is s_b*2 > n (equivalent to summing ±1 votes, minus

@@ -120,10 +120,14 @@ object Relational5 {
     * known at compile time. */
   private def q61(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
-      .select(explode(from_json(col("props"),
+      // explode_outer + null-key filter ≡ explode, but plain explode's
+      // inferred constraints push below the generate and re-run the
+      // expensive from_json 2 extra times per row (see Dedup.ngramJaccard)
+      .select(explode_outer(from_json(col("props"),
         org.apache.spark.sql.types.MapType(
           org.apache.spark.sql.types.StringType,
           org.apache.spark.sql.types.IntegerType))).as(Seq("key", "value")))
+      .filter(col("key").isNotNull)
       .groupBy("key")
       .agg(count(lit(1)).as("n"),
            sum(col("value").cast("long")).as("sum_value"),
