@@ -107,6 +107,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$tmp/messages__old").exists(), "__old must be cleaned up")
   }
 
+  test("Misra-Gries candidates contain every key above the n/(k+1) guarantee") {
+    import spark.implicits._
+    // skewed stream: keys 0..9 appear 200x each, a 4000-key uniform tail
+    // appears twice each — with k=64 the buffer compresses constantly, and
+    // the guarantee still requires the 10 heavy keys (200 > 10000/65) out
+    val heavy = (0L until 10L).flatMap(k => Seq.fill(200)(k))
+    val tail = (100L until 4100L).flatMap(k => Seq(k, k))
+    val xs = scala.util.Random.shuffle(heavy ++ tail)
+    val k = 64
+    val cands = xs.toDF("x").repartition(8)
+      .agg(graft.functions.MisraGries.candidates(col("x"), k).as("c"))
+      .head.getSeq[Long](0).toSet
+    val n = xs.size
+    val counts = xs.groupBy(identity).map { case (key, v) => key -> v.size }
+    val mustKeep = counts.collect { case (key, c) if c > n / (k + 1) => key }.toSet
+    assert(cands.size <= 2 * k, s"buffer bound violated: ${cands.size}")
+    assert(mustKeep.subsetOf(cands),
+      s"guarantee violated, missing: ${mustKeep.diff(cands)}")
+  }
+
   test("crc32 matches the java.util.zip reference (no DuckDB oracle exists)") {
     import spark.implicits._
     val samples = Seq("", "hello", "MSH|^~\\&|A|B", "café ☕")
