@@ -174,7 +174,11 @@ object Dedup {
     val ax = ex.select(col("doc_id").as("a_id"), col("n_sh").as("na"), col("shingle"))
     val bx = ex.select(col("doc_id").as("b_id"), col("n_sh").as("nb"),
                        col("shingle").as("shingle_r"))
-    ax.join(bx,
+    // shuffle_hash hint: Generate inherits its child's (tiny) size estimate,
+    // so the static planner broadcasts the 1.3M-row exploded side and the
+    // driver-side hash build dominates (measured 2.7-9s vs 1.2s). A shuffled
+    // hash join partitions by shingle — the shape that holds at 100 TB
+    ax.join(bx.hint("shuffle_hash"),
         col("shingle") === col("shingle_r") && col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).cast("double").as("n_inter"),
