@@ -79,26 +79,31 @@ object Dedup {
     * full shingle-join, so the LSH path is verified to have no false
     * negatives at the 0.5 threshold on the test corpus. */
   def minhashNearDup(s: SparkSession, d: String): DataFrame = {
-    val (pairs, sh) = minhashNearDupPlan(s, d)
+    val (pairs, cached) = minhashNearDupPlan(s, d)
     // materialize the (unbounded but near-dup-sized) pair set eagerly so the
     // corpus-sized shingle cache can be released before returning; the
     // checkpoint's own blocks are unpersisted by the ContextCleaner once the
     // caller drops the frame — unlike a CacheManager entry, which the
     // session strong-holds for its lifetime
-    try pairs.localCheckpoint(true) finally sh.unpersist(false)
+    try pairs.localCheckpoint(true) finally cached.foreach(_.unpersist(false))
   }
 
-  /** Lazy plan + the cached frame it reads — split out so PlanQualitySpec
+  /** Lazy plan + the cached frames it reads — split out so PlanQualitySpec
     * can assert the physical shape (the public entry is eager). */
-  private[graft] def minhashNearDupPlan(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[graft] def minhashNearDupPlan(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     val sh = shingled(Tables.documents(s, d)).cache()
     val sig = minhashSignature(sh)
     val numBands = NumHashes / BandRows
+    // cache the (doc_id, band, bv) triples: the band SELF-join otherwise
+    // computes the whole signature pipeline (explode + 32 min-aggs +
+    // shuffle) once per side — the two subtrees get distinct attribute ids
+    // and the exchange-reuse rule does not merge them
     val bands = sig.select(col("doc_id"),
       posexplode(array((0 until numBands).map(b =>
         xxhash64(lit(b),
           element_at(col("sig"), b * BandRows + 1),
           element_at(col("sig"), b * BandRows + 2))): _*)).as(Seq("band", "bv")))
+      .cache()
     // rename-before-join: a self-join on dataset aliases can resolve both
     // sides to the same attribute (silently degenerate condition); renamed
     // projections force distinct attribute ids
@@ -122,7 +127,7 @@ object Dedup {
         round(col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
       .filter(col("jaccard") >= 0.5)
       .select("a_id", "b_id", "jaccard")
-    (pairs, sh)
+    (pairs, Seq(sh, bands))
   }
 
   /** Declarative exact-Jaccard oracle: shingle inverted-index join (itself
@@ -241,13 +246,13 @@ object Dedup {
   private val MaxHamming = 3
 
   def simhashNearDup(s: SparkSession, d: String): DataFrame = {
-    val (pairs, sh) = simhashNearDupPlan(s, d)
+    val (pairs, cached) = simhashNearDupPlan(s, d)
     // see minhashNearDup: eager checkpoint + unpersist, no session-lifetime leak
-    try pairs.localCheckpoint(true) finally sh.unpersist(false)
+    try pairs.localCheckpoint(true) finally cached.foreach(_.unpersist(false))
   }
 
-  /** Lazy plan + the cached frame it reads (see minhashNearDupPlan). */
-  private[graft] def simhashNearDupPlan(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  /** Lazy plan + the cached frames it reads (see minhashNearDupPlan). */
+  private[graft] def simhashNearDupPlan(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     val sh = simhash(Tables.documents(s, d)).cache()
     val chunks = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
@@ -264,7 +269,7 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= MaxHamming)
       .select("a_id", "b_id", "hamming")
-    (pairs, sh)
+    (pairs, Seq(sh))
   }
 
   val queries: Seq[GraftQuery] = Seq(

@@ -103,17 +103,17 @@ object Similarity {
     * per pair instead of three. SimilaritySpec asserts recall vs the
     * brute-force baseline instead of a SQL oracle. */
   def knnIvf(s: SparkSession, d: String): DataFrame = {
-    val (top, e) = knnIvfPlan(s, d)
+    val (top, cached) = knnIvfPlan(s, d)
     // top-k is bounded (5 rows): materialize eagerly so the cached corpus
     // can be unpersisted before returning — a lazy return would pin the
     // cache in executor storage for the JVM's lifetime (Bench runs ~70
     // queries in one session)
-    try eagerTopK(s, top) finally e.unpersist(false)
+    try eagerTopK(s, top) finally cached.foreach(_.unpersist(false))
   }
 
-  /** Lazy plan + the cached frame it reads — split out so PlanQualitySpec
+  /** Lazy plan + the cached frames it reads — split out so PlanQualitySpec
     * can assert the physical shape (the public entry is eager). */
-  private[graft] def knnIvfPlan(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[graft] def knnIvfPlan(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     val e = vecs(s, d).withColumn("norm", sqrt(dot(col("v"), col("v")))).cache()
     val cents = e.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cnorm"))
@@ -142,7 +142,7 @@ object Similarity {
       .withColumn("rank", row_number().over(
         Window.orderBy(col("cosine").desc, col("vec_id").asc)))
       .select(col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
-    (top, e)
+    (top, Seq(e))
   }
 
   /** Materialize a bounded top-k result and return it as a local relation,
@@ -176,13 +176,13 @@ object Similarity {
     * P(bit agrees) = 1 − θ/π; recall for the top-5 (cosine ≳ 0.5 on this
     * corpus) ≈ 1 − (1 − p^B)^L — LlmSpec asserts it against knnBrute. */
   def knnLsh(s: SparkSession, d: String): DataFrame = {
-    val (top, withBuckets) = knnLshPlan(s, d)
+    val (top, cached) = knnLshPlan(s, d)
     // see knnIvf: eager bounded result + unpersist, no cache outliving the call
-    try eagerTopK(s, top) finally withBuckets.unpersist(false)
+    try eagerTopK(s, top) finally cached.foreach(_.unpersist(false))
   }
 
-  /** Lazy plan + the cached frame it reads (see knnIvfPlan). */
-  private[graft] def knnLshPlan(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  /** Lazy plan + the cached frames it reads (see knnIvfPlan). */
+  private[graft] def knnLshPlan(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     val e = vecs(s, d).withColumn("norm", sqrt(dot(col("v"), col("v"))))
     val dim = Tables.embeddings(s, d).select(size(col("embedding"))).head.getInt(0)
     val rnd = new scala.util.Random(42)
@@ -212,7 +212,7 @@ object Similarity {
       .withColumn("rank", row_number().over(
         Window.orderBy(col("cosine").desc, col("vec_id").asc)))
       .select(col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
-    (top, withBuckets)
+    (top, Seq(withBuckets))
   }
 
   /** Pinned sf0.01 golden for the two approximate ANN paths. The driver's

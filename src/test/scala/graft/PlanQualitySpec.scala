@@ -28,9 +28,9 @@ class PlanQualitySpec extends AnyFunSuite {
   /** The near-dup/ANN entries are eager (cache-leak fix) — their registered
     * form returns a materialized local relation, so plan assertions go
     * through the lazy `…Plan` builders; unpersist what they cached. */
-  private def lazyPlan(build: (SparkSession, String) => (DataFrame, DataFrame)): String = {
+  private def lazyPlan(build: (SparkSession, String) => (DataFrame, Seq[DataFrame])): String = {
     val (df, cached) = build(spark, sf)
-    try planOf(df) finally cached.unpersist(false)
+    try planOf(df) finally cached.foreach(_.unpersist(false))
   }
 
   test("q01: filter and projection reach the parquet scan") {
