@@ -211,6 +211,67 @@ object Dedup {
       |  JOIN sh sb ON i.b_id = sb.doc_id)
       |WHERE jaccard >= 0.4""".stripMargin
 
+  // ---------------------------------------------------------------- dedup groups
+  /** Connected components over the exact-Jaccard near-dup graph — the step a
+    * real dedup pipeline runs AFTER pair generation: transitively-linked
+    * documents form one group (keep one representative per group). Output is
+    * (doc_id, group_id) where group_id = the smallest doc_id reachable.
+    *
+    * Algorithm: driver-coordinated min-label propagation to fixpoint —
+    * each round is one equi-join (labels ⋈ edges, shuffled on the key) plus
+    * a min-aggregate, i.e. the Pregel iteration shape; rounds = graph
+    * diameter. Near-dup components are tiny and shallow (clusters of copies),
+    * so the loop converges in a handful of rounds; at 100 TB with adversarial
+    * chain-shaped graphs the standard upgrade is alternating large-star/
+    * small-star (O(log n) rounds), same per-round plan shape. Each round is
+    * localCheckpoint'ed: the lineage would otherwise double per iteration
+    * and re-run every prior join on each action. */
+  def dedupGroups(s: SparkSession, d: String): DataFrame = {
+    val pairs = ngramJaccard(s, d).select("a_id", "b_id").localCheckpoint(true)
+    val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .unionAll(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val prop = labels.join(edges, col("node") === col("u"))
+        .select(col("v").as("node"), col("label"))
+        .unionAll(labels)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      changed = prop.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") < col("old")).count()
+      labels = prop
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("group_id"))
+  }
+
+  /** Recursive-CTE oracle: reachability closure, then min reachable label
+    * per node — identical semantics to the propagation fixpoint. */
+  val dedupGroupsSql: String =
+    """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents
+      |              WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |                                     for i in range(1, len(t) - 1)]) s FROM toks),
+      |ex AS (SELECT doc_id, unnest(s) shingle FROM sh),
+      |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) n
+      |          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (SELECT a_id, b_id FROM (
+      |  SELECT i.a_id, i.b_id,
+      |         round(i.n::DOUBLE / (len(sa.s) + len(sb.s) - i.n), 4) AS jaccard
+      |  FROM inter i
+      |  JOIN sh sa ON i.a_id = sa.doc_id
+      |  JOIN sh sb ON i.b_id = sb.doc_id)
+      |  WHERE jaccard >= 0.4),
+      |edges AS (SELECT a_id u, b_id v FROM pairs UNION ALL SELECT b_id, a_id FROM pairs),
+      |walk(node, label) AS (
+      |  SELECT DISTINCT u, u FROM edges
+      |  UNION
+      |  SELECT e.v, w.label FROM walk w JOIN edges e ON w.node = e.u)
+      |SELECT node AS doc_id, min(label) AS group_id FROM walk GROUP BY node""".stripMargin
+
   // ---------------------------------------------------------------- simhash
   /** 64-bit SimHash over the word set: per-token xxhash64, signed bit votes,
     * sign → bit. Computed with built-in expressions (explode + conditional
@@ -276,5 +337,6 @@ object Dedup {
     GraftQuery("q35_dedup_exact", exactDedup _, Some(exactDedupSql)),
     GraftQuery("q36_minhash_neardup", minhashNearDup _, Some(minhashNearDupSql)),
     GraftQuery("q37_simhash_neardup", simhashNearDup _, None),
-    GraftQuery("q55_ngram_jaccard", ngramJaccard _, Some(ngramJaccardSql)))
+    GraftQuery("q55_ngram_jaccard", ngramJaccard _, Some(ngramJaccardSql)),
+    GraftQuery("q69_dedup_groups", dedupGroups _, Some(dedupGroupsSql)))
 }

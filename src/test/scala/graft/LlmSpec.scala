@@ -105,6 +105,27 @@ class LlmSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "test corpus should contain bigram near-dups")
   }
 
+  test("dedup groups are the connected components of the near-dup pair graph") {
+    // brute-force union-find over the exact pair set
+    val pairs = Dedup.ngramJaccard(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(n => n -> find(n)).toMap
+    val got = Dedup.dedupGroups(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"components differ: got=${got.size} want=${expected.size}")
+    assert(expected.values.toSet.size < expected.size, "corpus should have a multi-node group")
+  }
+
   test("multimodal resize updates metadata and scales payloads; frame sampling strides") {
     import spark.implicits._
     val media = Multimodal.media(spark, sf).as[graft.llm.MediaRow]
