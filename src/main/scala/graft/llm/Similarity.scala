@@ -215,6 +215,55 @@ object Similarity {
     (top, Seq(withBuckets))
   }
 
+  // ---------------------------------------------------------------- knn quantized
+  /** Scalar-quantized ANN (int8) with exact rerank — the memory-bandwidth
+    * scale path: per-vector symmetric quantization q_i = round(127·v_i/max|v|)
+    * shrinks the stored column 8× (byte vs double per element), the
+    * approximate scan scores int8·int8 dot products against the whole
+    * corpus, and only the top `Rerank` candidates are re-scored exactly.
+    * At 100 TB the full-precision column stays in cold storage and the
+    * scan reads the quantized column — here both live in one table, so the
+    * bench measures the operator shape, not the bandwidth win.
+    * Deterministic end-to-end (fixed scales, round-4, vec_id tiebreak):
+    * when the exact rerank recovers the brute-force top-5 — it does on the
+    * test corpus, LlmSpec asserts it — the pinned ANN golden applies. */
+  private val Rerank = 20
+
+  def knnQuantized(s: SparkSession, d: String): DataFrame = {
+    val (top, cached) = knnQuantizedPlan(s, d)
+    try eagerTopK(s, top) finally cached.foreach(_.unpersist(false))
+  }
+
+  private[graft] def knnQuantizedPlan(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+    val e = vecs(s, d)
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      // per-vector scale; greatest(..., tiny) guards the all-zero vector
+      .withColumn("scale",
+        greatest(array_max(transform(col("v"), x => abs(x))), lit(1e-12)) / 127.0)
+      .withColumn("q", transform(col("v"), x => round(x / col("scale")).cast("double")))
+      .cache()
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("q").as("qq"), col("scale").as("qscale"),
+              col("v").as("qv"), col("norm").as("qnorm"))
+    // approximate pass: int8-domain dot, corrected by the two scales —
+    // ranks by approximate cosine (per-vector norms from full precision;
+    // at scale these are precomputed scalars stored beside the codes)
+    val approx = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .withColumn("approx_cos",
+        col("scale") * col("qscale") * dot(col("q"), col("qq")) /
+          (col("norm") * col("qnorm")))
+      .orderBy(col("approx_cos").desc, col("vec_id").asc).limit(Rerank)
+    // exact rerank of the Rerank-candidate set only
+    val top = approx
+      .withColumn("cosine", round(dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 4))
+      .orderBy(col("cosine").desc, col("vec_id").asc).limit(5)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col("vec_id").asc)))
+      .select(col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
+    (top, Seq(e))
+  }
+
   /** Pinned sf0.01 golden for the two approximate ANN paths. The driver's
     * correctness gate always runs at sf0.01, where both IVF and LSH recover
     * the exact brute-force top-5 (deterministic arithmetic: fixed
@@ -234,5 +283,6 @@ object Similarity {
     GraftQuery("q38_cosine_neardup", cosineNearDup _, Some(cosineNearDupSql)),
     GraftQuery("q39_knn_brute", knnBrute _, Some(knnBruteSql)),
     GraftQuery("q40_knn_ivf", knnIvf _, Some(annGoldenSql)),
-    GraftQuery("q56_knn_lsh", knnLsh _, Some(annGoldenSql)))
+    GraftQuery("q56_knn_lsh", knnLsh _, Some(annGoldenSql)),
+    GraftQuery("q70_knn_quantized", knnQuantized _, Some(annGoldenSql)))
 }

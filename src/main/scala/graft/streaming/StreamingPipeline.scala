@@ -143,6 +143,16 @@ object StreamingPipeline {
               "purchase_id", "purchase_ts", "purchase_value")
   }
 
+  /** Stream-static join: enrich the event stream with a static dimension
+    * table (the reference's catalog/roster side data). The static side is
+    * broadcast into every micro-batch — stateless, no watermark needed, and
+    * at scale the dimension rides the executors once per batch while the
+    * unbounded stream never buffers (the standard dimension-enrichment
+    * shape; a stream-stream join here would hold stream state for no
+    * reason). Left join keeps events with no dimension row. */
+  def enrichStream(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+
   /** Custom stateful sessionization via flatMapGroupsWithState with an
     * event-time timeout — the shape for session semantics the built-in
     * `session_window` can't express (e.g. emitting one row per CLOSED

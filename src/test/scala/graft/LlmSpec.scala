@@ -88,6 +88,16 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"LSH recall $recall too low (lsh=$lsh brute=$brute)")
   }
 
+  test("quantized knn recovers the exact brute-force top-5 after rerank") {
+    val brute = Similarity.knnBrute(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    val quant = Similarity.knnQuantized(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    // the pinned ANN golden is only valid if the rerank recovers the exact
+    // answer — assert full equality, not just recall
+    assert(quant == brute, s"quantized path diverged: quant=$quant brute=$brute")
+  }
+
   test("ngram jaccard pairs == brute-force trigram jaccard >= 0.4") {
     val docs = graft.core.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()

@@ -159,6 +159,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join enriches each micro-batch from the broadcast dimension") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val in = MemoryStream[(Long, Long)]
+    val out = StreamingPipeline.enrichStream(
+      in.toDF().toDF("user_id", "event_id"), dim)
+    val q = out.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, 100L), (2L, 101L), (3L, 102L)); q.processAllAvailable()
+      val rows = spark.table("enrich_out")
+        .collect().map(r => (r.getLong(0), Option(r.getString(2)))).toSet
+      assert(rows == Set((1L, Some("gold")), (2L, Some("silver")), (3L, None)),
+        s"enrichment wrong: $rows")
+    } finally q.stop()
+  }
+
   test("custom sessions never shrink on late out-of-order events across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
