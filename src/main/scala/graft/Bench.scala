@@ -34,14 +34,28 @@ object Bench {
     // identical builds). A fixed single-thread spin timed before and after
     // the suite gives the reader an objective scale factor: steady state is
     // ~250-350 ms; a starved run shows a multiple.
-    def calibMs(): Double = {
-      val t0 = System.nanoTime()
+    def spin(): Long = {
       var acc = 0L; var i = 0L
       while (i < 400000000L) { acc += i; i += 1 }
-      if (acc == 42) println(acc) // defeat dead-code elimination
+      acc
+    }
+    def calibMs(): Double = {
+      val t0 = System.nanoTime()
+      if (spin() == 42) println("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e6
+    }
+    // parallel variant: starvation windows observed here leave single-thread
+    // speed intact but stall multi-core scheduling (the VM gets a few vCPUs'
+    // worth of time) — 32 concurrent spins expose exactly that
+    def calibParMs(): Double = {
+      val n = Runtime.getRuntime.availableProcessors()
+      val t0 = System.nanoTime()
+      val ts = (1 to n).map(_ => new Thread(() => { spin(); () }))
+      ts.foreach(_.start()); ts.foreach(_.join())
       (System.nanoTime() - t0) / 1e6
     }
     val calibBefore = calibMs()
+    val calibParBefore = calibParMs()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
@@ -52,6 +66,7 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val calibAfter = calibMs()
+    val calibParAfter = calibParMs()
     def r3(v: Double): String = f"$v%.3f"
     // Keep the JSON line SHORT (<1k chars): the driver captures only a tail
     // window of stdout, and a 62-query dict overflows it (round-1 parse
@@ -63,7 +78,8 @@ object Bench {
     val qs = headline.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val calib = s""""calib_ms":[${calibBefore.round},${calibAfter.round}]"""
+    val calib = s""""calib_ms":[${calibBefore.round},${calibAfter.round}],""" +
+      s""""calib_par_ms":[${calibParBefore.round},${calibParAfter.round}]"""
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},$calib,"queries":$fullQs,"sf":"$sfDir"}"""
