@@ -21,17 +21,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    // planner guard: never broadcast an exploded join side (Generate's size
+    // estimate is its child's — the fan-out is invisible to the planner)
+    ext.injectOptimizerRule(_ => graft.plans.PreferShuffleForExploded)
   }
 }
 
 object GraftExtensions {
   /** Runtime registration into an already-built session (extensions are
-    * otherwise only applied at session construction). */
+    * otherwise only applied at session construction). The optimizer rule
+    * lands in `experimental.extraOptimizations` — the user-provided batch
+    * that runs after hint resolution, same placement as the injected form. */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.PreferShuffleForExploded))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.PreferShuffleForExploded
   }
 }

@@ -48,6 +48,16 @@ object Multimodal {
       (col("doc_id") % 640).cast("int").as("width"),
       (col("doc_id") % 480).cast("int").as("height"))
 
+  /** Raw-file multimodal ingest — Spark's native `binaryFile` source: one
+    * row per file with (path, modificationTime, length, content: binary).
+    * This is how real image/audio corpora enter the lake (the reference's
+    * A1 front door, for opaque payloads); downstream the content column is
+    * exactly the `payload` the feature extractors consume. The source
+    * supports predicate pushdown on the metadata columns (e.g. a `length`
+    * filter prunes without reading file bodies). */
+  def readBinaryDir(s: SparkSession, dir: String, glob: String = "*"): DataFrame =
+    s.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
+
   /** STUB decode: byte length, fake frame count (1 frame per 100 bytes), and
     * a rolling byte checksum. A real deployment swaps `decode` for an actual
     * codec call; everything around it (batching, schema, partitioning) stays. */

@@ -136,6 +136,17 @@ class LlmSpec extends AnyFunSuite {
     assert(expected.values.toSet.size < expected.size, "corpus should have a multi-node group")
   }
 
+  test("binaryFile source ingests raw files as binary rows with metadata") {
+    val dir = "/root/reference/messages"
+    val n = new java.io.File(dir).listFiles().count(_.getName.endsWith(".txt"))
+    val df = Multimodal.readBinaryDir(spark, dir, "*.txt")
+    assert(df.columns.toSet == Set("path", "modificationTime", "length", "content"))
+    val rows = df.select("path", "length", "content").collect()
+    assert(rows.length == n, s"expected $n files, got ${rows.length}")
+    assert(rows.forall(r => r.getAs[Array[Byte]]("content").length == r.getAs[Long]("length")),
+      "content length must match the length metadata column")
+  }
+
   test("multimodal resize updates metadata and scales payloads; frame sampling strides") {
     import spark.implicits._
     val media = Multimodal.media(spark, sf).as[graft.llm.MediaRow]
