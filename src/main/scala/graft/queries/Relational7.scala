@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Round-3 second widening (SURVEY §2B): the scale-pattern operators a
+  * 100 TB pipeline leans on — bloom-filter semi-join pre-filtering,
+  * mergeable HLL sketch aggregation (datasketches), LATERAL correlated
+  * top-k, the full regression/central-moment aggregate family, and the
+  * generator TVF family (posexplode_outer / sequence / stack / inline).
+  */
+object Relational7 {
+
+  // ---------------------------------------------------------------- q71
+  /** Bloom-filter pre-filtered semi join. The 100 TB shape: instead of
+    * shuffling the full probe side against the build-side key set, build a
+    * compact bloom filter over the build keys (`df.stat.bloomFilter`, a
+    * tree-aggregated merge — one pass, no shuffle), broadcast it (KBs–MBs
+    * where the key set itself would be GBs), and pre-filter the probe side
+    * map-side so only survivors reach the exact semi join that removes the
+    * false positives. The result is EXACTLY the plain semi join — which is
+    * why a DuckDB `IN` oracle can hash-check it. Spark's own runtime
+    * row-level filtering (spark.sql.optimizer.runtime.bloomFilter.enabled)
+    * injects the same shape automatically inside one query; doing it
+    * explicitly is how you reuse one filter across many queries (e.g. a
+    * nightly dedup-key filter applied to every incoming batch). */
+  private def q71(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 150000)
+      .select(col("o_custkey").cast("long").as("o_custkey"))
+    val bf = big.stat.bloomFilter("o_custkey", 100000L, 0.03)
+    val bfB = s.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bfB.value.mightContainLong(k))
+    Tables.customer(s, d)
+      .filter(mightContain(col("c_custkey").cast("long")))
+      .join(big.select(col("o_custkey").as("c_custkey")),
+            Seq("c_custkey"), "left_semi")
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+  }
+
+  private val q71Sql =
+    """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)""".stripMargin
+
+  // ---------------------------------------------------------------- q72
+  /** Mergeable distinct-count sketches (Apache DataSketches HLL, built into
+    * Spark 4): per-group `hll_sketch_agg` materializes a reusable binary
+    * sketch, `hll_union_agg` merges group sketches into the global count
+    * WITHOUT rescanning the data — the pre-aggregation pattern that makes
+    * 100 TB distinct-count dashboards cheap (sketches are partial-aggregated
+    * map-side; register-wise max is commutative/associative, so the result
+    * is independent of partitioning and merge order — which is what lets a
+    * constant oracle pin the estimates). Exact counts ride along to show
+    * the error envelope; the oracle computes those live in DuckDB. */
+  private def q72(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val sk = o.groupBy("o_orderstatus")
+      .agg(hll_sketch_agg(col("o_custkey"), 12).as("sk"),
+           countDistinct(col("o_custkey")).as("exact_customers"))
+    val per = sk.select(col("o_orderstatus"),
+      hll_sketch_estimate(col("sk")).as("approx_customers"),
+      col("exact_customers"))
+    val all = sk.agg(hll_union_agg(col("sk"), allowDifferentLgConfigK = false).as("sk"))
+      .crossJoin(o.agg(countDistinct(col("o_custkey")).as("exact_customers")))
+      .select(lit("ALL").as("o_orderstatus"),
+              hll_sketch_estimate(col("sk")).as("approx_customers"),
+              col("exact_customers"))
+    per.unionByName(all)
+  }
+
+  /** Approx values pinned at sf0.01 (deterministic: see scaladoc); exact
+    * values computed live. */
+  private val q72Sql =
+    """WITH exact AS (
+      |  SELECT o_orderstatus, count(DISTINCT o_custkey) AS exact_customers
+      |  FROM orders GROUP BY 1
+      |  UNION ALL
+      |  SELECT 'ALL', count(DISTINCT o_custkey) FROM orders),
+      |approx(o_orderstatus, approx_customers) AS (VALUES
+      |  ('F', CAST(1419 AS BIGINT)), ('O', CAST(1450 AS BIGINT)),
+      |  ('P', CAST(1443 AS BIGINT)), ('ALL', CAST(1488 AS BIGINT)))
+      |SELECT e.o_orderstatus, a.approx_customers, CAST(e.exact_customers AS BIGINT) AS exact_customers
+      |FROM exact e JOIN approx a USING (o_orderstatus)""".stripMargin
+
+  // ---------------------------------------------------------------- q73
+  /** LATERAL correlated subquery — per-outer-row top-k without a window
+    * over the whole fact table. Catalyst decorrelates the LATERAL into a
+    * ranked window join (one shuffle on the correlation key), so the SQL
+    * surface is per-row but the physical plan is the set-based shape that
+    * scales; DuckDB runs the identical statement. */
+  private def q73(s: SparkSession, d: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("nation_l")
+    Tables.customer(s, d).createOrReplaceTempView("customer_l")
+    s.sql("""SELECT n.n_name, t.c_name, t.c_acctbal
+            |FROM nation_l n,
+            |LATERAL (SELECT c_name, c_acctbal FROM customer_l c
+            |         WHERE c.c_nationkey = n.n_nationkey
+            |         ORDER BY c_acctbal DESC, c_name LIMIT 2) t""".stripMargin)
+  }
+
+  private val q73Sql =
+    """SELECT n.n_name, t.c_name, t.c_acctbal
+      |FROM nation n,
+      |LATERAL (SELECT c_name, c_acctbal FROM customer c
+      |         WHERE c.c_nationkey = n.n_nationkey
+      |         ORDER BY c_acctbal DESC, c_name LIMIT 2) t""".stripMargin
+
+  // ---------------------------------------------------------------- q74
+  /** Regression + central-moment aggregate family: regr_slope/intercept/
+    * r2/count/avgx/avgy (standard SQL definitions on both engines), exact
+    * interpolated median, and population skewness / excess kurtosis. All
+    * algebraic — Spark partial-aggregates them map-side like any sum; the
+    * DuckDB oracle rebuilds skew/kurt from raw central moments (its
+    * built-ins apply sample corrections, Spark's are population form). */
+  private def q74(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 4).as("r2"),
+        regr_count(col("l_extendedprice"), col("l_quantity")).as("n"),
+        round(regr_avgx(col("l_extendedprice"), col("l_quantity")), 4).as("avg_qty"),
+        round(regr_avgy(col("l_extendedprice"), col("l_quantity")), 4).as("avg_price"),
+        round(median(col("l_discount")), 4).as("med_disc"),
+        round(skewness(col("l_quantity")), 4).as("skew_qty"),
+        round(kurtosis(col("l_quantity")), 4).as("kurt_qty"))
+
+  private val q74Sql =
+    """WITH mu AS (SELECT l_returnflag, avg(l_quantity) AS m FROM lineitem GROUP BY 1),
+      |cm AS (SELECT l.l_returnflag,
+      |              avg(pow(l.l_quantity - mu.m, 2)) AS m2,
+      |              avg(pow(l.l_quantity - mu.m, 3)) AS m3,
+      |              avg(pow(l.l_quantity - mu.m, 4)) AS m4
+      |       FROM lineitem l JOIN mu USING (l_returnflag) GROUP BY 1),
+      |r AS (SELECT l_returnflag,
+      |             round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+      |             round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+      |             round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+      |             regr_count(l_extendedprice, l_quantity) AS n,
+      |             round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_qty,
+      |             round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_price,
+      |             round(median(l_discount), 4) AS med_disc
+      |      FROM lineitem GROUP BY 1)
+      |SELECT r.l_returnflag, r.slope, r.intercept, r.r2, CAST(r.n AS BIGINT) AS n,
+      |       r.avg_qty, r.avg_price, r.med_disc,
+      |       round(cm.m3 / pow(cm.m2, 1.5), 4) AS skew_qty,
+      |       round(cm.m4 / pow(cm.m2, 2) - 3, 4) AS kurt_qty
+      |FROM r JOIN cm USING (l_returnflag)""".stripMargin
+
+  // ---------------------------------------------------------------- q75
+  /** Generator (table-valued function) family beyond plain explode:
+    * `sequence` + `posexplode_outer` (ordinal-preserving fan-out),
+    * `stack` (columns→rows reshaping without a shuffle), and `inline`
+    * (array-of-struct flattening). All are Generate nodes — narrow,
+    * pipelined, codegen'd; the unioned long format is the canonical
+    * feature-table shape. */
+  private def q75(s: SparkSession, d: String): DataFrame = {
+    val sup = Tables.supplier(s, d)
+    val seqs = sup
+      .select(lit("seq").as("kind"), col("s_suppkey"),
+        posexplode_outer(sequence(lit(1), pmod(col("s_suppkey"), lit(3)) + lit(1))))
+      .select(col("kind"), col("s_suppkey"),
+        col("pos").cast("string").as("k"), col("col").cast("long").as("v"))
+    val st = sup.selectExpr("'stack' AS kind", "s_suppkey",
+      "stack(2, 'nationkey', CAST(s_nationkey AS BIGINT), " +
+      "         'acct_floor', CAST(floor(s_acctbal) AS BIGINT)) AS (k, v)")
+    val inl = sup.selectExpr("'inline' AS kind", "s_suppkey",
+      "inline(array(named_struct('k', 'acct_cents', 'v', CAST(round(s_acctbal * 100) AS BIGINT)), " +
+      "             named_struct('k', 'name_len',   'v', CAST(length(s_name) AS BIGINT))))")
+    seqs.unionByName(st).unionByName(inl)
+  }
+
+  private val q75Sql =
+    """SELECT 'seq' AS kind, s_suppkey, CAST(v - 1 AS VARCHAR) AS k, CAST(v AS BIGINT) AS v
+      |FROM (SELECT s_suppkey, unnest(generate_series(1, s_suppkey % 3 + 1)) AS v FROM supplier)
+      |UNION ALL
+      |SELECT 'stack', s_suppkey, 'nationkey', CAST(s_nationkey AS BIGINT) FROM supplier
+      |UNION ALL
+      |SELECT 'stack', s_suppkey, 'acct_floor', CAST(floor(s_acctbal) AS BIGINT) FROM supplier
+      |UNION ALL
+      |SELECT 'inline', s_suppkey, 'acct_cents', CAST(round(s_acctbal * 100) AS BIGINT) FROM supplier
+      |UNION ALL
+      |SELECT 'inline', s_suppkey, 'name_len', CAST(length(s_name) AS BIGINT) FROM supplier""".stripMargin
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery("q71_bloom_semi_join", q71, Some(q71Sql)),
+    GraftQuery("q72_hll_sketch", q72, Some(q72Sql)),
+    GraftQuery("q73_lateral_topk", q73, Some(q73Sql)),
+    GraftQuery("q74_regr_stats", q74, Some(q74Sql)),
+    GraftQuery("q75_generator_family", q75, Some(q75Sql)),
+  )
+}

@@ -140,6 +140,36 @@ class OperatorsSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = saved
   }
 
+  test("bloom pre-filter admits every true key and the composed semi join is exact") {
+    val sf = "/root/testdata/sf0.001"
+    val o = graft.core.Tables.orders(spark, sf).filter(col("o_totalprice") > 150000)
+    val c = graft.core.Tables.customer(spark, sf)
+    val bf = o.stat.bloomFilter(col("o_custkey").cast("long"), 10000L, 0.03)
+    // no false negatives: every build-side key must pass the filter
+    val keys = o.select(col("o_custkey").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    assert(keys.forall(bf.mightContainLong), "bloom filter dropped a true key")
+    // the full operator (pre-filter + exact confirm) equals the plain semi join
+    val exact = c.join(o.select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_semi")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val composed = SparkEntry.registry.find(_.name == "q71_bloom_semi_join").get
+      .run(spark, sf).select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(composed == exact)
+  }
+
+  test("HLL sketch estimates are within 5% of exact and union merges losslessly") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.registry.find(_.name == "q72_hll_sketch").get
+      .run(spark, sf).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_customers").toDouble
+      val exact = r.getAs[Long]("exact_customers").toDouble
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
   test("Misra-Gries candidates contain every key above the n/(k+1) guarantee") {
     import spark.implicits._
     // skewed stream: keys 0..9 appear 200x each, a 4000-key uniform tail
