@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      (children: Seq[Expression]) => WordNgrams(children(0), children(1))))
     // planner guard: never broadcast an exploded join side (Generate's size
     // estimate is its child's — the fan-out is invisible to the planner)
     ext.injectOptimizerRule(_ => graft.plans.PreferShuffleForExploded)
@@ -38,6 +42,8 @@ object GraftExtensions {
       "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "word_ngrams", exprs => WordNgrams(exprs(0), exprs(1)), "built-in")
     if (!spark.experimental.extraOptimizations.contains(graft.plans.PreferShuffleForExploded))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.PreferShuffleForExploded

@@ -184,11 +184,34 @@ object Relational7 {
       |UNION ALL
       |SELECT 'inline', s_suppkey, 'name_len', CAST(length(s_name) AS BIGINT) FROM supplier""".stripMargin
 
+  // ---------------------------------------------------------------- q76
+  /** Corpus-wide n-gram frequency via the engine's custom Catalyst
+    * `Generator` ([[graft.functions.WordNgrams]]): each document streams
+    * out its word trigrams row-at-a-time (no per-row array
+    * materialization), then a partial-aggregated groupBy counts them —
+    * the repeated-phrase / boilerplate detector of a training-data
+    * pipeline. The DuckDB oracle rebuilds the same trigrams with list
+    * comprehension + unnest. */
+  private def q76(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(graft.functions.WordNgrams.word_ngrams(col("text"), 3).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 3)
+
+  private val q76Sql =
+    """WITH toks AS (SELECT string_split(text, ' ') t FROM documents),
+      |ng AS (SELECT [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |               for i in range(1, len(t) - 1)] s FROM toks WHERE len(t) >= 3),
+      |ex AS (SELECT unnest(s) AS ngram FROM ng)
+      |SELECT ngram, count(*) AS n FROM ex GROUP BY 1 HAVING count(*) >= 3""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q71_bloom_semi_join", q71, Some(q71Sql)),
     GraftQuery("q72_hll_sketch", q72, Some(q72Sql)),
     GraftQuery("q73_lateral_topk", q73, Some(q73Sql)),
     GraftQuery("q74_regr_stats", q74, Some(q74Sql)),
     GraftQuery("q75_generator_family", q75, Some(q75Sql)),
+    GraftQuery("q76_ngram_tvf", q76, Some(q76Sql)),
   )
 }

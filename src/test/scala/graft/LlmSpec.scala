@@ -37,6 +37,34 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("word_ngrams generator == reference; SQL registration; edge cases") {
+    import spark.implicits._
+    val samples = Seq(
+      "one two three four",   // 2 trigrams
+      "a b c",                // exactly n words
+      "a b",                  // shorter than n → no rows
+      "",                     // single empty token
+      "x  y z",               // consecutive spaces → empty token preserved
+      "trail z q ")           // trailing space → empty last token
+    val df = samples.toDF("text")
+    val got = df.select(col("text"),
+        graft.functions.WordNgrams.word_ngrams(col("text"), 3).as("ngram"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    val want = samples.flatMap(s =>
+      graft.functions.WordNgrams.reference(s, 3).map(s -> _))
+    assert(got.sorted.toSeq == want.sorted)
+    // null text emits nothing (generator, not null row)
+    val withNull = df.unionAll(Seq(null.asInstanceOf[String]).toDF("text"))
+    assert(withNull.select(graft.functions.WordNgrams.word_ngrams(col("text"), 3))
+      .count() == want.size)
+    // SQL surface via GraftExtensions, with LATERAL VIEW shape
+    graft.functions.GraftExtensions.install(spark)
+    df.createOrReplaceTempView("ngram_docs")
+    val viaSql = spark.sql(
+      "SELECT ngram FROM ngram_docs LATERAL VIEW word_ngrams(text, 3) t AS ngram")
+    assert(viaSql.collect().map(_.getString(0)).sorted.toSeq == want.map(_._2).sorted)
+  }
+
   test("simhash LSH pairs == brute-force hamming pairs") {
     // NB: iterate a Seq, not the Map — a for/yield over a Map collapses
     // result pairs by key
