@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Physical data layout for scan pruning — the write-side half of "push
+  * down and prune". Directory partitioning (`Pipeline.writeLake`) prunes
+  * whole directories by partition value; for high-cardinality ORDER keys
+  * (dates, ids) the complementary tool is range-clustering: sample-based
+  * `repartitionByRange` makes files cover DISJOINT key ranges and
+  * `sortWithinPartitions` makes parquet row-group min/max stats tight, so
+  * a range predicate at read time skips whole files/row-groups from
+  * footer stats alone — no data pages read. At 100 TB this is the
+  * difference between a date-bounded query scanning ~1/Nth of the lake
+  * and scanning all of it; the same layout is what makes the compaction
+  * rewrite (`Pipeline.compactLake`) worth sorting. */
+object Layout {
+
+  /** Write `df` range-clustered into `n` files on `keys`. */
+  def sortedWrite(df: DataFrame, path: String, n: Int, keys: String*): Unit = {
+    val cols = keys.map(col)
+    df.repartitionByRange(n, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode("overwrite").parquet(path)
+  }
+}
+
+/** Pipeline observability: `Dataset.observe` attaches named aggregate
+  * metrics that are computed DURING an action (accumulator-style, one pass,
+  * zero extra jobs — unlike a separate `.count()` which rescans) and read
+  * back on the driver afterwards. The streaming twin surfaces the same
+  * metrics per micro-batch in QueryProgress events. This is the engine's
+  * answer to the reference's CloudWatch per-Lambda counters (invocations /
+  * errors / rejected messages). */
+object Metrics {
+  /** Attach named metrics; returns the instrumented frame and the handle to
+    * read after the next action completes. */
+  def observed(df: DataFrame, name: String, metrics: Seq[Column]): (DataFrame, Observation) = {
+    val obs = Observation(name)
+    (df.observe(obs, metrics.head, metrics.tail: _*), obs)
+  }
+}

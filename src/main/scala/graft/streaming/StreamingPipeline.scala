@@ -206,6 +206,25 @@ object StreamingPipeline {
       .toDF("user_id", "session_start_s", "session_end_s", "n_events")
   }
 
+  /** Spark 4 arbitrary-state API (`transformWithState`) — the successor to
+    * mapGroupsWithState: typed state variables (Value/List/Map) resolved by
+    * name from the state store, explicit timers, per-variable TTL, and
+    * schema evolution of state across restarts. Here: the per-user running
+    * ledger as a named ValueState[(count, sum)], emitting the refreshed
+    * row per key per micro-batch (Update mode). Requires the RocksDB state
+    * store provider (changelog-checkpointed, state spills off-heap — the
+    * 100 TB keyspace path; the default HDFS provider holds state on-heap).
+    */
+  def userStatsTws(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new UserStatsProcessor, TimeMode.None(), OM.Update())
+      .toDF("user_id", "n_events", "total_value")
+  }
+
   /** Per-user session windows (5-minute gap): user activity sessionization. */
   def userSessions(events: DataFrame): DataFrame =
     events
@@ -216,4 +235,31 @@ object StreamingPipeline {
            max(col("ts")).as("session_end"))
       .select(col("user_id"), col("n_events"),
               col("session_start"), col("session_end"))
+}
+
+/** StatefulProcessor for [[StreamingPipeline.userStatsTws]]: one named
+  * ValueState[(count, sum)] per user key. State handles are resolved in
+  * `init` (per partition, per query run) — the processor instance itself is
+  * serialized to executors, so the handle field is transient. */
+class UserStatsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Double), (Long, Long, Double)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var stats: ValueState[(Long, Double)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    stats = getHandle.getValueState[(Long, Double)](
+      "stats", Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble), TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Double)],
+      timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+    var (n, sum) = if (stats.exists()) stats.get() else (0L, 0.0)
+    rows.foreach { case (_, v) => n += 1; sum += v }
+    stats.update((n, sum))
+    Iterator.single((key, n, sum))
+  }
 }

@@ -140,6 +140,41 @@ class OperatorsSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = saved
   }
 
+  test("range-clustered layout yields files with disjoint key ranges") {
+    import graft.operators.Layout
+    val sf = "/root/testdata/sf0.001"
+    val li = graft.core.Tables.lineitem(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("layout").toString
+    Layout.sortedWrite(li, s"$tmp/li", 4, "l_shipdate")
+    val back = spark.read.parquet(s"$tmp/li")
+    assert(back.count() == li.count(), "layout rewrite must preserve rows")
+    val ranges = back
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("l_shipdate").cast("timestamp").cast("long")).as("lo"),
+           max(col("l_shipdate").cast("timestamp").cast("long")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(ranges.length > 1, "expected multiple files")
+    ranges.sliding(2).foreach { case Array((_, hi), (lo2, _)) =>
+      assert(hi <= lo2, s"file ranges overlap: $hi > $lo2")
+    }
+  }
+
+  test("observe computes named metrics in the same pass as the action") {
+    import graft.operators.Metrics
+    val sf = "/root/testdata/sf0.001"
+    val li = graft.core.Tables.lineitem(spark, sf)
+    val (df, obs) = Metrics.observed(li.filter(col("l_quantity") > 0), "scan_metrics",
+      Seq(count(lit(1)).as("rows"), sum("l_quantity").as("total_qty"),
+          count_if(col("l_discount") > lit(0.05)).as("discounted")))
+    val n = df.count()
+    val m = obs.get
+    assert(m("rows") == n)
+    val expectQty = li.agg(sum("l_quantity")).collect()(0).get(0)
+    assert(m("total_qty") == expectQty)
+    assert(m("discounted").asInstanceOf[Long] > 0)
+  }
+
   test("bloom pre-filter admits every true key and the composed semi join is exact") {
     val sf = "/root/testdata/sf0.001"
     val o = graft.core.Tables.orders(spark, sf).filter(col("o_totalprice") > 150000)

@@ -177,6 +177,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState keeps a named ValueState ledger across batches (RocksDB)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[(Long, Double)]
+    val out = StreamingPipeline.userStatsTws(in.toDF().toDF("user_id", "value"))
+    val q = out.writeStream.format("memory").queryName("tws_out")
+      .outputMode("update").start()
+    try {
+      in.addData((1L, 10.0), (1L, 5.0), (2L, 1.0)); q.processAllAvailable()
+      in.addData((1L, 2.5), (3L, 7.0)); q.processAllAvailable()
+      // last update per user wins: user 1 accumulated across both batches
+      val last = spark.table("tws_out").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+      assert(last(1L) == (3L, 17.5), s"user 1 ledger wrong: ${last(1L)}")
+      assert(last(2L) == (1L, 1.0) && last(3L) == (1L, 7.0))
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => spark.conf.set(provider, v)
+        case None => spark.conf.unset(provider)
+      }
+    }
+  }
+
   test("custom sessions never shrink on late out-of-order events across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
