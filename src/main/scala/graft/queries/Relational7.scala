@@ -206,6 +206,50 @@ object Relational7 {
       |ex AS (SELECT unnest(s) AS ngram FROM ng)
       |SELECT ngram, count(*) AS n FROM ex GROUP BY 1 HAVING count(*) >= 3""".stripMargin
 
+  // ---------------------------------------------------------------- q77
+  /** VARIANT — Spark 4's schema-on-read type for semi-structured data:
+    * `parse_json` once into a binary-encoded variant, then typed
+    * `variant_get` path extraction WITHOUT re-parsing the JSON text per
+    * field (the open-format successor to get_json_object; at scale the
+    * parse cost is paid once per row, not once per extracted path, and
+    * shredded variant columns get pushdown). try_variant_get returns null
+    * on missing paths; schema_of_variant reports the per-row inferred
+    * shape. */
+  private def q77(s: SparkSession, d: String): DataFrame = {
+    val v = parse_json(col("props"))
+    Tables.events(s, d).select(
+      col("event_id"),
+      variant_get(v, "$.k", "int").as("k_int"),
+      try_variant_get(v, "$.missing", "string").as("missing_str"),
+      schema_of_variant(v).as("v_schema"),
+      is_variant_null(v).as("v_is_null"))
+  }
+
+  private val q77Sql =
+    """SELECT event_id, CAST(props->>'$.k' AS INT) AS k_int,
+      |       CAST(NULL AS VARCHAR) AS missing_str,
+      |       'OBJECT<k: BIGINT>' AS v_schema, false AS v_is_null
+      |FROM events""".stripMargin
+
+  // ---------------------------------------------------------------- q78
+  /** Ordered string aggregation: `listagg ... WITHIN GROUP (ORDER BY ...)`
+    * (SQL:2016, new in Spark 4) — deterministic because the within-group
+    * sort fixes concatenation order regardless of partitioning. */
+  private def q78(s: SparkSession, d: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("nation_la")
+    Tables.region(s, d).createOrReplaceTempView("region_la")
+    s.sql("""SELECT r_name, listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+            |       count(*) AS n_nations
+            |FROM nation_la JOIN region_la ON n_regionkey = r_regionkey
+            |GROUP BY r_name""".stripMargin)
+  }
+
+  private val q78Sql =
+    """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      |       count(*) AS n_nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q71_bloom_semi_join", q71, Some(q71Sql)),
     GraftQuery("q72_hll_sketch", q72, Some(q72Sql)),
@@ -213,5 +257,7 @@ object Relational7 {
     GraftQuery("q74_regr_stats", q74, Some(q74Sql)),
     GraftQuery("q75_generator_family", q75, Some(q75Sql)),
     GraftQuery("q76_ngram_tvf", q76, Some(q76Sql)),
+    GraftQuery("q77_variant", q77, Some(q77Sql)),
+    GraftQuery("q78_listagg", q78, Some(q78Sql)),
   )
 }
