@@ -106,6 +106,36 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"no partial aggregation before shuffle:\n$p")
   }
 
+  test("q73: LATERAL decorrelates to group-limited window join — no per-row subquery") {
+    val p = plan("q73_lateral_topk")
+    // WindowGroupLimit prunes each group to k rows BEFORE the final rank
+    // filter (and a partial one runs pre-shuffle) — the shape that holds
+    // when the fact side is 100 TB
+    assert(p.contains("WindowGroupLimit"), s"no group-limit pushdown:\n$p")
+    assert(!p.contains("CartesianProduct"), s"lateral fell back to cartesian:\n$p")
+  }
+
+  test("q76: custom generator plans as Generate with partial agg before the shuffle") {
+    val p = plan("q76_ngram_tvf")
+    assert(p.contains("Generate") && p.contains("wordngrams"),
+      s"word_ngrams did not plan as a Generate:\n$p")
+    assert(p.contains("partial_count"), s"no map-side combine under the generate:\n$p")
+    assert(p.contains("ReadSchema: struct<text:string>"),
+      s"scan not pruned to the text column:\n$p")
+  }
+
+  test("q71: probe side keeps its pushed filter; confirm join is broadcast semi") {
+    val p = plan("q71_bloom_semi_join")
+    assert(p.contains("LeftSemi"), s"confirm join is not a semi join:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice"),
+      s"build-side predicate not pushed to the orders scan:\n$p")
+  }
+
+  test("q77: variant extraction is map-side only — zero exchanges") {
+    val p = plan("q77_variant")
+    assert(!p.contains("Exchange"), s"pure per-row variant projection must not shuffle:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-to-aggregate pipeline of q02") {
     // AQE finalizes the plan lazily — execute, then inspect the final plan
     val df = SparkEntry.queries("q02_agg_pricing")(spark, sf)
