@@ -205,6 +205,35 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("stat sketches: CMS never undercounts, freqItems is a superset, approxQuantile holds its rank bound") {
+    val sf = "/root/testdata/sf0.001"
+    val o = graft.core.Tables.orders(spark, sf)
+    // count-min sketch: one-sided error — estimate >= exact, over by <= eps*n
+    // (fixed seed makes the check deterministic)
+    val cms = o.stat.countMinSketch(col("o_custkey").cast("long"),
+      eps = 0.01, confidence = 0.95, seed = 42)
+    val exact = o.groupBy("o_custkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    exact.foreach { case (k, c) =>
+      val est = cms.estimateCount(k)
+      assert(est >= c, s"CMS undercounted key $k: $est < $c")
+      assert(est <= c + math.ceil(0.02 * n).toLong, s"CMS error blown for $k: $est vs $c")
+    }
+    // freqItems: every item with frequency > support must be present
+    // (statuses are ~33% each in this corpus, so support=0.3 covers all 3)
+    val fi = o.stat.freqItems(Array("o_orderstatus"), 0.3)
+      .collect()(0).getSeq[String](0).toSet
+    assert(Set("O", "F", "P").subsetOf(fi), s"freqItems missed a >30% item: $fi")
+    // approxQuantile: returned value's true rank within relativeError
+    val Array(est25, est50) = o.stat.approxQuantile("o_totalprice", Array(0.25, 0.5), 0.01)
+    val total = o.count().toDouble
+    Seq(est25 -> 0.25, est50 -> 0.5).foreach { case (est, q) =>
+      val rank = o.filter(col("o_totalprice") <= est).count() / total
+      assert(math.abs(rank - q) <= 0.02, s"approxQuantile($q)=$est has rank $rank")
+    }
+  }
+
   test("Misra-Gries candidates contain every key above the n/(k+1) guarantee") {
     import spark.implicits._
     // skewed stream: keys 0..9 appear 200x each, a 4000-key uniform tail
