@@ -22,9 +22,17 @@ object Pipeline {
   val MessagesDir = "/root/reference/messages"
 
   /** A1/A20 — message source. One row per message; files may hold several
-    * messages separated by blank lines (`messages/adt01.txt:10`). */
+    * messages separated by blank lines (`messages/adt01.txt:10`).
+    *
+    * The glob rides in `pathGlobFilter`, NOT in the path: a glob-in-path
+    * makes the reader's streaming-sink probe getFileStatus the literal
+    * glob string (dir slash star dot txt), which this host's filesystem
+    * intermittently fails with FileNotFoundException (observed killing all
+    * q21 queries in a whole bench run); a plain directory path stats the
+    * real directory. */
   def readMessages(spark: SparkSession, dir: String = MessagesDir): DataFrame =
-    spark.read.option("wholetext", "true").textFile(s"$dir/*.txt").toDF("file_text")
+    spark.read.option("wholetext", "true").option("pathGlobFilter", "*.txt")
+      .textFile(dir).toDF("file_text")
       .withColumn("source", regexp_extract(input_file_name(), "([^/]+)\\.txt", 1))
       .withColumn("msg", explode(split(col("file_text"), "(\\r?\\n)\\s*(\\r?\\n)+")))
       .withColumn("msg", regexp_replace(col("msg"), "\\s+$", ""))
