@@ -50,8 +50,31 @@ object Relational8 {
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
 
+  // ---------------------------------------------------------------- q81
+  /** XML scalar family (new in Spark 4 — the HL7v3/CDA path of q62 at
+    * expression granularity): `to_xml(struct(...))` serializes per row,
+    * `from_xml` parses back with an explicit schema, and `xpath_*` extracts
+    * single fields. The oracle is the identity the round-trip must satisfy —
+    * DuckDB never sees XML. */
+  private def q81(s: SparkSession, d: String): DataFrame = {
+    val xml = to_xml(struct(col("n_nationkey").as("key"), col("n_name").as("name")))
+    Tables.nation(s, d)
+      .withColumn("xml", xml)
+      .select(
+        col("n_nationkey"),
+        expr("from_xml(xml, 'key INT, name STRING')").getField("name").as("rt_name"),
+        xpath_int(col("xml"), lit("/ROW/key")).as("xp_key"),
+        xpath_string(col("xml"), lit("/ROW/name")).as("xp_name"))
+  }
+
+  private val q81Sql =
+    """SELECT n_nationkey, n_name AS rt_name,
+      |       CAST(n_nationkey AS INT) AS xp_key, n_name AS xp_name
+      |FROM nation""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q79_crosstab", q79, Some(q79Sql)),
     GraftQuery("q80_window_extra", q80, Some(q80Sql)),
+    GraftQuery("q81_xml_scalars", q81, Some(q81Sql)),
   )
 }

@@ -24,6 +24,7 @@ object StreamingPipeline {
   def messagesStream(spark: SparkSession, inboxDir: String): DataFrame =
     spark.readStream
       .option("wholetext", "true")
+      .option("pathGlobFilter", "*.txt") // glob as option, not in-path (see Pipeline.readMessages)
       .text(inboxDir)
       .withColumn("msg", explode(split(col("value"), "(\\r?\\n)\\s*(\\r?\\n)+")))
       .withColumn("msg", regexp_replace(col("msg"), "\\s+$", ""))

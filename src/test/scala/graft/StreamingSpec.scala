@@ -256,7 +256,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming lake write equals the batch pipeline on the same corpus") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
-    StreamingPipeline.run(spark, s"${Pipeline.MessagesDir}/*.txt",
+    StreamingPipeline.run(spark, Pipeline.MessagesDir,
       s"$tmp/lake", s"$tmp/ckpt")
     val streamed = spark.read.parquet(s"$tmp/lake/messages")
     val batch = Pipeline.withZone(Pipeline.stage(Pipeline.ingest(
@@ -270,7 +270,7 @@ class StreamingSpec extends AnyFunSuite {
     // catalog written too, one row per message
     assert(spark.read.parquet(s"$tmp/lake/catalog").count() == batch.count())
     // idempotence: re-running with the same checkpoint adds nothing
-    StreamingPipeline.run(spark, s"${Pipeline.MessagesDir}/*.txt",
+    StreamingPipeline.run(spark, Pipeline.MessagesDir,
       s"$tmp/lake", s"$tmp/ckpt")
     assert(spark.read.parquet(s"$tmp/lake/messages").count() == batch.count())
   }
