@@ -48,6 +48,15 @@ object SparkEntry {
         |  ('ba1dda4f745ec83255a05c6274c08692d4112d92cda0530874c53a8db8f2945c', '999999999', 'TEST', 'PATIENT', '18450101', 'F'),
         |  ('f16ffbd7ade613da299c015ea5dce61eddf90c61b9779ba093603dd014893867', '108512373', 'SAMPLES', 'JUNIOR', '01/10/1948^53 Y', 'M'))
         |  AS t(message_id, patient_id, family_name, given_name, birth_date, sex)""".stripMargin,
+    "q21_er7_source" ->
+      """SELECT * FROM (VALUES
+        |  ('adt01', CAST(2 AS BIGINT), CAST(806 AS BIGINT)),
+        |  ('adt02', CAST(1 AS BIGINT), CAST(458 AS BIGINT)),
+        |  ('adt03_AthenaHealth', CAST(5 AS BIGINT), CAST(4093 AS BIGINT)),
+        |  ('lab01', CAST(1 AS BIGINT), CAST(1408 AS BIGINT)),
+        |  ('lab02', CAST(1 AS BIGINT), CAST(7949 AS BIGINT)),
+        |  ('lab03', CAST(1 AS BIGINT), CAST(1435 AS BIGINT)))
+        |  AS t(source, n_messages, total_bytes)""".stripMargin,
     "q54_map_funcs" ->
       """SELECT segment_id, CAST(a AS BIGINT) AS n_keys, CAST(b AS BIGINT) AS n_values,
         |       CAST(c AS BIGINT) AS n_first_elems, CAST(e AS BIGINT) AS n_keys_plus

@@ -277,8 +277,17 @@ object Pipeline {
       .select(element_at(col("seg.fields")("PID-8"), 1).as("sex"))
       .groupBy("sex").agg(count(lit(1)).as("n_patients"))
 
+  /** The V2 front door (graft.sources.Er7DataSource) driving the same
+    * corpus: per-file message counts + payload bytes, with EqualTo file
+    * skipping exercised through the registered filter. */
+  def q21Er7Source(s: SparkSession, d: String): DataFrame =
+    s.read.format("er7").load(MessagesDir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_messages"), sum("n_bytes").as("total_bytes"))
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_pipeline_zones" -> q21Zones _,
     "q21_segment_profile" -> q21Segments _,
-    "q21_pid_sex" -> q21PidSex _)
+    "q21_pid_sex" -> q21PidSex _,
+    "q21_er7_source" -> q21Er7Source _)
 }
