@@ -51,6 +51,33 @@ class Er7SourceSpec extends AnyFunSuite {
       .filter(col("source") === "lab01").count())
   }
 
+  test("er7 micro-batch stream picks up new files exactly once") {
+    val inbox = java.nio.file.Files.createTempDirectory("er7-inbox")
+    def drop(name: String): Unit =
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"${Pipeline.MessagesDir}/$name"),
+        inbox.resolve(name))
+    drop("lab01.txt")
+    val q = spark.readStream.format("er7").load(inbox.toString)
+      .writeStream.format("memory").queryName("er7_stream_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val n1 = spark.table("er7_stream_out").count()
+      assert(n1 == 1, s"lab01 holds one message, got $n1")
+      drop("adt01.txt") // two messages in one file
+      q.processAllAvailable()
+      val rows = spark.table("er7_stream_out")
+        .groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows == Map("lab01" -> 1L, "adt01" -> 2L),
+        s"incremental pickup wrong: $rows")
+      // no reprocessing on an idle trigger
+      q.processAllAvailable()
+      assert(spark.table("er7_stream_out").count() == 3)
+    } finally q.stop()
+  }
+
   test("unsupported predicates are evaluated post-scan, not dropped") {
     val long = er7.filter(length(col("msg")) > 500)
     val composed = Pipeline.readMessages(spark).filter(length(col("msg")) > 500)
