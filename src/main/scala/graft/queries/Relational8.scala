@@ -72,9 +72,61 @@ object Relational8 {
       |       CAST(n_nationkey AS INT) AS xp_key, n_name AS xp_name
       |FROM nation""".stripMargin
 
+  // ---------------------------------------------------------------- q82
+  /** Aggregate modifiers and boolean aggregates: the SQL FILTER clause
+    * (per-aggregate predicates without self-joins — each FILTER rides the
+    * same partial-agg pass), bool_and/bool_or, count_if, and mode (made
+    * unambiguous by a constructed 40% majority class — both engines break
+    * frequency ties arbitrarily). */
+  private def q82(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_fa")
+    s.sql("""SELECT o_orderstatus,
+            |  count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+            |  round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2) AS urgent_total,
+            |  bool_and(o_totalprice > 0) AS all_positive,
+            |  bool_or(o_totalprice > 400000) AS any_jumbo,
+            |  count_if(o_orderkey % 2 = 0) AS n_even,
+            |  mode(CASE WHEN o_orderkey % 10 < 4 THEN 'A' ELSE concat('B', o_orderkey % 10) END) AS common_bucket
+            |FROM orders_fa GROUP BY 1""".stripMargin)
+  }
+
+  private val q82Sql =
+    """SELECT o_orderstatus,
+      |  count(*) FILTER (o_totalprice > 100000) AS n_big,
+      |  round(sum(o_totalprice) FILTER (o_orderpriority = '1-URGENT'), 2) AS urgent_total,
+      |  bool_and(o_totalprice > 0) AS all_positive,
+      |  bool_or(o_totalprice > 400000) AS any_jumbo,
+      |  count(*) FILTER (o_orderkey % 2 = 0) AS n_even,
+      |  mode(CASE WHEN o_orderkey % 10 < 4 THEN 'A' ELSE 'B' || CAST(o_orderkey % 10 AS VARCHAR) END) AS common_bucket
+      |FROM orders GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q83
+  /** Exact distinct via bitmaps — the scale substitute for count(DISTINCT):
+    * keys are bucketed (`bitmap_bucket_number`) and each bucket aggregates
+    * into a fixed 4 KB bitmap (`bitmap_construct_agg` of
+    * `bitmap_bit_position`), so the shuffle carries one small binary per
+    * (group, bucket) instead of every raw key, partial-merges via bitwise
+    * OR, and the final sum of per-bucket popcounts is EXACT — unlike HLL
+    * (q72) there is no error to budget; unlike count(DISTINCT) there is no
+    * per-key row expansion. */
+  private def q83(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_bm")
+    s.sql("""SELECT o_orderstatus, sum(bucket_distinct) AS n_customers
+            |FROM (SELECT o_orderstatus, bitmap_bucket_number(o_custkey) AS bkt,
+            |             bitmap_count(bitmap_construct_agg(bitmap_bit_position(o_custkey))) AS bucket_distinct
+            |      FROM orders_bm GROUP BY 1, 2)
+            |GROUP BY 1""".stripMargin)
+  }
+
+  private val q83Sql =
+    """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers
+      |FROM orders GROUP BY 1""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q79_crosstab", q79, Some(q79Sql)),
     GraftQuery("q80_window_extra", q80, Some(q80Sql)),
     GraftQuery("q81_xml_scalars", q81, Some(q81Sql)),
+    GraftQuery("q82_filter_aggs", q82, Some(q82Sql)),
+    GraftQuery("q83_bitmap_distinct", q83, Some(q83Sql)),
   )
 }
