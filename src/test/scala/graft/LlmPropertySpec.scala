@@ -81,6 +81,28 @@ class LlmPropertySpec extends AnyFunSuite {
     assert(splits("test") > 0 && splits("train") > 0)
   }
 
+  test("word_ngrams: count/content invariants hold on random corpora") {
+    import spark.implicits._
+    val corpus = (sample(text, 60) ++ Seq("", "a", "a b", "x  y", "trail ")).distinct
+    val df = corpus.toDF("text")
+    val rows = df.select(col("text"),
+        graft.functions.WordNgrams.word_ngrams(col("text"), 3).as("ngram"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    val byText = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    corpus.foreach { t =>
+      val words = t.split(" ", -1)
+      val got = byText.getOrElse(t, Seq.empty)
+      // count: max(0, n_words - 2); order preserved; every gram is a
+      // 3-word slice; and the generator agrees with the Scala reference
+      assert(got.length == math.max(0, words.length - 2), s"count wrong for '$t'")
+      got.foreach { g =>
+        assert(words.containsSlice(g.split(" ", -1)), s"'$g' not a slice of '$t'")
+      }
+      assert(got == graft.functions.WordNgrams.reference(t, 3),
+        s"generator diverged from reference for '$t'")
+    }
+  }
+
   test("exact dedup: duplicating every document never changes n_unique") {
     val texts = sample(text, 100)
     val once = graft.llm.Dedup.exactDedup(spark, corpusDir(texts)).collect()
