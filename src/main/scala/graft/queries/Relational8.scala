@@ -122,11 +122,44 @@ object Relational8 {
     """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers
       |FROM orders GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q84
+  /** Recursive CTE (new in Spark 4) — the calendar-fill pattern: a dense
+    * month spine generated by recursion, left-joined to sparse facts so
+    * empty months surface as zero rows (time-series completeness at the
+    * lake level; the recursion is driver-cheap — 24 rows — while the fact
+    * side stays a single shuffled aggregate). Identical SQL runs on DuckDB. */
+  private def q84(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_rc")
+    s.sql("""WITH RECURSIVE months(m) AS (
+            |  SELECT CAST('1995-01-01' AS DATE)
+            |  UNION ALL
+            |  SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+            |  WHERE m < CAST('1996-12-01' AS DATE))
+            |SELECT m, count(o_orderkey) AS n_orders,
+            |       round(coalesce(sum(o_totalprice), 0), 2) AS month_total
+            |FROM months LEFT JOIN orders_rc
+            |  ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+            |GROUP BY m""".stripMargin)
+  }
+
+  private val q84Sql =
+    """WITH RECURSIVE months(m) AS (
+      |  SELECT CAST('1995-01-01' AS DATE)
+      |  UNION ALL
+      |  SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+      |  WHERE m < CAST('1996-12-01' AS DATE))
+      |SELECT m, count(o_orderkey) AS n_orders,
+      |       round(coalesce(sum(o_totalprice), 0), 2) AS month_total
+      |FROM months LEFT JOIN orders
+      |  ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+      |GROUP BY m""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q79_crosstab", q79, Some(q79Sql)),
     GraftQuery("q80_window_extra", q80, Some(q80Sql)),
     GraftQuery("q81_xml_scalars", q81, Some(q81Sql)),
     GraftQuery("q82_filter_aggs", q82, Some(q82Sql)),
     GraftQuery("q83_bitmap_distinct", q83, Some(q83Sql)),
+    GraftQuery("q84_recursive_cte", q84, Some(q84Sql)),
   )
 }
