@@ -54,6 +54,16 @@ object Bench {
       ts.foreach(_.start()); ts.foreach(_.join())
       (System.nanoTime() - t0) / 1e6
     }
+    // process-CPU marker: total CPU seconds the suite actually burned.
+    // Starvation inflates wall-clock but not CPU-work, so wall >> cpu/cores
+    // with normal cpu identifies a throttled run even when the window falls
+    // between the spin samples.
+    def processCpuSec(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime / 1e9
+        case _ => -1.0
+      }
+    val cpuBefore = processCpuSec()
     val calibBefore = calibMs()
     val calibParBefore = calibParMs()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -79,7 +89,8 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val calib = s""""calib_ms":[${calibBefore.round},${calibAfter.round}],""" +
-      s""""calib_par_ms":[${calibParBefore.round},${calibParAfter.round}]"""
+      s""""calib_par_ms":[${calibParBefore.round},${calibParAfter.round}],""" +
+      s""""cpu_sec":${r3(processCpuSec() - cpuBefore)}"""
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},$calib,"queries":$fullQs,"sf":"$sfDir"}"""
