@@ -154,6 +154,42 @@ object Relational8 {
       |  ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
       |GROUP BY m""".stripMargin
 
+  // ---------------------------------------------------------------- q85
+  /** Typed per-group imperative logic — `groupByKey.flatMapGroups`, the
+    * batch escape hatch when no built-in aggregate expresses the per-group
+    * computation (here deliberately one that DOES have a declarative twin,
+    * so the DuckDB window oracle can hash-check the typed path): top-2
+    * customers per market segment by balance. flatMapGroups shuffles raw
+    * rows (no partial aggregation) and streams each group through the
+    * lambda with bounded memory — the right shape for custom per-entity
+    * logic; for plain top-k, q12's window (with WindowGroupLimit) is the
+    * preferred plan, which is exactly what the oracle runs. */
+  private def q85(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, d)
+      .select(col("c_mktsegment"), col("c_name"), col("c_acctbal"))
+      .as[(String, String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (seg: String, rows: Iterator[(String, String, Double)]) =>
+        // bounded: keep only the best 2 seen so far, never the whole group
+        val top = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+        rows.foreach { case (_, name, bal) =>
+          top += ((name, bal))
+          top.sortInPlaceBy { case (n, b) => (-b, n) }
+          if (top.length > 2) top.remove(2)
+        }
+        top.iterator.map { case (name, bal) => (seg, name, bal) }
+      }
+      .toDF("c_mktsegment", "c_name", "c_acctbal")
+  }
+
+  private val q85Sql =
+    """SELECT c_mktsegment, c_name, c_acctbal FROM (
+      |  SELECT c_mktsegment, c_name, c_acctbal,
+      |         row_number() OVER (PARTITION BY c_mktsegment
+      |                            ORDER BY c_acctbal DESC, c_name) AS rn
+      |  FROM customer) WHERE rn <= 2""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q79_crosstab", q79, Some(q79Sql)),
     GraftQuery("q80_window_extra", q80, Some(q80Sql)),
@@ -161,5 +197,6 @@ object Relational8 {
     GraftQuery("q82_filter_aggs", q82, Some(q82Sql)),
     GraftQuery("q83_bitmap_distinct", q83, Some(q83Sql)),
     GraftQuery("q84_recursive_cte", q84, Some(q84Sql)),
+    GraftQuery("q85_typed_groups", q85, Some(q85Sql)),
   )
 }
