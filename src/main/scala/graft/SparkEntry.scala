@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{GraftQuery, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, Relational7, Relational8}
+import graft.queries.{GraftQuery, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, Relational7, Relational8, Relational9}
 import graft.hl7.Pipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -78,11 +78,13 @@ object SparkEntry {
     Relational6.all ++
     Relational7.all ++
     Relational8.all ++
+    Relational9.all ++
     Pipeline.queries.map { case (n, f) => GraftQuery(n, f, pipelineOracles.get(n)) } ++
     graft.hl7.Views.queries.map { case (n, f) => GraftQuery(n, f, pipelineOracles.get(n)) } ++
     graft.llm.TextAnalysis.queries ++
     graft.llm.Dedup.queries ++
     graft.llm.Similarity.queries ++
+    graft.llm.Retrieval.queries ++
     graft.llm.Multimodal.queries ++
     graft.operators.AsOf.queries
 

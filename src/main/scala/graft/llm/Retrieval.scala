@@ -1,0 +1,233 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.queries.GraftQuery
+
+/** Retrieval-style corpus operators for a training-data pipeline over
+  * `documents`: TF-IDF term weighting, BM25 ranked search, sliding-window
+  * chunking, token entropy, and repetition-based quality gating (the Gopher
+  * rules shape). The reference lake has no text-analytics surface at all —
+  * these extend the engine the way `TextAnalysis`/`Dedup` do (charter
+  * north-star ops), and every query is DuckDB-oracle-checked.
+  *
+  * Scale shape: tokenization is a pure map (stays in WholeStageCodegen); the
+  * only wide ops are the (doc_id, word) and (word) aggregations, both
+  * hash-partial-aggregated map-side first. Document-frequency and corpus
+  * totals are O(vocabulary)/O(1) — joined without forced broadcast so AQE
+  * can pick broadcast at bench scale while a 100 TB vocabulary (misspellings,
+  * code, URLs make natural-text vocab unbounded) still gets a shuffle join.
+  */
+object Retrieval {
+
+  /** Shared tokenizer — must stay textually in lockstep with the DuckDB
+    * oracle's `string_split(lower(text), ' ')`. */
+  private def toks(c: Column): Column = split(lower(c), " ")
+
+  /** (doc_id, word) exploded token stream, empty tokens dropped. */
+  private def tokenStream(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+
+  /** Per-(doc, word) term frequencies — the base relation for everything
+    * below. Partial aggregation collapses the explosion map-side, so the
+    * shuffle carries one row per distinct (doc, word), not per token. */
+  private def termFreq(s: SparkSession, d: String): DataFrame =
+    tokenStream(s, d).groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+
+  // ---------------------------------------------------------------- q86
+  /** TF-IDF: weight = tf × ln(N / df); top-3 terms per document for a fixed
+    * doc slice. Ranking runs on the ROUNDED weight (+ word tiebreak) so both
+    * engines order identically even when distinct (tf, df) pairs produce
+    * near-equal products. */
+  def tfidf(s: SparkSession, d: String): DataFrame = {
+    val tf = termFreq(s, d)
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val total = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.filter(col("doc_id") < 25)
+      .join(dfreq, "word")
+      .crossJoin(broadcast(total))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("word"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "rk", "word", "tfidf")
+  }
+
+  val tfidfSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents
+      |), tf AS (
+      |  SELECT doc_id, word, count(*) AS tf FROM toks WHERE word <> '' GROUP BY 1, 2
+      |), df AS (
+      |  SELECT word, count(*) AS df FROM tf GROUP BY 1
+      |), n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT doc_id, rk, word, tfidf FROM (
+      |  SELECT tf.doc_id, tf.word,
+      |         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf,
+      |         row_number() OVER (
+      |           PARTITION BY tf.doc_id
+      |           ORDER BY round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) DESC,
+      |                    tf.word) AS rk
+      |  FROM tf JOIN df USING (word) CROSS JOIN n
+      |  WHERE tf.doc_id < 25
+      |) WHERE rk <= 3""".stripMargin
+
+  // ---------------------------------------------------------------- q87
+  /** BM25 ranked search (k1 = 1.2, b = 0.75) for a fixed 3-term query.
+    * idf = ln(1 + (N − df + 0.5)/(df + 0.5)); per-term score uses the
+    * standard length normalization against the corpus mean document length.
+    * The term filter lands BEFORE the tf aggregation, so at scale only
+    * postings for the query terms ever shuffle — the classic
+    * "search is a filtered join over an inverted index" plan. */
+  def bm25(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("spark", "vector", "merge")
+    val tf = termFreq(s, d).filter(col("word").isin(terms: _*))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val lens = tokenStream(s, d).groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val scored = tf
+      .join(dfreq, "word")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("term_score",
+        col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+    val byDoc = scored.groupBy("doc_id")
+      .agg(round(sum("term_score"), 4).as("bm25"), count(lit(1)).as("n_terms_hit"))
+    byDoc.orderBy(col("bm25").desc, col("doc_id")).limit(10)
+  }
+
+  val bm25Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents
+      |), tf AS (
+      |  SELECT doc_id, word, count(*) AS tf FROM toks
+      |  WHERE word IN ('spark', 'vector', 'merge') GROUP BY 1, 2
+      |), df AS (
+      |  SELECT word, count(*) AS df FROM tf GROUP BY 1
+      |), lens AS (
+      |  SELECT doc_id, count(*) AS dl FROM toks WHERE word <> '' GROUP BY 1
+      |), stats AS (
+      |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens
+      |)
+      |SELECT doc_id, round(sum(term_score), 4) AS bm25, count(*) AS n_terms_hit
+      |FROM (
+      |  SELECT tf.doc_id,
+      |         ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+      |           (tf.tf * 2.2) /
+      |           (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / stats.avgdl)) AS term_score
+      |  FROM tf JOIN df USING (word) JOIN lens USING (doc_id) CROSS JOIN stats
+      |)
+      |GROUP BY doc_id
+      |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q88
+  /** Sliding-window chunking — 30-token chunks, stride 20 (10-token
+    * overlap), the standard context-window prep for embedding/training.
+    * Pure per-row array work (`sequence` + `slice`), zero shuffles: at
+    * 100 TB this is exactly the map-only chunker you want, and the chunk
+    * id is derivable (doc_id, chunk_start) so downstream dedup/joins need
+    * no global counter. */
+  def chunk(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 40)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    docs
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(20))).as("chunk_start"))
+      .select(col("doc_id"), col("chunk_start"),
+        slice(col("toks"), col("chunk_start") + 1, lit(30)).as("chunk"))
+      .select(col("doc_id"), col("chunk_start"),
+        size(col("chunk")).as("n_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+  }
+
+  val chunkSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 40
+      |), st AS (
+      |  SELECT doc_id, toks,
+      |         unnest(generate_series(0, len(toks) - 1, 20)) AS chunk_start
+      |  FROM docs
+      |)
+      |SELECT doc_id, chunk_start, len(chunk) AS n_tokens,
+      |       array_to_string(chunk, ' ') AS chunk_text
+      |FROM (
+      |  SELECT doc_id, chunk_start,
+      |         list_slice(toks, chunk_start + 1, chunk_start + 30) AS chunk
+      |  FROM st
+      |)""".stripMargin
+
+  // ---------------------------------------------------------------- q89
+  /** Shannon entropy of the per-document token distribution (nats) — the
+    * cheap perplexity proxy for quality filtering (low entropy = repetitive
+    * boilerplate, high = natural text). One aggregation over the term-freq
+    * relation; entropy is an algebraic fold of (tf ln tf, tf). */
+  def wordEntropy(s: SparkSession, d: String): DataFrame =
+    termFreq(s, d)
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tokens"),
+        round(
+          log(sum("tf")) - sum(col("tf") * log(col("tf"))) / sum("tf"),
+          4).as("entropy"))
+      .select("doc_id", "n_tokens", "entropy")
+
+  val wordEntropySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents
+      |), tf AS (
+      |  SELECT doc_id, word, count(*) AS tf FROM toks WHERE word <> '' GROUP BY 1, 2
+      |)
+      |SELECT doc_id, sum(tf) AS n_tokens,
+      |       round(ln(sum(tf)) - sum(tf * ln(tf)) / sum(tf), 4) AS entropy
+      |FROM tf GROUP BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q90
+  /** Repetition-based quality gate (the Gopher-rules shape): unique-token
+    * ratio, top-token dominance, tf-weighted mean token length, and the
+    * resulting keep/drop verdict. Everything folds out of the (doc, word, tf)
+    * relation in one grouped pass — no second scan of the text. */
+  def repetitionQuality(s: SparkSession, d: String): DataFrame =
+    termFreq(s, d)
+      .groupBy("doc_id")
+      .agg(
+        sum("tf").as("n_tokens"),
+        count(lit(1)).as("n_unique"),
+        round(count(lit(1)).cast("double") / sum("tf"), 4).as("unique_frac"),
+        round(max("tf").cast("double") / sum("tf"), 4).as("top_frac"),
+        round(sum(col("tf") * length(col("word"))).cast("double") / sum("tf"), 4)
+          .as("mean_tok_len"))
+      .withColumn("keep",
+        (col("unique_frac") >= 0.3) && (col("top_frac") <= 0.2) &&
+          col("n_tokens").between(10, 1000))
+      .select("doc_id", "n_tokens", "n_unique", "unique_frac", "top_frac",
+        "mean_tok_len", "keep")
+
+  val repetitionQualitySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents
+      |), tf AS (
+      |  SELECT doc_id, word, count(*) AS tf FROM toks WHERE word <> '' GROUP BY 1, 2
+      |)
+      |SELECT doc_id, sum(tf) AS n_tokens, count(*) AS n_unique,
+      |       round(CAST(count(*) AS DOUBLE) / sum(tf), 4) AS unique_frac,
+      |       round(CAST(max(tf) AS DOUBLE) / sum(tf), 4) AS top_frac,
+      |       round(CAST(sum(tf * len(word)) AS DOUBLE) / sum(tf), 4) AS mean_tok_len,
+      |       (round(CAST(count(*) AS DOUBLE) / sum(tf), 4) >= 0.3
+      |        AND round(CAST(max(tf) AS DOUBLE) / sum(tf), 4) <= 0.2
+      |        AND sum(tf) BETWEEN 10 AND 1000) AS keep
+      |FROM tf GROUP BY doc_id""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q86_tfidf", tfidf, Some(tfidfSql)),
+    GraftQuery("q87_bm25", bm25, Some(bm25Sql)),
+    GraftQuery("q88_chunk", chunk, Some(chunkSql)),
+    GraftQuery("q89_word_entropy", wordEntropy, Some(wordEntropySql)),
+    GraftQuery("q90_repetition_quality", repetitionQuality, Some(repetitionQualitySql)))
+}
