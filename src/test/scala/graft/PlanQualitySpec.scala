@@ -136,6 +136,32 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"pure per-row variant projection must not shuffle:\n$p")
   }
 
+  test("q88: chunking is map-only — zero exchanges") {
+    val p = plan("q88_chunk")
+    assert(!p.contains("Exchange"), s"chunker shuffles:\n$p")
+  }
+
+  test("q87: BM25 term filter lands before the tf aggregation") {
+    val p = plan("q87_bm25")
+    // the posting-list restriction must precede the first shuffle: the IN
+    // filter shows up as a Filter over the exploded tokens, and the tf
+    // HashAggregate above it is partial
+    assert("""word#\d+ IN \(spark,vector,merge\)""".r.findFirstIn(p).isDefined,
+      s"term filter missing from plan:\n$p")
+    assert(p.contains("partial_count"), s"tf aggregation not two-phase:\n$p")
+  }
+
+  test("q94: histogram aggregates partially before the exchange") {
+    val p = plan("q94_width_bucket")
+    assert(p.contains("partial_count"), s"no partial aggregation:\n$p")
+  }
+
+  test("q97: SQL EXISTS/NOT EXISTS decorrelate to semi/anti joins") {
+    val p = plan("q97_exists_subquery")
+    assert(p.contains("LeftSemi"), s"EXISTS not decorrelated to semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS not decorrelated to anti join:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-to-aggregate pipeline of q02") {
     // AQE finalizes the plan lazily — execute, then inspect the final plan
     val df = SparkEntry.queries("q02_agg_pricing")(spark, sf)

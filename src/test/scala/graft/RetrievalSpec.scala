@@ -1,0 +1,133 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import graft.llm.Retrieval
+import graft.core.Tables
+
+/** Brute-force references and invariants for the retrieval operators
+  * (q86-q90). The DuckDB oracle already hash-checks them end-to-end; these
+  * specs pin the SEMANTICS against independent driver-side recomputation so
+  * an oracle-side and Spark-side bug can't cancel out. */
+class RetrievalSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Same tokenizer contract as Retrieval.toks / the DuckDB oracle:
+    * split on single spaces, keep interior empties out via filter. */
+  private def tokens(text: String): Seq[String] =
+    text.toLowerCase.split(" ", -1).toSeq.filter(_.nonEmpty)
+
+  private def docs(): Map[Long, String] =
+    Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("bm25 matches brute-force reference ranking") {
+    val corpus = docs()
+    val terms = Seq("spark", "vector", "merge")
+    val toks = corpus.map { case (id, t) => id -> tokens(t) }
+    val lens = toks.collect { case (id, ts) if ts.nonEmpty => id -> ts.size.toDouble }
+    val n = lens.size
+    val avgdl = lens.values.sum / n
+    val tf = for ((id, ts) <- toks; w <- terms;
+                  c = ts.count(_ == w) if c > 0) yield (id, w, c)
+    val df = tf.groupBy(_._2).map { case (w, xs) => w -> xs.size }
+    val scored = tf.groupBy(_._1).map { case (id, xs) =>
+      val s = xs.map { case (_, w, c) =>
+        val idf = math.log(1.0 + (n - df(w) + 0.5) / (df(w) + 0.5))
+        idf * (c * 2.2) / (c + 1.2 * (0.25 + 0.75 * lens(id) / avgdl))
+      }.sum
+      (id, round4(s), xs.size.toLong)
+    }.toSeq
+    val expect = scored.sortBy { case (id, s, _) => (-s, id) }.take(10)
+    val got = Retrieval.bm25(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got.map(t => (t._1, t._3)) == expect.map(t => (t._1, t._3)))
+    got.zip(expect).foreach { case (g, e) =>
+      assert(math.abs(g._2 - e._2) <= 1e-4, s"score drift at doc ${g._1}")
+    }
+  }
+
+  test("tfidf matches brute-force reference for a sample doc") {
+    val corpus = docs()
+    val n = corpus.size
+    val tfAll = corpus.toSeq.flatMap { case (id, t) =>
+      tokens(t).groupBy(identity).map { case (w, xs) => (id, w, xs.size) }
+    }
+    val dfreq = tfAll.groupBy(_._2).map { case (w, xs) => w -> xs.size }
+    val expect = tfAll.filter(_._1 < 25).groupBy(_._1).flatMap { case (id, xs) =>
+      xs.map { case (_, w, c) => (id, w, round4(c * math.log(n.toDouble / dfreq(w)))) }
+        .toSeq.sortBy { case (_, w, s) => (-s, w) }.take(3).zipWithIndex
+        .map { case ((_, w, s), i) => (id, i + 1, w, s) }
+    }.toSet
+    val got = Retrieval.tfidf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3))).toSet
+    assert(got == expect)
+  }
+
+  test("chunking covers every token with stride overlap and bounded width") {
+    val corpus = docs().filter(_._1 < 40)
+    val byDoc = Retrieval.chunk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .groupBy(_._1)
+    assert(byDoc.keySet == corpus.keySet)
+    corpus.foreach { case (id, text) =>
+      // raw split INCLUDING empties — chunking reconstructs text, not tokens
+      val raw = text.split(" ", -1).toSeq
+      val chunks = byDoc(id).sortBy(_._2)
+      assert(chunks.head._2 == 0, "first chunk starts at token 0")
+      assert(chunks.map(_._2).toSeq == chunks.indices.map(_ * 20), "stride-20 starts")
+      chunks.foreach { case (_, start, nTok, ctext) =>
+        assert(nTok <= 30 && nTok >= 1)
+        assert(ctext == raw.slice(start, start + 30).mkString(" "),
+          s"chunk content mismatch at doc $id start $start")
+      }
+      // coverage: last chunk reaches the final token
+      val (_, lastStart, lastN, _) = chunks.last
+      assert(lastStart + lastN >= raw.size, s"tail tokens uncovered in doc $id")
+    }
+  }
+
+  test("word entropy: bounds and exact recomputation") {
+    val corpus = docs()
+    val got = Retrieval.wordEntropy(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(_._1).toSet ==
+      corpus.collect { case (id, t) if tokens(t).nonEmpty => id }.toSet)
+    got.foreach { case (id, nTok, h) =>
+      val tf = tokens(corpus(id)).groupBy(identity).map(_._2.size.toDouble)
+      assert(nTok == tf.sum.toLong)
+      val ref = -tf.map { c => val p = c / tf.sum; p * math.log(p) }.sum
+      assert(math.abs(h - ref) <= 1e-3, s"entropy drift at doc $id: $h vs $ref")
+      // h is rounded to 4 decimals — allow half-ulp-of-rounding slack
+      assert(h >= -1e-9 && h <= math.log(tf.size.toDouble) + 5e-5,
+        s"entropy out of [0, ln k] at doc $id")
+    }
+  }
+
+  test("repetition quality gate recomputes from raw text") {
+    val corpus = docs()
+    val got = Retrieval.repetitionQuality(spark, sf).collect()
+    got.foreach { r =>
+      val ts = tokens(corpus(r.getLong(0)))
+      val tf = ts.groupBy(identity).map(_._2.size)
+      assert(r.getLong(1) == ts.size)
+      assert(r.getLong(2) == tf.size)
+      assert(r.getDouble(3) == round4(tf.size.toDouble / ts.size))
+      assert(r.getDouble(4) == round4(tf.max.toDouble / ts.size))
+      val keepRef = r.getDouble(3) >= 0.3 && r.getDouble(4) <= 0.2 &&
+        ts.size >= 10 && ts.size <= 1000
+      assert(r.getBoolean(6) == keepRef)
+    }
+  }
+}
