@@ -264,6 +264,82 @@ object Similarity {
     (top, Seq(e))
   }
 
+  // ---------------------------------------------------------------- kmeans
+  /** Distributed Lloyd's k-means over an (id, v) vector frame — the
+    * training step the IVF index (q40) elides with its every-25th-vector
+    * heuristic. Each iteration is two shuffles:
+    *
+    *   1. assignment — corpus ⋈ broadcast(centroids), argmin over squared
+    *      L2 via `min_by` partial aggregation (|v|² is constant per row, so
+    *      the score folds one dot product per pair: |c|² − 2·v·c);
+    *   2. update — per-dimension mean via posexplode + (cent_id, pos)
+    *      aggregation, reassembled with array_sort∘collect_list.
+    *
+    * The update shuffles n·dim rows; at 100 TB the upgrade is a typed
+    * Aggregator summing fixed-width double arrays in-place (one shuffle row
+    * per partition per centroid instead of per element) — same plan shape,
+    * denser payload. Iterations localCheckpoint: lineage would otherwise
+    * double per round and replay every prior join on each action.
+    * Deterministic end-to-end: stride-seeded init, cent_id tiebreak on
+    * argmin ties, and per-dimension means — no RNG, no partition-order
+    * dependence. Empty clusters drop out (documented Lloyd's behavior
+    * with deterministic seeding; k shrinks rather than resampling). */
+  def kmeans(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cents = e.filter(pmod(col("vec_id"), lit(29)) === 0)
+      .orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    for (_ <- 1 to iters) {
+      val assigned = assign(e, cents)
+      cents = assigned
+        .select(col("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cent_id", "pos").agg(avg("x").as("m"))
+        .groupBy("cent_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          c => c.getField("m")).as("cv"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
+  /** Nearest-centroid assignment: (vec_id, v, cent_id). */
+  private[graft] def assign(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .withColumn("score", dot(col("cv"), col("cv")) - lit(2.0) * dot(col("v"), col("cv")))
+      .groupBy("vec_id")
+      .agg(min_by(col("cent_id"), struct(col("score"), col("cent_id"))).as("cent_id"),
+           first(col("v")).as("v"))
+
+  /** q98 — IVF training summary: cluster sizes, centroid norms, and
+    * within-cluster SSE after 3 Lloyd's rounds (k=8). Deterministic, so the
+    * sf0.01 run pins as a golden VALUES oracle; the semantic checks (SSE
+    * monotone, fixpoint-vs-members, determinism) live in RetrievalSpec. */
+  def ivfTrain(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d).select("vec_id", "v")
+    val cents = kmeans(e, 8, 3)
+    assign(e, cents)
+      .join(broadcast(cents), "cent_id")
+      .withColumn("d2",
+        dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cv")) +
+          dot(col("cv"), col("cv")))
+      .groupBy("cent_id")
+      .agg(count(lit(1)).as("n_members"),
+           round(sqrt(dot(first(col("cv")), first(col("cv")))), 4).as("cnorm"),
+           round(sum("d2"), 2).as("sse"))
+  }
+
+  /** Pinned sf0.01 golden for q98 (deterministic Lloyd's — see ivfTrain). */
+  private val ivfTrainGoldenSql: Option[String] = Some(
+    """SELECT * FROM (VALUES
+      |  (CAST(0 AS BIGINT), CAST(48 AS BIGINT), CAST(0.2828 AS DOUBLE), CAST(43.92 AS DOUBLE)),
+      |  (CAST(29 AS BIGINT), CAST(57 AS BIGINT), CAST(0.2404 AS DOUBLE), CAST(53.67 AS DOUBLE)),
+      |  (CAST(58 AS BIGINT), CAST(62 AS BIGINT), CAST(0.273 AS DOUBLE), CAST(57.33 AS DOUBLE)),
+      |  (CAST(87 AS BIGINT), CAST(58 AS BIGINT), CAST(0.2799 AS DOUBLE), CAST(53.55 AS DOUBLE)),
+      |  (CAST(116 AS BIGINT), CAST(77 AS BIGINT), CAST(0.2553 AS DOUBLE), CAST(72.03 AS DOUBLE)),
+      |  (CAST(145 AS BIGINT), CAST(68 AS BIGINT), CAST(0.2426 AS DOUBLE), CAST(63.93 AS DOUBLE)),
+      |  (CAST(174 AS BIGINT), CAST(64 AS BIGINT), CAST(0.2652 AS DOUBLE), CAST(59.48 AS DOUBLE)),
+      |  (CAST(203 AS BIGINT), CAST(66 AS BIGINT), CAST(0.2604 AS DOUBLE), CAST(61.58 AS DOUBLE)))
+      |  AS t(cent_id, n_members, cnorm, sse)""".stripMargin)
+
   /** Pinned sf0.01 golden for the two approximate ANN paths. The driver's
     * correctness gate always runs at sf0.01, where both IVF and LSH recover
     * the exact brute-force top-5 (deterministic arithmetic: fixed
@@ -284,5 +360,6 @@ object Similarity {
     GraftQuery("q39_knn_brute", knnBrute _, Some(knnBruteSql)),
     GraftQuery("q40_knn_ivf", knnIvf _, Some(annGoldenSql)),
     GraftQuery("q56_knn_lsh", knnLsh _, Some(annGoldenSql)),
-    GraftQuery("q70_knn_quantized", knnQuantized _, Some(annGoldenSql)))
+    GraftQuery("q70_knn_quantized", knnQuantized _, Some(annGoldenSql)),
+    GraftQuery("q98_ivf_train", ivfTrain _, ivfTrainGoldenSql))
 }

@@ -115,6 +115,50 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeans: SSE non-increasing, update is the member mean, deterministic") {
+    import graft.llm.Similarity
+    val e = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val vecsById = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+
+    def sse(cents: Map[Long, Array[Double]]): Double =
+      vecsById.values.map { v =>
+        cents.values.map { c =>
+          v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+        }.min
+      }.sum
+
+    def centsOf(iters: Int): Map[Long, Array[Double]] =
+      Similarity.kmeans(e, 8, iters).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+
+    val runs = (1 to 3).map(centsOf)
+    val sses = runs.map(sse)
+    assert(sses.sliding(2).forall { case Seq(a, b) => b <= a + 1e-9 },
+      s"Lloyd's SSE increased: $sses")
+
+    // fixpoint structure: each reported centroid is the per-dimension mean
+    // of the vectors assigned to it by the PREVIOUS round's centroids —
+    // verify via one extra assignment round driver-side on the iters=2 set
+    val prev = runs(1)
+    val members = vecsById.groupBy { case (_, v) =>
+      prev.minBy { case (cid, c) =>
+        (v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+      }._1
+    }
+    val next = centsOf(3)
+    next.foreach { case (cid, c) =>
+      val m = members(cid).values.toSeq
+      val mean = m.head.indices.map(i => m.map(_(i)).sum / m.size)
+      c.zip(mean).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= 1e-9, s"centroid $cid not the member mean")
+      }
+    }
+    assert(centsOf(3).map { case (k, v) => k -> v.toSeq } ==
+      next.map { case (k, v) => k -> v.toSeq }, "kmeans not deterministic")
+  }
+
   test("repetition quality gate recomputes from raw text") {
     val corpus = docs()
     val got = Retrieval.repetitionQuality(spark, sf).collect()
