@@ -24,6 +24,31 @@ object Layout {
       .sortWithinPartitions(cols: _*)
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Partition backfill via DYNAMIC partition overwrite: rewrite ONLY the
+    * Hive partitions present in `df`, leaving every other partition of the
+    * table untouched. With the default STATIC mode an `overwrite` of one
+    * zone's reprocessed messages would drop the whole table first — at
+    * 100 TB the difference between rewriting one day/zone directory and
+    * re-materializing the lake. The conf is set per-write (option), not
+    * session-wide, so concurrent static-overwrite callers keep their
+    * semantics. */
+  def overwritePartitions(df: DataFrame, path: String, partitionKeys: String*): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionKeys: _*)
+      .parquet(path)
+
+  /** Bounded-file write: cap rows per output file so a skewed writer task
+    * can't emit a multi-GB file (parquet readers parallelize across files
+    * and row groups; one giant file serializes the scan's planning split
+    * and any later compaction move). Spark splits a task's output into
+    * multiple files after `maxRecordsPerFile` rows — this composes with the
+    * range clustering above (disjoint key ranges AND bounded file sizes). */
+  def boundedWrite(df: DataFrame, path: String, maxRecordsPerFile: Long): Unit =
+    df.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
 }
 
 /** Pipeline observability: `Dataset.observe` attaches named aggregate

@@ -160,6 +160,41 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic partition overwrite rewrites only the touched partition") {
+    import graft.operators.Layout
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("dyn-overwrite").toString
+    val t = s"$tmp/lake"
+    val v1 = Seq(("ingestion", "m1", 1), ("ingestion", "m2", 2),
+                 ("staging", "m1", 10), ("staging", "m2", 20))
+      .toDF("zone", "message_id", "rev")
+    Layout.overwritePartitions(v1, t, "zone")
+    // backfill ONLY the staging zone with reprocessed rows
+    val v2 = Seq(("staging", "m1", 11), ("staging", "m3", 30))
+      .toDF("zone", "message_id", "rev")
+    Layout.overwritePartitions(v2, t, "zone")
+    val back = spark.read.parquet(t)
+      .select("zone", "message_id", "rev").as[(String, String, Int)]
+      .collect().toSet
+    assert(back == Set(
+      ("ingestion", "m1", 1), ("ingestion", "m2", 2),   // untouched partition
+      ("staging", "m1", 11), ("staging", "m3", 30)),    // fully replaced
+      s"dynamic overwrite produced $back")
+  }
+
+  test("bounded write caps rows per file") {
+    import graft.operators.Layout
+    val df = spark.range(1000).toDF("id").coalesce(1)
+    val tmp = java.nio.file.Files.createTempDirectory("bounded").toString
+    Layout.boundedWrite(df, s"$tmp/t", 100)
+    val back = spark.read.parquet(s"$tmp/t")
+    assert(back.count() == 1000)
+    val perFile = back.groupBy(input_file_name()).count()
+      .collect().map(_.getLong(1))
+    assert(perFile.length >= 10, s"expected >=10 files, got ${perFile.length}")
+    assert(perFile.forall(_ <= 100), s"file exceeds cap: ${perFile.max}")
+  }
+
   test("observe computes named metrics in the same pass as the action") {
     import graft.operators.Metrics
     val sf = "/root/testdata/sf0.001"
