@@ -83,7 +83,8 @@ object Bench {
     // failure). Per-query detail for the headline Q1-Q20 protocol set
     // (BASELINE.md); the rest is summarized, full detail in BENCH_local.json.
     val headline = results.filter { case (k, _) =>
-      k.take(3).drop(1).forall(_.isDigit) && k.slice(1, 3).toInt <= 20
+      val num = k.drop(1).takeWhile(_.isDigit)
+      num.nonEmpty && num.toInt <= 20
     }
     val qs = headline.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")

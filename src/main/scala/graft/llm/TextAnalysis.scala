@@ -152,11 +152,90 @@ object TextAnalysis {
       col("doc_id"),
       graft.functions.RollingHash.rolling_hash(normalized(col("text"))).as("rolling_fp"))
 
+  // ---------------------------------------------------------------- pii
+  /** PII masking cascade — the redaction pass a training corpus runs before
+    * anything else sees the text. Synthesizes a contact-like string from
+    * customer fields (the lake's tables carry no real PII), then masks in
+    * precedence order: phone-shaped `ddd-dddd` → [PHONE] first, remaining
+    * digit runs → [NUM] — and reports per-row redaction counts for the
+    * audit trail. Order matters (the phone pattern must fire before the
+    * generic digit pass consumes it); both engines apply global
+    * replacement. Pure map-side codegen'd regex work. */
+  def piiRedact(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .withColumn("raw",
+        concat(col("c_name"), lit(" acct "), col("c_acctbal").cast("string"),
+          lit(" phone 555-"), lpad(pmod(col("c_custkey"), lit(10000)), 4, "0")))
+      .select(
+        col("c_custkey"),
+        regexp_count(col("raw"), lit("\\d{3}-\\d{4}")).as("n_phone"),
+        regexp_count(regexp_replace(col("raw"), "\\d{3}-\\d{4}", "[PHONE]"),
+          lit("\\d+")).as("n_num"),
+        regexp_replace(
+          regexp_replace(col("raw"), "\\d{3}-\\d{4}", "[PHONE]"),
+          "\\d+", "[NUM]").as("masked"))
+
+  val piiRedactSql: String =
+    """WITH raw AS (
+      |  SELECT c_custkey,
+      |         c_name || ' acct ' || CAST(c_acctbal AS VARCHAR) || ' phone 555-' ||
+      |           lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS raw
+      |  FROM customer)
+      |SELECT c_custkey,
+      |  len(regexp_extract_all(raw, '\d{3}-\d{4}')) AS n_phone,
+      |  len(regexp_extract_all(regexp_replace(raw, '\d{3}-\d{4}', '[PHONE]', 'g'), '\d+'))
+      |    AS n_num,
+      |  regexp_replace(regexp_replace(raw, '\d{3}-\d{4}', '[PHONE]', 'g'),
+      |                 '\d+', '[NUM]', 'g') AS masked
+      |FROM raw""".stripMargin
+
+  // ---------------------------------------------------------------- vocab
+  /** Vocabulary construction with Zipf coverage — the tokenizer-training
+    * prep: global word counts, frequency rank, and the running coverage
+    * fraction (what % of all tokens the top-r words explain). The cumsum
+    * window is a single partition by design: it runs over the VOCABULARY
+    * (already aggregated, ≤ |vocab| rows), not the corpus — the classic
+    * "aggregate first, then window the small result" shape that keeps a
+    * 100 TB corpus out of the window sort. Top-20 emitted. */
+  def vocab(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("total"))
+    val w = Window.orderBy(col("n").desc, col("word"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("coverage",
+        round(sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          / col("total"), 4))
+      .filter(col("rank") <= 20)
+      .select("rank", "word", "n", "coverage")
+  }
+
+  val vocabSql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents),
+      |counts AS (
+      |  SELECT word, count(*) AS n FROM toks WHERE word <> '' GROUP BY 1),
+      |t AS (SELECT sum(n) AS total FROM counts)
+      |SELECT rank, word, n, coverage FROM (
+      |  SELECT word, n,
+      |         row_number() OVER (ORDER BY n DESC, word) AS rank,
+      |         round(sum(n) OVER (ORDER BY n DESC, word
+      |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |               / t.total, 4) AS coverage
+      |  FROM counts CROSS JOIN t)
+      |WHERE rank <= 20""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q30_text_stats", textStats _, Some(textStatsSql)),
     GraftQuery("q31_token_count", tokenCount _, Some(tokenCountSql)),
     GraftQuery("q32_quality_score", qualityScore _, Some(qualityScoreSql)),
     GraftQuery("q33_lang_id", langId _, Some(langIdSql)),
     GraftQuery("q34_fingerprint", fingerprint _, Some(fingerprintSql)),
-    GraftQuery("q34b_rolling_fingerprint", rollingFingerprint _, None))
+    GraftQuery("q34b_rolling_fingerprint", rollingFingerprint _, None),
+    GraftQuery("q99_pii_redact", piiRedact _, Some(piiRedactSql)),
+    GraftQuery("q100_vocab", vocab _, Some(vocabSql)))
 }
