@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output goes RAW to this process's stdout, not through sbt's
+// logger: without this every println is prefixed "[info] ", so a consumer
+// scraping for a line that IS a JSON object (graft.Bench's contract line)
+// never finds one at line start (observed: driver bench "parsed": null in
+// rounds 1-2 while the JSON was plainly present inside the [info] noise).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
