@@ -182,6 +182,79 @@ object Relational9 {
       |  AND NOT EXISTS (SELECT 1 FROM orders o
       |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""".stripMargin
 
+  // ---------------------------------------------------------------- q101
+  /** Named-parameter SQL (`spark.sql(text, args)`, Spark 3.4+): the safe
+    * templating surface — parameters are bound by the parser as literals,
+    * never string-spliced (no injection, plan cache friendly). The oracle
+    * is the same query with the literals inlined. */
+  private def q101(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_prm")
+    s.sql(
+      """SELECT l_returnflag, count(*) AS n,
+        |       round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem_prm
+        |WHERE l_quantity >= :minq AND l_shipdate < CAST(:cutoff AS TIMESTAMP_NTZ)
+        |GROUP BY l_returnflag""".stripMargin,
+      Map("minq" -> 30, "cutoff" -> "1997-01-01"))
+  }
+
+  private val q101Sql =
+    """SELECT l_returnflag, count(*) AS n,
+      |       round(sum(l_extendedprice), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_quantity >= 30 AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q102
+  /** SQL PIVOT clause (the SQL spelling of q22's DataFrame pivot): status
+    * columns materialized per priority. The oracle rebuilds the matrix
+    * with FILTER aggregates — same plan Spark lowers PIVOT to (a groupBy
+    * with one conditional aggregate per IN value; no extra shuffle vs the
+    * plain aggregation). */
+  private def q102(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_pv")
+    s.sql(
+      """SELECT o_orderpriority,
+        |       round(coalesce(f, 0), 2) AS rev_f,
+        |       round(coalesce(o, 0), 2) AS rev_o,
+        |       round(coalesce(p, 0), 2) AS rev_p
+        |FROM (SELECT o_orderpriority, o_orderstatus, o_totalprice FROM orders_pv)
+        |PIVOT (sum(o_totalprice) FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p))
+        |""".stripMargin)
+  }
+
+  private val q102Sql =
+    """SELECT o_orderpriority,
+      |  round(coalesce(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 0), 2) AS rev_f,
+      |  round(coalesce(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 0), 2) AS rev_o,
+      |  round(coalesce(sum(o_totalprice) FILTER (o_orderstatus = 'P'), 0), 2) AS rev_p
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q103
+  /** Higher-order predicate family over array columns: `exists`, `forall`,
+    * and a filtered reduction — the lambda-expression surface q19/q57
+    * didn't reach. All lambdas run codegen'd per row; the oracle spells
+    * them with DuckDB list_filter arithmetic. */
+  private def q103(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(
+        col("vec_id"),
+        exists(col("v"), x => x > 0.9).as("any_hot"),
+        forall(col("v"), x => x > -0.9).as("none_cold"),
+        size(filter(col("v"), x => x > lit(0.0))).as("n_pos"),
+        round(aggregate(filter(col("v"), x => x > lit(0.0)),
+          lit(0.0), (acc, x) => acc + x), 4).as("pos_sum"))
+
+  private val q103Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |SELECT vec_id,
+      |  len(list_filter(v, x -> x > 0.9)) > 0 AS any_hot,
+      |  len(list_filter(v, x -> x <= -0.9)) = 0 AS none_cold,
+      |  len(list_filter(v, x -> x > 0.0)) AS n_pos,
+      |  round(list_sum(list_filter(v, x -> x > 0.0)), 4) AS pos_sum
+      |FROM e""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q91_group_by_all", q91, Some(q91Sql)),
     GraftQuery("q92_percentile_exact", q92, Some(q92Sql)),
@@ -189,5 +262,8 @@ object Relational9 {
     GraftQuery("q94_width_bucket", q94, Some(q94Sql)),
     GraftQuery("q95_string_scalars", q95, Some(q95Sql)),
     GraftQuery("q96_url_kv_extract", q96, Some(q96Sql)),
-    GraftQuery("q97_exists_subquery", q97, Some(q97Sql)))
+    GraftQuery("q97_exists_subquery", q97, Some(q97Sql)),
+    GraftQuery("q101_parameterized_sql", q101, Some(q101Sql)),
+    GraftQuery("q102_sql_pivot", q102, Some(q102Sql)),
+    GraftQuery("q103_hof_predicates", q103, Some(q103Sql)))
 }

@@ -144,6 +144,29 @@ object StreamingPipeline {
               "purchase_id", "purchase_ts", "purchase_value")
   }
 
+  /** Left-outer variant: EVERY click is emitted — matched rows as they
+    * join, unmatched ones with null purchase columns once the watermark
+    * passes the join bound and Spark can prove no future purchase can
+    * match (outer results are necessarily watermark-delayed; an engine
+    * that emitted them eagerly would have to retract). Same bounded state
+    * as the inner form. This is the "attribution with abandoned carts"
+    * shape — the unmatched side is the interesting population. */
+  def clickPurchaseJoinOuter(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("click_id"), col("user_id"),
+              col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+              col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    c.join(p,
+        col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select("click_id", "user_id", "click_ts",
+              "purchase_id", "purchase_ts", "purchase_value")
+  }
+
   /** Stream-static join: enrich the event stream with a static dimension
     * table (the reference's catalog/roster side data). The static side is
     * broadcast into every micro-batch — stateless, no watermark needed, and

@@ -132,6 +132,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched clicks after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp, Double)]
+    val out = StreamingPipeline.clickPurchaseJoinOuter(
+      clicks.toDF().toDF("event_id", "user_id", "ts").withColumn("value", lit(0.0)),
+      purchases.toDF().toDF("event_id", "user_id", "ts", "value"))
+    val q = out.writeStream.format("memory").queryName("ss_outer_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, 7L, ts("2024-01-01 10:00:00")),   // will match
+                     (2L, 8L, ts("2024-01-01 10:00:00")))   // never matches
+      purchases.addData((100L, 7L, ts("2024-01-01 10:30:00"), 9.5))
+      q.processAllAvailable()
+      // matched row may emit immediately; the null-completed row must NOT
+      // exist yet (watermark still at the join bound)
+      val early = spark.table("ss_outer_out")
+        .filter(col("purchase_id").isNull).count()
+      assert(early == 0, "outer result emitted before watermark proof")
+      // advance both watermarks far past click_ts + 1h + 10min delay
+      clicks.addData((3L, 7L, ts("2024-01-01 13:00:00")))
+      purchases.addData((103L, 9L, ts("2024-01-01 13:00:00"), 1.0))
+      q.processAllAvailable()
+      // one more batch so the bumped watermark evicts + emits outer rows
+      clicks.addData((4L, 7L, ts("2024-01-01 13:30:00")))
+      purchases.addData((104L, 9L, ts("2024-01-01 13:30:00"), 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("ss_outer_out")
+        .select("click_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(rows.contains((1L, 100L)), s"matched row missing: $rows")
+      assert(rows.contains((2L, -1L)), s"null-completed unmatched click missing: $rows")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState emits closed sessions with event-time timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
