@@ -174,17 +174,26 @@ object Dedup {
     // substitution re-computes the whole shingling expression 2 extra times
     // per row in the filter; outer generate infers nothing, and the equi-
     // join drops a null shingle anyway
+    //
+    // join key = xxhash64(shingle), not the ~20-byte string: the shuffle
+    // carries 8 bytes/key and the hash join compares longs (measured 1.3 s
+    // → 0.9 s warm at sf0.1). A 64-bit collision would alias two shingles
+    // and inflate one intersection count; at v distinct shingles the
+    // probability any collision exists is ≈ v²/2⁶⁵ (~1e-9 at v=10⁵, still
+    // ~1e-4 at a 100 TB-ish v=10⁹) — an explicitly accepted tolerance; use
+    // the string key where bit-exactness trumps the shuffle width
     val ex = sh.select(col("doc_id"), size(col("sh")).as("n_sh"),
                        explode_outer(col("sh")).as("shingle"))
-    val ax = ex.select(col("doc_id").as("a_id"), col("n_sh").as("na"), col("shingle"))
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("shk"))
+    val ax = ex.select(col("doc_id").as("a_id"), col("n_sh").as("na"), col("shk"))
     val bx = ex.select(col("doc_id").as("b_id"), col("n_sh").as("nb"),
-                       col("shingle").as("shingle_r"))
+                       col("shk").as("shk_r"))
     // shuffle_hash hint: Generate inherits its child's (tiny) size estimate,
     // so the static planner broadcasts the 1.3M-row exploded side and the
     // driver-side hash build dominates (measured 2.7-9s vs 1.2s). A shuffled
     // hash join partitions by shingle — the shape that holds at 100 TB
     ax.join(bx.hint("shuffle_hash"),
-        col("shingle") === col("shingle_r") && col("a_id") < col("b_id"))
+        col("shk") === col("shk_r") && col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).cast("double").as("n_inter"),
            first(col("na")).as("na"), first(col("nb")).as("nb"))

@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Lakehouse change-management operators: CDC changelog application and
+  * SCD Type-2 history construction. The reference's lake is append-only
+  * (every message immutable, dedup up front) — these are the operators a
+  * user needs the moment upstream rows can change, and both reduce to
+  * window functions over the change stream (no table-format machinery
+  * required; a format with a commit log makes them transactional, not
+  * different). The `events` table stands in as the changelog: key =
+  * user_id, change-time = ts, op derived from event_type.
+  */
+object Relational10 {
+
+  /** The events table as a deterministic changelog: purchase ⇒ delete (the
+    * "account closed" stand-in), anything else ⇒ upsert carrying `value`.
+    * Tiebreak equal timestamps by event_id — a changelog needs a total
+    * order per key. */
+  private def changelog(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("user_id"), col("ts"), col("event_id"),
+      when(col("event_type") === "purchase", "D").otherwise("U").as("op"),
+      col("value"))
+
+  // ---------------------------------------------------------------- q104
+  /** CDC merge — apply a changelog to produce final table state: the last
+    * change per key wins; a terminal delete removes the key. One window
+    * over the changelog (rank by change-time desc) + a filter — the
+    * standard "deduplicate the CDC feed, then MERGE" shape. At 100 TB the
+    * window partitions by key across the cluster (hash shuffle on user_id,
+    * no global sort), and in practice runs incrementally per batch over
+    * only the keys present in the batch — the full-history form here is
+    * the backfill/bootstrap path. */
+  private def q104(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    changelog(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1 && col("op") =!= "D")
+      .select(col("user_id"), col("ts").as("last_change"),
+        round(col("value"), 4).as("value"))
+  }
+
+  private val q104Sql =
+    """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+      |log AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+      |         value
+      |  FROM ev)
+      |SELECT user_id, ts AS last_change, round(value, 4) AS value
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |                                   ORDER BY ts DESC, event_id DESC) AS rk
+      |      FROM log)
+      |WHERE rk = 1 AND op <> 'D'""".stripMargin
+
+  // ---------------------------------------------------------------- q105
+  /** SCD Type-2 — turn the change stream into validity intervals: each
+    * change opens a version (valid_from = its ts) and the next change for
+    * the same key closes it (valid_to = lead(ts), null ⇒ current). The
+    * whole dimension history is one lead() window per key — same shuffle
+    * profile as q104. Emitted for a bounded key slice to keep the
+    * correctness artifact small; the operator itself is unbounded. */
+  private def q105(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    changelog(s, d)
+      .filter(col("user_id") < 50)
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_id"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"),
+        round(col("value"), 4).as("value"))
+  }
+
+  private val q105Sql =
+    """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+      |log AS (
+      |  SELECT user_id, ts, event_id, value FROM ev WHERE user_id < 50)
+      |SELECT user_id, event_id, ts AS valid_from,
+      |       lead(ts, 1) OVER w AS valid_to,
+      |       (lead(ts, 1) OVER w IS NULL) AS is_current,
+      |       round(value, 4) AS value
+      |FROM log
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery("q104_cdc_merge", q104, Some(q104Sql)),
+    GraftQuery("q105_scd2", q105, Some(q105Sql)))
+}
