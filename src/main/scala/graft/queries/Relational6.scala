@@ -63,17 +63,20 @@ object Relational6 {
 
   // ---------------------------------------------------------------- q65
   /** Two-pass heavy hitters: Misra-Gries sketch (custom typed Aggregator,
-    * k=4000 ⇒ every key with frequency > n/4001 survives) finds candidates
-    * in one bounded-state global aggregation; an ordinary groupBy restricted
-    * to the candidates recounts them exactly. At 100 TB the first pass never
-    * materializes the full key space (the buffer is a ≤8000-entry map merged
-    * associatively) and the second pass groups only O(candidates) rows after
-    * a broadcast semi-join — the output is exact, so the DuckDB HAVING
-    * oracle hash-matches. */
+    * k=1024 ⇒ every key with frequency > n/1025 survives — a strict
+    * superset of the n/1000 threshold below; k was 4000 originally, but the
+    * immutable-map buffer makes sketch cost scale with k and the extra
+    * margin bought nothing) finds candidates in one bounded-state global
+    * aggregation; an ordinary groupBy restricted to the candidates recounts
+    * them exactly. At 100 TB the first pass never materializes the full key
+    * space (the buffer is a ≤2k-entry map merged associatively) and the
+    * second pass groups only O(candidates) rows after a broadcast
+    * semi-join — the output is exact, so the DuckDB HAVING oracle
+    * hash-matches. */
   private def q65(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
     val cands = o
-      .agg(graft.functions.MisraGries.candidates(col("o_custkey"), 4000).as("cands"))
+      .agg(graft.functions.MisraGries.candidates(col("o_custkey"), 1024).as("cands"))
       .select(explode(col("cands")).as("o_custkey"))
     o.join(broadcast(cands), "o_custkey")
       .groupBy("o_custkey")
