@@ -195,6 +195,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(perFile.forall(_ <= 100), s"file exceeds cap: ${perFile.max}")
   }
 
+  test("_metadata columns expose file provenance without a UDF") {
+    // the hidden `_metadata` struct (file_path/name/size/modification_time)
+    // is the supported way to carry storage provenance into the lake —
+    // unlike input_file_name() it survives joins and is column-pruned like
+    // any other field
+    val sf = "/root/testdata/sf0.001"
+    val df = spark.read.parquet(s"$sf/nation.parquet")
+      .select(col("n_nationkey"), col("_metadata.file_name").as("f"),
+        col("_metadata.file_size").as("sz"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getString(1).endsWith(".parquet")))
+    assert(rows.forall(_.getLong(2) > 0))
+  }
+
+  test("zstd-compressed parquet round-trips and is smaller than uncompressed") {
+    val sf = "/root/testdata/sf0.001"
+    val li = graft.core.Tables.lineitem(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("codec").toString
+    li.coalesce(1).write.option("compression", "none").parquet(s"$tmp/raw")
+    li.coalesce(1).write.option("compression", "zstd").parquet(s"$tmp/zstd")
+    def bytes(p: String): Long = {
+      val d = new java.io.File(p)
+      d.listFiles.filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    }
+    assert(spark.read.parquet(s"$tmp/zstd").count() == li.count())
+    assert(bytes(s"$tmp/zstd") < bytes(s"$tmp/raw"),
+      s"zstd (${bytes(s"$tmp/zstd")}) not smaller than none (${bytes(s"$tmp/raw")})")
+  }
+
   test("observe computes named metrics in the same pass as the action") {
     import graft.operators.Metrics
     val sf = "/root/testdata/sf0.001"
