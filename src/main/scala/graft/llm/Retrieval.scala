@@ -224,10 +224,55 @@ object Retrieval {
       |        AND sum(tf) BETWEEN 10 AND 1000) AS keep
       |FROM tf GROUP BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q107
+  /** Bigram language-model scoring — the model-based quality filter: train
+    * bigram statistics on the corpus itself (C(w1w2) and its left-marginal
+    * C(w1·)), then score each document by mean log P(w2|w1) and report
+    * perplexity. Self-scoring means no OOV smoothing is needed (every
+    * scored bigram was counted). The bigram stream comes from the custom
+    * `word_ngrams` Catalyst generator (n=2) — the TVF is the tokenizer, so
+    * train and score tokenize identically by construction. Three
+    * aggregations + two joins on the bigram/word keys; the model tables
+    * are O(vocabulary²-observed), joined without forced broadcast (AQE
+    * broadcasts them at bench scale; a web-corpus bigram table outgrows
+    * any driver). */
+  def bigramLm(s: SparkSession, d: String): DataFrame = {
+    val bg = Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.WordNgrams.word_ngrams(lower(col("text")), 2).as("bigram"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    val c12 = bg.groupBy("bigram").agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    bg.filter(col("doc_id") < 50)
+      .join(c12, "bigram")
+      .join(c1, "w1")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("c12").cast("double") / col("c1"))), 4).as("avg_logp"),
+        round(exp(-avg(log(col("c12").cast("double") / col("c1")))), 4).as("ppl"))
+  }
+
+  val bigramLmSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |bg AS (
+      |  SELECT doc_id, unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS bigram
+      |  FROM toks WHERE len(t) >= 2),
+      |bg1 AS (SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS w1 FROM bg),
+      |c12 AS (SELECT bigram, count(*) AS c12 FROM bg1 GROUP BY 1),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM bg1 GROUP BY 1)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |       round(avg(ln(CAST(c12.c12 AS DOUBLE) / c1.c1)), 4) AS avg_logp,
+      |       round(exp(-avg(ln(CAST(c12.c12 AS DOUBLE) / c1.c1))), 4) AS ppl
+      |FROM bg1 JOIN c12 USING (bigram) JOIN c1 USING (w1)
+      |WHERE doc_id < 50
+      |GROUP BY doc_id""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q86_tfidf", tfidf, Some(tfidfSql)),
     GraftQuery("q87_bm25", bm25, Some(bm25Sql)),
     GraftQuery("q88_chunk", chunk, Some(chunkSql)),
     GraftQuery("q89_word_entropy", wordEntropy, Some(wordEntropySql)),
-    GraftQuery("q90_repetition_quality", repetitionQuality, Some(repetitionQualitySql)))
+    GraftQuery("q90_repetition_quality", repetitionQuality, Some(repetitionQualitySql)),
+    GraftQuery("q107_bigram_lm", bigramLm, Some(bigramLmSql)))
 }

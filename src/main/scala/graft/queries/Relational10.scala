@@ -88,7 +88,83 @@ object Relational10 {
       |FROM log
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin
 
+  // ---------------------------------------------------------------- q106
+  /** Time-series gap fill — resample each user's sparse purchase history
+    * onto a dense hourly spine (per-user `sequence(min, max, 1h)` explode:
+    * spine rows are generated, not shuffled in), then repair the holes
+    * three standard ways in ONE window pass each: LOCF (last observation
+    * carried forward), backfill, and linear interpolation between the
+    * surrounding observations (index arithmetic over the same windows —
+    * no self-join, no per-gap subquery). Edge gaps stay null by design.
+    * Per-key windows hash-partition by user at scale; the spine multiplies
+    * rows by the gap density, not the corpus. */
+  private def q106(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .filter(col("user_id") < 5 && col("event_type") === "purchase")
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(round(sum("value"), 4).as("v"))
+    val spine = hourly.groupBy("user_id")
+      .agg(min("h").as("lo"), max("h").as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("h"))
+    val w = Window.partitionBy("user_id").orderBy("h")
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsIdx = when(col("v").isNotNull, col("idx"))
+    spine.join(hourly, Seq("user_id", "h"), "left")
+      .withColumn("idx", row_number().over(w))
+      .withColumn("locf", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("bfill", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("prev_idx", max(obsIdx).over(wPrev))
+      .withColumn("next_idx", min(obsIdx).over(wNext))
+      // explicit floor(x·10⁴ + ½)/10⁴ rather than round(): interpolated
+      // midpoints of 4-decimal inputs land EXACTLY on the rounding boundary,
+      // where Spark (BigDecimal HALF_UP on the binary expansion) and DuckDB
+      // disagree — spelling the arithmetic out runs the same double ops on
+      // both engines, so ties break identically
+      .withColumn("interp",
+        when(col("v").isNotNull, col("v")).otherwise(
+          floor((col("locf") + (col("bfill") - col("locf")) *
+            (col("idx") - col("prev_idx")) / (col("next_idx") - col("prev_idx")))
+            * 10000 + 0.5) / 10000.0))
+      .select(col("user_id"), col("h"), col("v"), col("locf"), col("bfill"),
+        col("interp"))
+  }
+
+  private val q106Sql =
+    """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+      |hourly AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS h, round(sum(value), 4) AS v
+      |  FROM ev WHERE user_id < 5 AND event_type = 'purchase' GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT user_id, unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+      |  FROM hourly GROUP BY user_id),
+      |joined AS (
+      |  SELECT s.user_id, s.h, hourly.v FROM spine s
+      |  LEFT JOIN hourly ON s.user_id = hourly.user_id AND s.h = hourly.h),
+      |idx1 AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY h) AS idx
+      |  FROM joined),
+      |idxed AS (
+      |  SELECT *,
+      |    last_value(v IGNORE NULLS) OVER wp AS locf,
+      |    first_value(v IGNORE NULLS) OVER wn AS bfill,
+      |    max(CASE WHEN v IS NOT NULL THEN idx END) OVER wp AS prev_idx,
+      |    min(CASE WHEN v IS NOT NULL THEN idx END) OVER wn AS next_idx
+      |  FROM idx1
+      |  WINDOW wp AS (PARTITION BY user_id ORDER BY h
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         wn AS (PARTITION BY user_id ORDER BY h
+      |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT user_id, h, v, locf, bfill,
+      |  CASE WHEN v IS NOT NULL THEN v
+      |       ELSE floor((locf + (bfill - locf) * (idx - prev_idx)
+      |                   / (next_idx - prev_idx)) * 10000 + 0.5) / 10000.0
+      |  END AS interp
+      |FROM idxed""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q104_cdc_merge", q104, Some(q104Sql)),
-    GraftQuery("q105_scd2", q105, Some(q105Sql)))
+    GraftQuery("q105_scd2", q105, Some(q105Sql)),
+    GraftQuery("q106_gap_fill", q106, Some(q106Sql)))
 }
