@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{GraftQuery, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, Relational7, Relational8, Relational9, Relational10}
+import graft.queries.{GraftQuery, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, Relational7, Relational8, Relational9, Relational10, Relational11}
 import graft.hl7.Pipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -80,6 +80,7 @@ object SparkEntry {
     Relational8.all ++
     Relational9.all ++
     Relational10.all ++
+    Relational11.all ++
     Pipeline.queries.map { case (n, f) => GraftQuery(n, f, pipelineOracles.get(n)) } ++
     graft.hl7.Views.queries.map { case (n, f) => GraftQuery(n, f, pipelineOracles.get(n)) } ++
     graft.llm.TextAnalysis.queries ++

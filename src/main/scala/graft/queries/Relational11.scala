@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Event-analytics operators over the `events` stream table: outlier
+  * detection, funnel conversion, cohort retention, and transition
+  * matrices — the standard product-analytics quartet. Each is one or two
+  * shuffles on (user_id | event_type | cohort) keys; none holds more than
+  * the aggregated result, so the shapes scale with key cardinality, not
+  * event volume.
+  */
+object Relational11 {
+
+  /** DuckDB-side CTE normalizing the ns timestamp — must match
+    * `Tables.events`'s µs floor (see Relational.q20). */
+  private val EvCte = "WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
+
+  // ---------------------------------------------------------------- q108
+  /** Z-score outlier detection: flag events whose value deviates > 2.5σ
+    * from their event-type population. Two passes in plan, one scan in
+    * practice (the per-type stats aggregate is tiny and AQE broadcasts it
+    * back onto the stream); at 100 TB the stats side is O(types) and the
+    * flagging pass is pure map work. Population stddev (stddev_pop) — the
+    * sample/population distinction is exactly the kind of silent oracle
+    * mismatch the suite exists to catch. */
+  private def q108(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val stats = e.groupBy("event_type")
+      .agg(avg("value").as("mu"), stddev_pop("value").as("sigma"))
+    e.join(stats, "event_type")
+      .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+      .filter(abs(col("z")) > 2.5)
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 4).as("value"), round(col("z"), 4).as("z"))
+  }
+
+  private val q108Sql =
+    s"""$EvCte,
+      |stats AS (
+      |  SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
+      |  FROM ev GROUP BY 1)
+      |SELECT event_id, event_type, round(value, 4) AS value,
+      |       round((value - mu) / sigma, 4) AS z
+      |FROM ev JOIN stats USING (event_type)
+      |WHERE abs((value - mu) / sigma) > 2.5""".stripMargin
+
+  // ---------------------------------------------------------------- q109
+  /** Funnel conversion: click → view → purchase, strictly ordered per
+    * user (each step's first occurrence must follow the previous step's).
+    * One grouped pass computes the first click, the first view AFTER that
+    * click, and the first purchase AFTER that view as three conditional
+    * min-aggregates over a window-free self-reference — spelled as a
+    * 3-level aggregate chain because "first X after Y" needs Y before X
+    * exists. Funnel counts come out as one row. */
+  private def q109(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select("user_id", "event_type", "ts")
+    val step1 = e.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val step2 = e.filter(col("event_type") === "view")
+      .join(step1, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val step3 = e.filter(col("event_type") === "purchase")
+      .join(step2, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    step1.select(lit(1).as("step"), lit("click").as("event_type"))
+      .groupBy("step", "event_type").agg(count(lit(1)).as("n_users"))
+      .unionAll(step2.select(lit(2).as("step"), lit("view").as("event_type"))
+        .groupBy("step", "event_type").agg(count(lit(1)).as("n_users")))
+      .unionAll(step3.select(lit(3).as("step"), lit("purchase").as("event_type"))
+        .groupBy("step", "event_type").agg(count(lit(1)).as("n_users")))
+  }
+
+  private val q109Sql =
+    s"""$EvCte,
+      |s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+      |       WHERE event_type = 'click' GROUP BY 1),
+      |s2 AS (SELECT ev.user_id, min(ts) AS t2 FROM ev JOIN s1 USING (user_id)
+      |       WHERE event_type = 'view' AND ts > t1 GROUP BY 1),
+      |s3 AS (SELECT ev.user_id, min(ts) AS t3 FROM ev JOIN s2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
+      |SELECT 1 AS step, 'click' AS event_type, count(*) AS n_users FROM s1
+      |UNION ALL
+      |SELECT 2, 'view', count(*) FROM s2
+      |UNION ALL
+      |SELECT 3, 'purchase', count(*) FROM s3""".stripMargin
+
+  // ---------------------------------------------------------------- q110
+  /** Cohort retention: users grouped by first-activity week (the cohort),
+    * tracked by week offset — what fraction of each cohort is still active
+    * N weeks later. The cohort assignment is one min-aggregate; retention
+    * is a distinct count per (cohort, offset). Distinct-per-cell is the
+    * scale watch-item: at 100 TB swap count_distinct for an HLL sketch per
+    * cell (q72's mergeable form) and keep the exact path for audits. */
+  private def q110(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val cohort = e.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    e.join(cohort, "user_id")
+      .withColumn("offset_wk",
+        datediff(col("wk"), col("cohort_wk")).cast("int") / 7)
+      .groupBy("cohort_wk", "offset_wk")
+      .agg(countDistinct("user_id").as("n_active"))
+  }
+
+  private val q110Sql =
+    s"""$EvCte,
+      |weekly AS (SELECT user_id, date_trunc('week', ts) AS wk FROM ev),
+      |cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM weekly GROUP BY 1)
+      |SELECT cohort_wk, CAST(date_diff('day', cohort_wk, wk) AS INT) / 7 AS offset_wk,
+      |       count(DISTINCT user_id) AS n_active
+      |FROM weekly JOIN cohort USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q111
+  /** Event-transition matrix (first-order Markov): per user, order events
+    * by time and count (state → next state) pairs, then normalize per
+    * source state. One lead() window per user + one aggregation — the
+    * session-behavior model behind "what do users do after a click".
+    * Ties on ts break by event_id, so the chain is a total order on both
+    * engines. */
+  private def q111(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = Tables.events(s, d)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = Window.partitionBy("from_type")
+    pairs.withColumn("p", round(col("n") / sum(col("n")).over(totals), 4))
+  }
+
+  private val q111Sql =
+    s"""$EvCte,
+      |chain AS (
+      |  SELECT event_type AS from_type,
+      |         lead(event_type, 1) OVER (PARTITION BY user_id
+      |                                   ORDER BY ts ASC, event_id ASC) AS to_type
+      |  FROM ev),
+      |pairs AS (
+      |  SELECT from_type, to_type, count(*) AS n FROM chain
+      |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |       round(n / sum(n) OVER (PARTITION BY from_type), 4) AS p
+      |FROM pairs""".stripMargin
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery("q108_zscore_outliers", q108, Some(q108Sql)),
+    GraftQuery("q109_funnel", q109, Some(q109Sql)),
+    GraftQuery("q110_cohort_retention", q110, Some(q110Sql)),
+    GraftQuery("q111_event_transitions", q111, Some(q111Sql)))
+}
