@@ -154,8 +154,8 @@ object Dedup {
     * MinHash path approximates, for when exactness below the LSH threshold
     * matters.
     *
-    * Plan shape: explode shingles → equi self-join on the shingle (shuffle
-    * partitioned by shingle value — never a cross join) → per-pair
+    * Plan shape: explode shingles → equi self-join on the hashed shingle
+    * (shuffle partitioned by the 8-byte key — never a cross join) → per-pair
     * intersection counts; the per-doc shingle count rides along through the
     * explode (a constant-width column, `first()` in the pair aggregate), so
     * the union term needs NO extra join — a per-document side table would be

@@ -81,9 +81,12 @@ object Retrieval {
   /** BM25 ranked search (k1 = 1.2, b = 0.75) for a fixed 3-term query.
     * idf = ln(1 + (N − df + 0.5)/(df + 0.5)); per-term score uses the
     * standard length normalization against the corpus mean document length.
-    * The term filter lands BEFORE the tf aggregation, so at scale only
-    * postings for the query terms ever shuffle — the classic
-    * "search is a filtered join over an inverted index" plan. */
+    * The term filter lands BEFORE the tf aggregation (Catalyst pushes it
+    * through the groupBy — PlanQualitySpec pins this), so the posting side
+    * shuffles only query-term rows. The length-normalization side (`lens`)
+    * is still a full per-document count — one row per doc through the
+    * shuffle; at scale that's a precomputed stored column, not a per-query
+    * aggregation. */
   def bm25(s: SparkSession, d: String): DataFrame = {
     val terms = Seq("spark", "vector", "merge")
     val tf = termFreq(s, d).filter(col("word").isin(terms: _*))
@@ -268,11 +271,57 @@ object Retrieval {
       |WHERE doc_id < 50
       |GROUP BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q112
+  /** Benchmark-contamination check — the decontamination pass: find
+    * training documents sharing word trigrams with a held-out eval set
+    * (docs 0-4 stand in for the benchmark). Eval shingles are DISTINCT'd
+    * then inverted-index joined against the training side — the same
+    * scalable shape as q55, except one side is tiny and stays tiny at any
+    * corpus scale (the benchmark is fixed), so the planner broadcasts it:
+    * the match itself is map-side and the only shuffle is the per-doc
+    * aggregation of the (rare) matched rows. Reports per-doc
+    * contaminated-shingle counts and the contamination fraction. */
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+        .as("sh"))
+    val ex = sh.select(col("doc_id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("shingle"))
+    val evalSh = ex.filter(col("doc_id") < 5)
+      .select(col("shingle")).distinct()
+    ex.filter(col("doc_id") >= 5)
+      .join(broadcast(evalSh), "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_contaminated"), first(col("n_sh")).as("n_sh"))
+      .withColumn("frac", round(col("n_contaminated") / col("n_sh"), 4))
+      .filter(col("frac") >= 0.05)
+      .select("doc_id", "n_contaminated", "n_sh", "frac")
+  }
+
+  val contaminationSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |              WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |                                     for i in range(1, len(t) - 1)]) AS s FROM toks),
+      |ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
+      |eval_sh AS (SELECT DISTINCT shingle FROM ex WHERE doc_id < 5)
+      |SELECT doc_id, n_contaminated, n_sh, frac FROM (
+      |  SELECT ex.doc_id, count(*) AS n_contaminated, min(ex.n_sh) AS n_sh,
+      |         round(count(*) / CAST(min(ex.n_sh) AS DOUBLE), 4) AS frac
+      |  FROM ex JOIN eval_sh USING (shingle)
+      |  WHERE ex.doc_id >= 5
+      |  GROUP BY ex.doc_id)
+      |WHERE frac >= 0.05""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q86_tfidf", tfidf, Some(tfidfSql)),
     GraftQuery("q87_bm25", bm25, Some(bm25Sql)),
     GraftQuery("q88_chunk", chunk, Some(chunkSql)),
     GraftQuery("q89_word_entropy", wordEntropy, Some(wordEntropySql)),
     GraftQuery("q90_repetition_quality", repetitionQuality, Some(repetitionQualitySql)),
-    GraftQuery("q107_bigram_lm", bigramLm, Some(bigramLmSql)))
+    GraftQuery("q107_bigram_lm", bigramLm, Some(bigramLmSql)),
+    GraftQuery("q112_contamination", contamination, Some(contaminationSql)))
 }
