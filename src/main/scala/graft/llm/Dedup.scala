@@ -13,8 +13,10 @@ import graft.queries.GraftQuery
   */
 object Dedup {
 
-  /** Word n-gram shingle set per document. */
-  private def shingledN(docs: DataFrame, n: Int): DataFrame =
+  /** Word n-gram shingle set per document — the ONE shingling contract for
+    * the whole llm package (q36/q55/q69/q112 and their DuckDB oracles must
+    * all agree on it; don't fork copies). */
+  private[llm] def shingledN(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= n)
       .select(col("doc_id"), array_distinct(

@@ -26,8 +26,10 @@ object Retrieval {
     * oracle's `string_split(lower(text), ' ')`. */
   private def toks(c: Column): Column = split(lower(c), " ")
 
-  /** (doc_id, word) exploded token stream, empty tokens dropped. */
-  private def tokenStream(s: SparkSession, d: String): DataFrame =
+  /** (doc_id, word) exploded token stream, empty tokens dropped — the one
+    * word-token contract for the llm package (TextAnalysis.vocab shares
+    * it; forked copies could drift from the oracles independently). */
+  private[llm] def tokenStream(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), explode(toks(col("text"))).as("word"))
       .filter(col("word") =!= "")
@@ -245,7 +247,11 @@ object Retrieval {
         graft.functions.WordNgrams.word_ngrams(lower(col("text")), 2).as("bigram"))
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
     val c12 = bg.groupBy("bigram").agg(count(lit(1)).as("c12"))
-    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // left marginal from the c12 table, NOT a second pass over the corpus:
+    // C(w1·) = Σ_w2 C(w1 w2), so this aggregates the O(observed-bigrams)
+    // model table instead of re-tokenizing and re-shuffling every document
+    val c1 = c12.withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .groupBy("w1").agg(sum("c12").as("c1"))
     bg.filter(col("doc_id") < 50)
       .join(c12, "bigram")
       .join(c1, "w1")
@@ -282,12 +288,7 @@ object Retrieval {
     * aggregation of the (rare) matched rows. Reports per-doc
     * contaminated-shingle counts and the contamination fraction. */
   def contamination(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), array_distinct(expr(
-        "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
-        .as("sh"))
+    val sh = Dedup.shingledN(Tables.documents(s, d), 3)
     val ex = sh.select(col("doc_id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("shingle"))
     val evalSh = ex.filter(col("doc_id") < 5)

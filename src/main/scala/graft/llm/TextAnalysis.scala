@@ -199,9 +199,9 @@ object TextAnalysis {
     * 100 TB corpus out of the window sort. Top-20 emitted. */
   def vocab(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = Tables.documents(s, d)
-      .select(explode(split(lower(col("text")), " ")).as("word"))
-      .filter(col("word") =!= "")
+    // token stream shared with Retrieval (one tokenizer contract for the
+    // llm package — a forked copy could drift from the oracles silently)
+    val counts = Retrieval.tokenStream(s, d)
       .groupBy("word").agg(count(lit(1)).as("n"))
     val total = counts.agg(sum("n").as("total"))
     val w = Window.orderBy(col("n").desc, col("word"))

@@ -85,8 +85,12 @@ object Relational9 {
   /** Equi-width histogram via width_bucket over a bigint measure (integer
     * input keeps the bucket-boundary float math exact on both engines; the
     * oracle emulates with floor arithmetic since DuckDB has no
-    * width_bucket). The grouped count collapses map-side — the shuffle
-    * carries ≤ n_buckets+2 rows per partition regardless of table size. */
+    * width_bucket — and must `trunc` before its BIGINT cast, because
+    * DuckDB's double→int cast rounds-to-nearest while Spark's truncates:
+    * a price 0.5 below a bucket boundary would otherwise count into
+    * different buckets per engine). The grouped count collapses map-side —
+    * the shuffle carries ≤ n_buckets+2 rows per partition regardless of
+    * table size. */
   private def q94(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .select(width_bucket(col("o_totalprice").cast("bigint"),
@@ -98,7 +102,7 @@ object Relational9 {
       |            WHEN v >= 600000 THEN 9
       |            ELSE CAST(floor(v / 75000.0) AS BIGINT) + 1 END AS bucket,
       |       count(*) AS n_orders
-      |FROM (SELECT CAST(o_totalprice AS BIGINT) AS v FROM orders)
+      |FROM (SELECT CAST(trunc(o_totalprice) AS BIGINT) AS v FROM orders)
       |GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------- q95

@@ -129,20 +129,8 @@ object StreamingPipeline {
     * state stays proportional to the time window, not the stream length
     * (the 100 TB/∞-stream requirement; an unbounded-condition join would
     * buffer forever). */
-  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
-    val c = clicks.withWatermark("ts", "10 minutes")
-      .select(col("event_id").as("click_id"), col("user_id"),
-              col("ts").as("click_ts"))
-    val p = purchases.withWatermark("ts", "10 minutes")
-      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
-              col("event_id").as("purchase_id"), col("value").as("purchase_value"))
-    c.join(p,
-        col("user_id") === col("p_user_id") &&
-        col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
-      .select("click_id", "user_id", "click_ts",
-              "purchase_id", "purchase_ts", "purchase_value")
-  }
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clickPurchaseJoinImpl(clicks, purchases, "inner")
 
   /** Left-outer variant: EVERY click is emitted — matched rows as they
     * join, unmatched ones with null purchase columns once the watermark
@@ -151,7 +139,14 @@ object StreamingPipeline {
     * that emitted them eagerly would have to retract). Same bounded state
     * as the inner form. This is the "attribution with abandoned carts"
     * shape — the unmatched side is the interesting population. */
-  def clickPurchaseJoinOuter(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+  def clickPurchaseJoinOuter(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clickPurchaseJoinImpl(clicks, purchases, "left_outer")
+
+  /** Shared body of the inner/outer attribution joins — one definition of
+    * the watermark delays, the window bound, and the output columns, so
+    * the two variants can never drift apart. */
+  private def clickPurchaseJoinImpl(clicks: DataFrame, purchases: DataFrame,
+                                    joinType: String): DataFrame = {
     val c = clicks.withWatermark("ts", "10 minutes")
       .select(col("event_id").as("click_id"), col("user_id"),
               col("ts").as("click_ts"))
@@ -162,7 +157,7 @@ object StreamingPipeline {
         col("user_id") === col("p_user_id") &&
         col("purchase_ts") >= col("click_ts") &&
         col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
-        "left_outer")
+        joinType)
       .select("click_id", "user_id", "click_ts",
               "purchase_id", "purchase_ts", "purchase_value")
   }
