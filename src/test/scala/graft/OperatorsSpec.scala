@@ -225,6 +225,48 @@ class OperatorsSpec extends AnyFunSuite {
       s"zstd (${bytes(s"$tmp/zstd")}) not smaller than none (${bytes(s"$tmp/raw")})")
   }
 
+  test("malformed-record modes: PERMISSIVE captures, DROPMALFORMED drops, FAILFAST throws") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    // the ingest-robustness contract for semi-structured sources — the
+    // JSON twin of the ER7 parser's error-zone branching (A13): bad rows
+    // must be quarantined with their raw text, not crash the pipeline
+    val lines = Seq("""{"k": 1, "v": "a"}""", """not json at all""", """{"k": 3}""")
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType),
+      StructField("_corrupt_record", StringType)))
+    val ds = lines.toDS()
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(ds).cache()
+    assert(permissive.count() == 3)
+    val corrupt = permissive.filter(col("_corrupt_record").isNotNull)
+      .select("_corrupt_record").collect().map(_.getString(0))
+    assert(corrupt.toSeq == Seq("not json at all"))
+    permissive.unpersist()
+    val dropped = spark.read.schema(StructType(schema.dropRight(1)))
+      .option("mode", "DROPMALFORMED").json(ds)
+    assert(dropped.count() == 2)
+    val failfast = spark.read.schema(StructType(schema.dropRight(1)))
+      .option("mode", "FAILFAST").json(ds)
+    intercept[org.apache.spark.SparkException] { failfast.collect() }
+  }
+
+  test("parquet schema evolution: mergeSchema unions columns across file generations") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("evolve").toString
+    Seq((1L, "a")).toDF("id", "old_col").write.parquet(s"$tmp/t/gen=1")
+    Seq((2L, 3.5)).toDF("id", "new_col").write.parquet(s"$tmp/t/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$tmp/t")
+    assert(merged.columns.toSet == Set("id", "old_col", "new_col", "gen"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).getString(merged.columns.indexOf("old_col")) == "a")
+    assert(rows(0).isNullAt(merged.columns.indexOf("new_col")))
+    assert(rows(1).getDouble(merged.columns.indexOf("new_col")) == 3.5)
+    assert(rows(1).isNullAt(merged.columns.indexOf("old_col")))
+  }
+
   test("observe computes named metrics in the same pass as the action") {
     import graft.operators.Metrics
     val sf = "/root/testdata/sf0.001"
