@@ -289,8 +289,12 @@ object Retrieval {
     * contaminated-shingle counts and the contamination fraction. */
   def contamination(s: SparkSession, d: String): DataFrame = {
     val sh = Dedup.shingledN(Tables.documents(s, d), 3)
+    // explode_outer for the same reason as ngramJaccard: plain explode's
+    // inferred non-null constraint is pushed below the projection and
+    // re-computes the whole shingling expression per row (measured 4.5 s
+    // vs 1 s at sf0.1); the equi-join drops a null shingle anyway
     val ex = sh.select(col("doc_id"), size(col("sh")).as("n_sh"),
-      explode(col("sh")).as("shingle"))
+      explode_outer(col("sh")).as("shingle"))
     val evalSh = ex.filter(col("doc_id") < 5)
       .select(col("shingle")).distinct()
     ex.filter(col("doc_id") >= 5)

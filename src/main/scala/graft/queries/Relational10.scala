@@ -35,15 +35,11 @@ object Relational10 {
     * no global sort), and in practice runs incrementally per batch over
     * only the keys present in the batch — the full-history form here is
     * the backfill/bootstrap path. */
-  private def q104(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("ts").desc, col("event_id").desc)
-    changelog(s, d)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1 && col("op") =!= "D")
+  private def q104(s: SparkSession, d: String): DataFrame =
+    graft.operators.Cdc
+      .applyChangelog(changelog(s, d), "user_id", "ts", "event_id", "op")
       .select(col("user_id"), col("ts").as("last_change"),
         round(col("value"), 4).as("value"))
-  }
 
   private val q104Sql =
     """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
@@ -65,17 +61,12 @@ object Relational10 {
     * whole dimension history is one lead() window per key — same shuffle
     * profile as q104. Emitted for a bounded key slice to keep the
     * correctness artifact small; the operator itself is unbounded. */
-  private def q105(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("ts").asc, col("event_id").asc)
-    changelog(s, d)
-      .filter(col("user_id") < 50)
-      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+  private def q105(s: SparkSession, d: String): DataFrame =
+    graft.operators.Cdc
+      .scd2(changelog(s, d).filter(col("user_id") < 50), "user_id", "ts", "event_id")
       .select(col("user_id"), col("event_id"),
-        col("ts").as("valid_from"), col("valid_to"),
-        col("valid_to").isNull.as("is_current"),
+        col("valid_from"), col("valid_to"), col("is_current"),
         round(col("value"), 4).as("value"))
-  }
 
   private val q105Sql =
     """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
