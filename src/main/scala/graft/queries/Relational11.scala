@@ -148,9 +148,38 @@ object Relational11 {
       |       round(n / sum(n) OVER (PARTITION BY from_type), 4) AS p
       |FROM pairs""".stripMargin
 
+  // ---------------------------------------------------------------- q113
+  /** Fuzzy string matching — edit-distance pairs over the DISTINCT name
+    * vocabulary, blocked on the head noun (last word). The blocking is the
+    * scale story: levenshtein is O(|a|·|b|) per pair, so the join must
+    * never be name × name — distinct-first shrinks the relation to the
+    * vocabulary, the equi-join on the block key partitions it, and the
+    * quadratic comparator runs only inside blocks (entity-resolution 101;
+    * at 100 TB blocks come from cheaper keys: length buckets, first-char,
+    * phonetic codes). */
+  private def q113(s: SparkSession, d: String): DataFrame = {
+    val names = Tables.part(s, d).select("p_name").distinct()
+      .withColumn("noun", substring_index(col("p_name"), " ", -1))
+    val a = names.select(col("p_name").as("a_name"), col("noun"))
+    val b = names.select(col("p_name").as("b_name"), col("noun").as("noun_r"))
+    a.join(b, col("noun") === col("noun_r") && col("a_name") < col("b_name"))
+      .withColumn("lev", levenshtein(col("a_name"), col("b_name")))
+      .filter(col("lev") <= 4)
+      .select("a_name", "b_name", "lev")
+  }
+
+  private val q113Sql =
+    """WITH names AS (
+      |  SELECT DISTINCT p_name, string_split(p_name, ' ')[-1] AS noun FROM part)
+      |SELECT a.p_name AS a_name, b.p_name AS b_name,
+      |       levenshtein(a.p_name, b.p_name) AS lev
+      |FROM names a JOIN names b ON a.noun = b.noun AND a.p_name < b.p_name
+      |WHERE levenshtein(a.p_name, b.p_name) <= 4""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q108_zscore_outliers", q108, Some(q108Sql)),
     GraftQuery("q109_funnel", q109, Some(q109Sql)),
     GraftQuery("q110_cohort_retention", q110, Some(q110Sql)),
-    GraftQuery("q111_event_transitions", q111, Some(q111Sql)))
+    GraftQuery("q111_event_transitions", q111, Some(q111Sql)),
+    GraftQuery("q113_fuzzy_match", q113, Some(q113Sql)))
 }

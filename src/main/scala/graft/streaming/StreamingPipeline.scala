@@ -254,6 +254,22 @@ object StreamingPipeline {
            max(col("ts")).as("session_end"))
       .select(col("user_id"), col("n_events"),
               col("session_start"), col("session_end"))
+
+  /** Dynamic-gap session windows: the gap is an EXPRESSION over the row,
+    * not a constant — here purchases close sessions faster (1 minute) than
+    * browsing events (5 minutes). This is the per-row-policy surface
+    * session_window grew in Spark 3.2; state behavior (merge-on-overlap,
+    * watermark eviction) is identical to the static-gap form. */
+  def userSessionsDynamicGap(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(
+        session_window(col("ts"),
+          when(col("event_type") === "purchase", "1 minute").otherwise("5 minutes")),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"),
+              col("session_window.start").as("session_start"))
 }
 
 /** StatefulProcessor for [[StreamingPipeline.userStatsTws]]: one named

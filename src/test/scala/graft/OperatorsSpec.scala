@@ -267,6 +267,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(merged.columns.indexOf("old_col")))
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
+    // the runtime half of the skew story (SaltedJoin is the manual half):
+    // one key carrying most rows would pin a sort-merge join on one task;
+    // AQE's OptimizeSkewedJoin splits that partition from runtime stats.
+    // Thresholds lowered so the 100k-row fixture trips the same code path
+    // a 100 TB skewed key would.
+    import spark.implicits._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val skewed = s2.range(100000)
+      .withColumn("k", when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id")))
+      .withColumn("pad", col("id").cast("string"))
+    val dim = s2.range(100000).select(col("id").as("k"),
+      col("id").cast("string").as("dv"))
+    // execute THIS frame (count() would build its own QueryExecution and
+    // leave this one unfinalized — AQE only materializes skew splits in the
+    // executed plan)
+    val joined = skewed.join(dim, "k")
+    assert(joined.collect().length == 100000)
+    val finalPlan = joined.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("skew=true"),
+      s"AQE did not mark/split the skewed partition:\n$finalPlan")
+  }
+
   test("observe computes named metrics in the same pass as the action") {
     import graft.operators.Metrics
     val sf = "/root/testdata/sf0.001"

@@ -107,6 +107,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dynamic-gap session windows: purchase gap closes faster than browse gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingPipeline.userSessionsDynamicGap(
+      in.toDF().toDF("ts", "user_id", "event_type"))
+    val q = out.writeStream.format("memory").queryName("dynsess_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        // user 1: two clicks 2 min apart — inside the 5-minute browse gap
+        (ts("2024-01-01 10:00:00"), 1L, "click"),
+        (ts("2024-01-01 10:02:00"), 1L, "click"),
+        // user 2: two purchases 2 min apart — OUTSIDE the 1-minute gap
+        (ts("2024-01-01 10:00:00"), 2L, "purchase"),
+        (ts("2024-01-01 10:02:00"), 2L, "purchase"))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 12:00:00"), 99L, "click")) // advance watermark
+      q.processAllAvailable()
+      val bySessions = spark.table("dynsess_out")
+        .groupBy("user_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(bySessions(1L) == 1, s"same-gap clicks split: $bySessions")
+      assert(bySessions(2L) == 2, s"fast-gap purchases merged: $bySessions")
+    } finally q.stop()
+  }
+
   test("stream-stream join attributes purchases to clicks within the hour") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
