@@ -107,6 +107,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("complete output mode re-emits the whole aggregate per trigger") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val out = StreamingPipeline.hourlyCounts(
+      in.toDF().toDF("ts", "user_id")
+        .withColumn("value", lit(0.0)).withColumn("event_type", lit("click")))
+    val q = out.writeStream.format("memory").queryName("complete_out")
+      .outputMode("complete").start()
+    try {
+      in.addData((ts("2024-01-01 10:05:00"), 1L), (ts("2024-01-01 11:05:00"), 2L))
+      q.processAllAvailable()
+      // complete mode: a late-ish row UPDATES the old hour in the re-emitted
+      // table (append mode would have to wait for the watermark and could
+      // never revise); the sink always holds the full current result
+      in.addData((ts("2024-01-01 10:30:00"), 3L))
+      q.processAllAvailable()
+      val got = spark.table("complete_out").collect()
+        .map(r => r.getTimestamp(0).toString -> r.getAs[Long]("n")).toMap
+      assert(got == Map("2024-01-01 10:00:00.0" -> 2L, "2024-01-01 11:00:00.0" -> 1L),
+        s"complete-mode table wrong: $got")
+    } finally q.stop()
+  }
+
   test("dynamic-gap session windows: purchase gap closes faster than browse gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
