@@ -39,6 +39,34 @@ object Layout {
       .partitionBy(partitionKeys: _*)
       .parquet(path)
 
+  /** Dense global row ids ordered by `keys`, WITHOUT funneling the table
+    * through one task: `monotonically_increasing_id` leaves gaps
+    * (partition-local counters) and a `row_number()` over an un-partitioned
+    * window sorts the whole table on a single executor — the classic scale
+    * trap. Here: range-repartition on the keys (cluster-wide sort into `n`
+    * disjoint ranges), then `zipWithIndex` — which runs one tiny count job
+    * per partition and adds prefix-sum offsets map-side. Two passes over
+    * the data, no global funnel; ids are 0..n-1, dense, in key order.
+    *
+    * CONTRACT: `keys` must be a total order (unique per row — add a
+    * tiebreak column if not); with duplicate keys the order within a tie,
+    * and therefore the ids, can differ between the count pass and the map
+    * pass if the input is recomputed. This is the documented
+    * "mapPartitions/RDD as a last resort" case — no DataFrame-only plan
+    * expresses the prefix-sum without the single-task window. */
+  def stableRowIds(df: DataFrame, n: Int, keys: String*): DataFrame = {
+    val cols = keys.map(col)
+    val sorted = df.repartitionByRange(n, cols: _*)
+      .sortWithinPartitions(cols: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("row_id",
+        org.apache.spark.sql.types.LongType, nullable = false) +: sorted.schema.fields)
+    val withIds = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(i +: r.toSeq)
+    }
+    sorted.sparkSession.createDataFrame(withIds, schema)
+  }
+
   /** Bounded-file write: cap rows per output file so a skewed writer task
     * can't emit a multi-GB file (parquet readers parallelize across files
     * and row groups; one giant file serializes the scan's planning split

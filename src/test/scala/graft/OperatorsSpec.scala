@@ -267,6 +267,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(merged.columns.indexOf("old_col")))
   }
 
+  test("stableRowIds: dense 0..n-1 ids in key order, no single-task funnel") {
+    import graft.operators.Layout
+    val sf = "/root/testdata/sf0.001"
+    val o = graft.core.Tables.orders(spark, sf)
+    val withIds = Layout.stableRowIds(o, 4, "o_orderkey") // unique key
+    val rows = withIds.select("row_id", "o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = o.count()
+    assert(rows.length == n)
+    assert(rows.map(_._1).sorted.toSeq == (0L until n), "ids not dense 0..n-1")
+    // id order == key order
+    assert(rows.sortBy(_._1).map(_._2).toSeq == rows.map(_._2).sorted.toSeq,
+      "row_id order does not follow the key order")
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
     // the runtime half of the skew story (SaltedJoin is the manual half):
     // one key carrying most rows would pin a sort-merge join on one task;
