@@ -283,6 +283,41 @@ object Dedup {
       |  SELECT e.v, w.label FROM walk w JOIN edges e ON w.node = e.u)
       |SELECT node AS doc_id, min(label) AS group_id FROM walk GROUP BY node""".stripMargin
 
+  // ---------------------------------------------------------------- pipeline
+  /** The COMPLETE near-dup removal pipeline, end-to-end: pair generation
+    * (exact trigram Jaccard) → connected components (transitive closure) →
+    * representative selection per group (keep the longest document,
+    * doc_id tiebreak) → survivor accounting. This is what "dedup the
+    * corpus" actually means operationally — q55/q69 are its stages; this
+    * query is the composition a user runs. Output: one row per duplicate
+    * group with its kept representative and the member count (singleton
+    * docs survive untouched and don't appear — they have no group). */
+  def dedupPipeline(s: SparkSession, d: String): DataFrame = {
+    val groups = dedupGroups(s, d) // (doc_id, group_id)
+    val quality = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    groups.join(quality, "doc_id")
+      .groupBy("group_id")
+      .agg(
+        max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id"))).as("rep_id"),
+        count(lit(1)).as("n_members"),
+        max("n_chars").as("rep_chars"))
+  }
+
+  /** Oracle: the q69 closure extended with per-group argmax(n_chars,
+    * tiebreak smaller doc_id) — same recursive CTE, one more join. */
+  val dedupPipelineSql: String =
+    dedupGroupsSql.replace(
+      "SELECT node AS doc_id, min(label) AS group_id FROM walk GROUP BY node",
+      """, groups AS (SELECT node AS doc_id, min(label) AS group_id FROM walk GROUP BY node)
+        |SELECT group_id, doc_id AS rep_id, n_members, rep_chars FROM (
+        |  SELECT group_id, g.doc_id,
+        |         row_number() OVER (PARTITION BY group_id
+        |                            ORDER BY n_chars DESC, g.doc_id ASC) AS rk,
+        |         count(*) OVER (PARTITION BY group_id) AS n_members,
+        |         max(n_chars) OVER (PARTITION BY group_id) AS rep_chars
+        |  FROM groups g JOIN documents d ON g.doc_id = d.doc_id)
+        |WHERE rk = 1""".stripMargin)
+
   // ---------------------------------------------------------------- simhash
   /** 64-bit SimHash over the word set: per-token xxhash64, signed bit votes,
     * sign → bit. Computed with built-in expressions (explode + conditional
@@ -349,5 +384,6 @@ object Dedup {
     GraftQuery("q36_minhash_neardup", minhashNearDup _, Some(minhashNearDupSql)),
     GraftQuery("q37_simhash_neardup", simhashNearDup _, None),
     GraftQuery("q55_ngram_jaccard", ngramJaccard _, Some(ngramJaccardSql)),
-    GraftQuery("q69_dedup_groups", dedupGroups _, Some(dedupGroupsSql)))
+    GraftQuery("q69_dedup_groups", dedupGroups _, Some(dedupGroupsSql)),
+    GraftQuery("q114_dedup_pipeline", dedupPipeline _, Some(dedupPipelineSql)))
 }

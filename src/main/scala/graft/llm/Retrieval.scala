@@ -321,6 +321,43 @@ object Retrieval {
       |  GROUP BY ex.doc_id)
       |WHERE frac >= 0.05""".stripMargin
 
+  // ---------------------------------------------------------------- q115
+  /** Token-budget batch packing — assign documents (in doc_id order) to
+    * training batches of ~512 tokens: batch_id = ⌊exclusive-prefix-sum of
+    * token counts / 512⌋. The standard streaming-packing approximation
+    * (a batch may overflow by at most one document; no bin-packing search)
+    * and deliberately a pure window cumsum, so the assignment is stable
+    * under re-runs and appends of higher doc_ids. The single unpartitioned
+    * window runs over ONE ROW PER DOCUMENT (the token counts, already
+    * aggregated) — fine at this corpus; at 100 TB the same prefix sum runs
+    * per shard (pack within partition) or via the two-pass offset scheme
+    * of `Layout.stableRowIds`. */
+  def tokenPacking(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("batch_id",
+        floor((sum(col("n_tok")).over(w) - col("n_tok")) / 512).cast("long"))
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("batch_tokens"))
+  }
+
+  val tokenPackingSql: String =
+    """WITH counts AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |packed AS (
+      |  SELECT doc_id, n_tok,
+      |         CAST(floor((sum(n_tok) OVER (ORDER BY doc_id
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |                     - n_tok) / 512) AS BIGINT) AS batch_id
+      |  FROM counts)
+      |SELECT batch_id, count(*) AS n_docs, sum(n_tok) AS batch_tokens
+      |FROM packed GROUP BY batch_id""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q86_tfidf", tfidf, Some(tfidfSql)),
     GraftQuery("q87_bm25", bm25, Some(bm25Sql)),
@@ -328,5 +365,6 @@ object Retrieval {
     GraftQuery("q89_word_entropy", wordEntropy, Some(wordEntropySql)),
     GraftQuery("q90_repetition_quality", repetitionQuality, Some(repetitionQualitySql)),
     GraftQuery("q107_bigram_lm", bigramLm, Some(bigramLmSql)),
-    GraftQuery("q112_contamination", contamination, Some(contaminationSql)))
+    GraftQuery("q112_contamination", contamination, Some(contaminationSql)),
+    GraftQuery("q115_token_packing", tokenPacking, Some(tokenPackingSql)))
 }
