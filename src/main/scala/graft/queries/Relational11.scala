@@ -176,10 +176,27 @@ object Relational11 {
       |FROM names a JOIN names b ON a.noun = b.noun AND a.p_name < b.p_name
       |WHERE levenshtein(a.p_name, b.p_name) <= 4""".stripMargin
 
+  // ---------------------------------------------------------------- q116
+  /** approx_top_k (Spark 4.1 sketch aggregate): frequent items + counts in
+    * one pass with bounded state — the built-in answer to the Misra-Gries
+    * shape hand-rolled in q65. On a 5-value column the default sketch
+    * capacity is far above the cardinality, so the "approximate" counts
+    * are exact and the exact DuckDB top-k oracles it; at real cardinality
+    * the q65 two-pass recount pattern applies on top. */
+  private def q116(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(explode(expr("approx_top_k(o_orderpriority, 3)")).as("tk"))
+      .select(col("tk.item").as("priority"), col("tk.count").as("n"))
+
+  private val q116Sql =
+    """SELECT o_orderpriority AS priority, count(*) AS n
+      |FROM orders GROUP BY 1 ORDER BY n DESC, priority LIMIT 3""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q108_zscore_outliers", q108, Some(q108Sql)),
     GraftQuery("q109_funnel", q109, Some(q109Sql)),
     GraftQuery("q110_cohort_retention", q110, Some(q110Sql)),
     GraftQuery("q111_event_transitions", q111, Some(q111Sql)),
-    GraftQuery("q113_fuzzy_match", q113, Some(q113Sql)))
+    GraftQuery("q113_fuzzy_match", q113, Some(q113Sql)),
+    GraftQuery("q116_approx_top_k", q116, Some(q116Sql)))
 }

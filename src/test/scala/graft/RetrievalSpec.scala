@@ -159,6 +159,29 @@ class RetrievalSpec extends AnyFunSuite {
       next.map { case (k, v) => k -> v.toSeq }, "kmeans not deterministic")
   }
 
+  test("token packing: contiguous batches, bounded overflow, all docs packed") {
+    import graft.llm.Retrieval
+    val corpus = docs()
+    val batches = Retrieval.tokenPacking(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // every doc packed exactly once
+    assert(batches.map(_._2).sum == corpus.size)
+    // batch ids contiguous from 0
+    assert(batches.map(_._1).toSeq == (0L until batches.length))
+    // every batch except possibly the last is filled past the budget ONLY
+    // by its final doc: total - its largest doc < 512 (exclusive-prefix
+    // assignment ⇒ a new batch starts only once 512 is crossed)
+    val tokensByDoc = corpus.toSeq.sortBy(_._1)
+      .map { case (_, t) => t.split(" ", -1).length.toLong }
+    val maxDoc = tokensByDoc.max
+    batches.dropRight(1).foreach { case (id, _, total) =>
+      assert(total >= 512 - maxDoc + 1 || total >= 512,
+        s"batch $id underfilled: $total")
+      assert(total < 512 + maxDoc, s"batch $id overflowed beyond one doc: $total")
+    }
+  }
+
   test("repetition quality gate recomputes from raw text") {
     val corpus = docs()
     val got = Retrieval.repetitionQuality(spark, sf).collect()
