@@ -304,10 +304,17 @@ object Dedup {
   }
 
   /** Oracle: the q69 closure extended with per-group argmax(n_chars,
-    * tiebreak smaller doc_id) — same recursive CTE, one more join. */
+    * tiebreak smaller doc_id) — same recursive CTE, one more join. Built
+    * by rewriting q69's final SELECT; the require below trips at class
+    * init if that anchor text is ever reworded (a silent no-op replace
+    * would leave q114 with q69's oracle and a baffling schema mismatch). */
+  private val DedupGroupsFinalSelect =
+    "SELECT node AS doc_id, min(label) AS group_id FROM walk GROUP BY node"
+  require(dedupGroupsSql.contains(DedupGroupsFinalSelect),
+    "dedupGroupsSql final SELECT changed — update dedupPipelineSql's rewrite anchor")
   val dedupPipelineSql: String =
     dedupGroupsSql.replace(
-      "SELECT node AS doc_id, min(label) AS group_id FROM walk GROUP BY node",
+      DedupGroupsFinalSelect,
       """, groups AS (SELECT node AS doc_id, min(label) AS group_id FROM walk GROUP BY node)
         |SELECT group_id, doc_id AS rep_id, n_members, rep_chars FROM (
         |  SELECT group_id, g.doc_id,

@@ -343,6 +343,12 @@ object Retrieval {
         floor((sum(col("n_tok")).over(w) - col("n_tok")) / 512).cast("long"))
       .groupBy("batch_id")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("batch_tokens"))
+      // raw ⌊prefix/512⌋ ids skip numbers when one document spans multiple
+      // budgets (a 2000-token doc jumps the counter by 3) — renumber
+      // densely so batch_id is always 0..n_batches-1. The rank window runs
+      // over one row per BATCH, not per document.
+      .withColumn("batch_id",
+        (row_number().over(Window.orderBy("batch_id")) - 1).cast("long"))
   }
 
   val tokenPackingSql: String =
@@ -354,9 +360,13 @@ object Retrieval {
       |         CAST(floor((sum(n_tok) OVER (ORDER BY doc_id
       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |                     - n_tok) / 512) AS BIGINT) AS batch_id
-      |  FROM counts)
-      |SELECT batch_id, count(*) AS n_docs, sum(n_tok) AS batch_tokens
-      |FROM packed GROUP BY batch_id""".stripMargin
+      |  FROM counts),
+      |agged AS (
+      |  SELECT batch_id, count(*) AS n_docs, sum(n_tok) AS batch_tokens
+      |  FROM packed GROUP BY batch_id)
+      |SELECT CAST(row_number() OVER (ORDER BY batch_id) - 1 AS BIGINT) AS batch_id,
+      |       n_docs, batch_tokens
+      |FROM agged""".stripMargin
 
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q86_tfidf", tfidf, Some(tfidfSql)),

@@ -26,12 +26,21 @@ object Cdc {
       .drop("__rk", op)
   }
 
-  /** SCD Type-2: each change opens a version; the next change for the same
-    * key closes it. Adds (valid_from, valid_to, is_current). */
-  def scd2(log: DataFrame, key: String, ts: String, seq: String): DataFrame = {
+  /** SCD Type-2: each upsert opens a version; the next change for the same
+    * key closes it. A delete ('D') is a tombstone: it CLOSES the previous
+    * version (its ts becomes that version's valid_to) but emits no version
+    * itself — so a key whose history ends in a delete has NO current row,
+    * consistent with `applyChangelog` removing the key. Adds (valid_from,
+    * valid_to, is_current). */
+  def scd2(log: DataFrame, key: String, ts: String, seq: String,
+           op: String): DataFrame = {
     val w = Window.partitionBy(key).orderBy(col(ts).asc, col(seq).asc)
+    // lead runs over ALL rows (tombstones included) so a delete's ts closes
+    // its predecessor; tombstone rows are then dropped from the output
     log.withColumn("valid_from", col(ts))
       .withColumn("valid_to", lead(col(ts), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
+      .filter(col(op) =!= "D")
+      .drop(op)
   }
 }

@@ -56,14 +56,17 @@ object Relational10 {
 
   // ---------------------------------------------------------------- q105
   /** SCD Type-2 — turn the change stream into validity intervals: each
-    * change opens a version (valid_from = its ts) and the next change for
-    * the same key closes it (valid_to = lead(ts), null ⇒ current). The
-    * whole dimension history is one lead() window per key — same shuffle
-    * profile as q104. Emitted for a bounded key slice to keep the
+    * upsert opens a version (valid_from = its ts) and the next change for
+    * the same key closes it (valid_to = lead(ts), null ⇒ current); a
+    * delete closes its predecessor without opening anything, so keys whose
+    * history ends in a delete have no current row (consistent with q104).
+    * The whole dimension history is one lead() window per key — same
+    * shuffle profile as q104. Emitted for a bounded key slice to keep the
     * correctness artifact small; the operator itself is unbounded. */
   private def q105(s: SparkSession, d: String): DataFrame =
     graft.operators.Cdc
-      .scd2(changelog(s, d).filter(col("user_id") < 50), "user_id", "ts", "event_id")
+      .scd2(changelog(s, d).filter(col("user_id") < 50),
+        "user_id", "ts", "event_id", "op")
       .select(col("user_id"), col("event_id"),
         col("valid_from"), col("valid_to"), col("is_current"),
         round(col("value"), 4).as("value"))
@@ -71,13 +74,19 @@ object Relational10 {
   private val q105Sql =
     """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
       |log AS (
-      |  SELECT user_id, ts, event_id, value FROM ev WHERE user_id < 50)
-      |SELECT user_id, event_id, ts AS valid_from,
-      |       lead(ts, 1) OVER w AS valid_to,
-      |       (lead(ts, 1) OVER w IS NULL) AS is_current,
-      |       round(value, 4) AS value
-      |FROM log
-      |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+      |         value
+      |  FROM ev WHERE user_id < 50),
+      |vers AS (
+      |  SELECT user_id, event_id, op, ts AS valid_from,
+      |         lead(ts, 1) OVER w AS valid_to,
+      |         (lead(ts, 1) OVER w IS NULL) AS is_current,
+      |         round(value, 4) AS value
+      |  FROM log
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+      |SELECT user_id, event_id, valid_from, valid_to, is_current, value
+      |FROM vers WHERE op <> 'D'""".stripMargin
 
   // ---------------------------------------------------------------- q106
   /** Time-series gap fill — resample each user's sparse purchase history

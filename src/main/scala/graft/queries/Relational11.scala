@@ -183,10 +183,18 @@ object Relational11 {
     * capacity is far above the cardinality, so the "approximate" counts
     * are exact and the exact DuckDB top-k oracles it; at real cardinality
     * the q65 two-pass recount pattern applies on top. */
-  private def q116(s: SparkSession, d: String): DataFrame =
+  private def q116(s: SparkSession, d: String): DataFrame = {
+    // sketch capacity 5 ≥ cardinality, so NO sketch-side truncation — the
+    // top-3 cut happens below with an explicit (n desc, item) tiebreak;
+    // letting the sketch cut at k=3 would leave boundary ties to its
+    // unspecified internal ordering and the oracle could pick differently
+    val w = Window.orderBy(col("n").desc, col("priority").asc)
     Tables.orders(s, d)
-      .select(explode(expr("approx_top_k(o_orderpriority, 3)")).as("tk"))
+      .select(explode(expr("approx_top_k(o_orderpriority, 5)")).as("tk"))
       .select(col("tk.item").as("priority"), col("tk.count").as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3).drop("rk")
+  }
 
   private val q116Sql =
     """SELECT o_orderpriority AS priority, count(*) AS n

@@ -51,32 +51,44 @@ class CdcPropertySpec extends AnyFunSuite {
     }
   }
 
-  test("scd2 intervals tile each key's timeline with exactly one open version") {
+  test("scd2: upserts tile the timeline; a trailing tombstone leaves no open version") {
     import spark.implicits._
     for (seed <- 100L until 104L) {
       val log = changelog(seed, 150)
       val rows = Cdc.scd2(log.toDF("key", "ts", "seq", "op", "v"),
-          "key", "ts", "seq")
+          "key", "ts", "seq", "op")
         .select("key", "ts", "seq", "valid_from", "valid_to", "is_current")
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)),
           r.getBoolean(5)))
-      assert(rows.length == log.length, "SCD2 must keep every change row")
+      assert(rows.length == log.count(_._4 != "D"),
+        "SCD2 must keep every upsert and drop every tombstone")
+      val lastOpByKey = log.groupBy(_._1)
+        .map { case (k, rs) => k -> rs.maxBy(r => (r._2, r._3))._4 }
       rows.groupBy(_._1).foreach { case (k, versions) =>
         val ordered = versions.sortBy(v => (v._2, v._3))
-        // exactly one current version: the last in change order
-        assert(ordered.count(_._6) == 1, s"key $k: open-version count != 1")
-        assert(ordered.last._6, s"key $k: current version is not the last")
-        // every non-final valid_to equals the NEXT version's valid_from
-        ordered.sliding(2).foreach {
-          case Array(a, b) =>
-            assert(a._5.contains(b._4),
-              s"key $k: interval gap between seq ${a._3} and ${b._3}")
-          case _ => ()
+        // consistency with applyChangelog: open version iff key not deleted
+        if (lastOpByKey(k) == "D") {
+          assert(ordered.forall(!_._6), s"key $k: deleted key has an open version")
+        } else {
+          assert(ordered.count(_._6) == 1, s"key $k: open-version count != 1")
+          assert(ordered.last._6, s"key $k: current version is not the last")
         }
-        // valid_from is the row's own change time
-        ordered.foreach(v => assert(v._4 == v._2))
+        // every closed upsert's valid_to equals the NEXT change's ts —
+        // which is the next surviving version's valid_from unless the
+        // closer was a tombstone (then it's the tombstone's ts)
+        val changeTimes = log.filter(_._1 == k).map(r => (r._2, r._3)).sorted
+        ordered.foreach { v =>
+          assert(v._4 == v._2, "valid_from must be the row's own change time")
+          v._5.foreach { to =>
+            val next = changeTimes
+              .dropWhile(c => c._1 < v._2 || (c._1 == v._2 && c._2 <= v._3))
+              .headOption
+            assert(next.exists(_._1 == to),
+              s"key $k: valid_to $to is not the next change's ts")
+          }
+        }
       }
     }
   }
