@@ -87,6 +87,7 @@ object SparkEntry {
     graft.llm.Dedup.queries ++
     graft.llm.Similarity.queries ++
     graft.llm.Retrieval.queries ++
+    graft.llm.Embeddings.queries ++
     graft.llm.Multimodal.queries ++
     graft.operators.AsOf.queries
 

@@ -1,0 +1,124 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.queries.GraftQuery
+
+/** Embedding preprocessing: distributed PCA (and the whitening/projection
+  * it enables) — the dimensionality step a training-data pipeline runs
+  * before IVF/LSH indexing or dedup at scale.
+  *
+  * Scale shape: the covariance matrix is accumulated in ONE pass with
+  * per-partition dense accumulators (`mapPartitions` — the documented
+  * imperative last-resort case: a (dim × dim) running outer-product sum has
+  * no DataFrame spelling that avoids exploding n·dim² rows). Each partition
+  * emits exactly one (n, Σv, Σvvᵀ) triple — at 1000 executors that is 1000
+  * small records to reduce, independent of corpus size. The
+  * eigendecomposition runs driver-side on the dim×dim matrix (64×64 here;
+  * at any realistic embedding width this is microseconds — the driver-side
+  * step scales with dim², never with rows), via breeze's symmetric solver
+  * (on Spark's own classpath). Projection is a broadcast of the k×dim
+  * component matrix folded per row — map-side, codegen-adjacent work. */
+object Embeddings {
+
+  /** PCA model: column means, descending eigenvalues, and the matching
+    * eigenvectors as rows (k × dim, row i = component i). */
+  final case class PcaModel(
+      mean: Array[Double],
+      eigenvalues: Array[Double],
+      components: Array[Array[Double]])
+
+  /** Fit PCA over an `(… , v: array<double>)` frame in one data pass. */
+  def fitPca(e: DataFrame): PcaModel = {
+    val rdd = e.select(col("v")).rdd.map(_.getSeq[Double](0).toArray)
+    val dim = rdd.first().length
+    val (n, sum, scatter) = rdd
+      .mapPartitions { it =>
+        var n = 0L
+        val s = new Array[Double](dim)
+        val m = new Array[Double](dim * dim) // lower triangle accumulated
+        it.foreach { v =>
+          n += 1
+          var i = 0
+          while (i < dim) {
+            s(i) += v(i)
+            var j = 0
+            while (j <= i) { m(i * dim + j) += v(i) * v(j); j += 1 }
+            i += 1
+          }
+        }
+        Iterator((n, s, m))
+      }
+      .reduce { case ((n1, s1, m1), (n2, s2, m2)) =>
+        var i = 0
+        while (i < s1.length) { s1(i) += s2(i); i += 1 }
+        var j = 0
+        while (j < m1.length) { m1(j) += m2(j); j += 1 }
+        (n1 + n2, s1, m1)
+      }
+    val mean = sum.map(_ / n)
+    val cov = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
+    for (i <- 0 until dim; j <- 0 to i) {
+      val c = scatter(i * dim + j) / n - mean(i) * mean(j)
+      cov(i, j) = c
+      cov(j, i) = c
+    }
+    val es = breeze.linalg.eigSym(cov) // ascending eigenvalues
+    val order = (0 until dim).sortBy(i => -es.eigenvalues(i))
+    PcaModel(
+      mean,
+      order.map(es.eigenvalues(_)).toArray,
+      order.map(i => (0 until dim).map(r => es.eigenvectors(r, i)).toArray).toArray)
+  }
+
+  /** Project onto the top-k components (means removed): map-side fold of a
+    * broadcast k×dim matrix per row; output `proj: array<double>` (len k). */
+  def project(e: DataFrame, model: PcaModel, k: Int): DataFrame = {
+    val spark = e.sparkSession
+    val bMean = spark.sparkContext.broadcast(model.mean)
+    val bComp = spark.sparkContext.broadcast(model.components.take(k))
+    val proj = udf { v: Seq[Double] =>
+      val mean = bMean.value
+      bComp.value.map { c =>
+        var acc = 0.0
+        var i = 0
+        while (i < c.length) { acc += c(i) * (v(i) - mean(i)); i += 1 }
+        acc
+      }
+    }
+    e.withColumn("proj", proj(col("v")))
+  }
+
+  /** q117 — explained-variance profile of the corpus embeddings: top-8
+    * components' eigenvalues and the cumulative variance ratio. The
+    * eigenvalues are deterministic up to reduce-order float drift
+    * (~1e-12 on these magnitudes); round-4/5 absorbs it, so the sf0.01
+    * output pins as a golden. The semantic checks (variance-of-projection
+    * == eigenvalue, orthonormal components) live in RetrievalSpec. */
+  def pcaVariance(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val model = fitPca(e)
+    val total = model.eigenvalues.sum
+    val rows = model.eigenvalues.take(8).zipWithIndex.map { case (ev, i) =>
+      (i + 1, BigDecimal(ev).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(model.eigenvalues.take(i + 1).sum / total)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    rows.toSeq.toDF("component", "eigenvalue", "cum_ratio")
+  }
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q117_pca_variance", pcaVariance _, pcaVarianceGolden))
+
+  /** Pinned sf0.01 golden (see pcaVariance determinism note; identical
+    * output measured at 4/8/32-thread layouts). */
+  private lazy val pcaVarianceGolden: Option[String] = Some(
+    """SELECT * FROM (VALUES
+      |  (1, 0.02751, 0.0276), (2, 0.02717, 0.0548), (3, 0.02662, 0.0815),
+      |  (4, 0.02559, 0.1071), (5, 0.02537, 0.1326), (6, 0.02508, 0.1577),
+      |  (7, 0.02394, 0.1817), (8, 0.02317, 0.2049))
+      |  AS t(component, eigenvalue, cum_ratio)""".stripMargin)
+}

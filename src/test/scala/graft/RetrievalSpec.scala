@@ -184,6 +184,39 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("pca: orthonormal components, eigenvalue == projected variance, total preserved") {
+    import graft.llm.Embeddings
+    val e = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val model = Embeddings.fitPca(e)
+    val vecs = e.select("v").collect().map(_.getSeq[Double](0).toArray)
+    val dim = vecs.head.length
+    val n = vecs.length.toDouble
+    // eigenvalues descending, non-negative (symmetric PSD covariance)
+    model.eigenvalues.sliding(2).foreach { case Array(a, b) => assert(a >= b - 1e-12) }
+    assert(model.eigenvalues.forall(_ >= -1e-9))
+    // trace preservation: Σ eigenvalues == Σ per-dimension population variance
+    val mean = (0 until dim).map(i => vecs.map(_(i)).sum / n)
+    val totalVar = (0 until dim).map(i =>
+      vecs.map(v => math.pow(v(i) - mean(i), 2)).sum / n).sum
+    assert(math.abs(model.eigenvalues.sum - totalVar) <= 1e-9 * totalVar.max(1.0))
+    // orthonormality
+    for (i <- 0 until 4; j <- 0 until 4) {
+      val dot = model.components(i).zip(model.components(j)).map { case (a, b) => a * b }.sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) <= 1e-8,
+        s"components $i,$j not orthonormal: $dot")
+    }
+    // projected population variance along component i == eigenvalue i
+    val projected = Embeddings.project(e, model, 4)
+      .select("proj").collect().map(_.getSeq[Double](0).toArray)
+    (0 until 4).foreach { i =>
+      val m = projected.map(_(i)).sum / n
+      val v = projected.map(p => math.pow(p(i) - m, 2)).sum / n
+      assert(math.abs(v - model.eigenvalues(i)) <= 1e-8,
+        s"component $i: projected variance $v != eigenvalue ${model.eigenvalues(i)}")
+    }
+  }
+
   test("repetition quality gate recomputes from raw text") {
     val corpus = docs()
     val got = Retrieval.repetitionQuality(spark, sf).collect()
