@@ -90,6 +90,24 @@ object Embeddings {
     e.withColumn("proj", proj(col("v")))
   }
 
+  /** PCA whitening: project onto the top-k components and scale each
+    * coordinate to unit variance (÷√eigenvalue) — the standard embedding
+    * normalization before cosine/inner-product indexes when the corpus has
+    * anisotropic spread. Components with vanishing variance are dropped
+    * rather than amplified (1/√ε noise blow-up). Same broadcast-fold shape
+    * as `project`. */
+  def whiten(e: DataFrame, model: PcaModel, k: Int, minVar: Double = 1e-12): DataFrame = {
+    val kept = model.eigenvalues.take(k).count(_ > minVar)
+    val scales = model.eigenvalues.take(kept).map(ev => 1.0 / math.sqrt(ev))
+    val spark = e.sparkSession
+    val bScales = spark.sparkContext.broadcast(scales)
+    val scaleUdf = udf { p: Seq[Double] =>
+      val s = bScales.value
+      Array.tabulate(s.length)(i => p(i) * s(i))
+    }
+    project(e, model, kept).withColumn("proj", scaleUdf(col("proj")))
+  }
+
   /** q117 — explained-variance profile of the corpus embeddings: top-8
     * components' eigenvalues and the cumulative variance ratio. The
     * eigenvalues are deterministic up to reduce-order float drift

@@ -215,6 +215,14 @@ class RetrievalSpec extends AnyFunSuite {
       assert(math.abs(v - model.eigenvalues(i)) <= 1e-8,
         s"component $i: projected variance $v != eigenvalue ${model.eigenvalues(i)}")
     }
+    // whitening: every kept coordinate has unit population variance
+    val whitened = Embeddings.whiten(e, model, 4)
+      .select("proj").collect().map(_.getSeq[Double](0).toArray)
+    (0 until whitened.head.length).foreach { i =>
+      val m = whitened.map(_(i)).sum / n
+      val v = whitened.map(p => math.pow(p(i) - m, 2)).sum / n
+      assert(math.abs(v - 1.0) <= 1e-8, s"whitened component $i variance $v != 1")
+    }
   }
 
   test("repetition quality gate recomputes from raw text") {
