@@ -39,6 +39,39 @@ object Layout {
       .partitionBy(partitionKeys: _*)
       .parquet(path)
 
+  /** Z-order (Morton) clustered write — the two-dimensional complement of
+    * `sortedWrite`: a linear sort gives perfect file-skipping on ONE key
+    * and none on the other; interleaving the bits of both keys' normalized
+    * ranks gives good (≈√) skipping on EACH. Per column, values map to a
+    * 16-bit code by min/max scaling (two tiny driver-side scalars — rank
+    * quantiles would resist outliers, same plan shape), the codes
+    * interleave into a 32-bit z-value with a folded shift/or expression
+    * (pure codegen'd map work), and files come from
+    * repartitionByRange(zvalue) + sortWithinPartitions — so parquet
+    * footers carry tight min/max on BOTH columns. */
+  def zorderWrite(df: DataFrame, path: String, n: Int,
+                  colA: String, colB: String): Unit = {
+    val stats = df.agg(
+      min(colA), max(colA), min(colB), max(colB)).head()
+    def code(c: String, lo: Double, hi: Double): Column = {
+      val span = if (hi > lo) hi - lo else 1.0
+      least(greatest(((col(c) - lo) / span * 65535.0).cast("long"), lit(0L)),
+        lit(65535L))
+    }
+    val a = code(colA, stats.getAs[Number](0).doubleValue, stats.getAs[Number](1).doubleValue)
+    val b = code(colB, stats.getAs[Number](2).doubleValue, stats.getAs[Number](3).doubleValue)
+    val z = (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftrightunsigned(a, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftrightunsigned(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }
+    df.withColumn("__z", z)
+      .repartitionByRange(n, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Dense global row ids ordered by `keys`, WITHOUT funneling the table
     * through one task: `monotonically_increasing_id` leaves gaps
     * (partition-local counters) and a `row_number()` over an un-partitioned

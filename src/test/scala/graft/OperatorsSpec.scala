@@ -160,6 +160,36 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("z-order layout bounds BOTH keys per file tighter than a linear sort") {
+    import graft.operators.Layout
+    val sf = "/root/testdata/sf0.001"
+    val li = graft.core.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val tmp = java.nio.file.Files.createTempDirectory("zorder").toString
+    Layout.zorderWrite(li, s"$tmp/z", 16, "l_orderkey", "l_partkey")
+    Layout.sortedWrite(li, s"$tmp/lin", 16, "l_orderkey")
+    def spans(path: String): (Double, Double) = {
+      val perFile = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(min("l_orderkey").as("alo"), max("l_orderkey").as("ahi"),
+          min("l_partkey").as("blo"), max("l_partkey").as("bhi"))
+        .collect()
+      (perFile.map(r => (r.getLong(2) - r.getLong(1)).toDouble).sum / perFile.length,
+        perFile.map(r => (r.getLong(4) - r.getLong(3)).toDouble).sum / perFile.length)
+    }
+    assert(spark.read.parquet(s"$tmp/z").count() == li.count())
+    val (zA, zB) = spans(s"$tmp/z")
+    val (linA, linB) = spans(s"$tmp/lin")
+    // the z-order contract is BALANCE, not total area: a linear sort pins
+    // the first key (tiny span) but every file spans ~the full second-key
+    // range; z-order bounds BOTH keys well below their full ranges
+    // (measured here: lin ≈ (92, 198-of-199) vs z ≈ (441-of-1499, 76))
+    val (fullA, fullB) = (1499.0, 199.0)
+    assert(linB > fullB * 0.9, s"fixture no longer exhibits the linear-sort pathology: $linB")
+    assert(zB < fullB * 0.5, s"z-order does not bound the second key: $zB vs $linB")
+    assert(zA < fullA * 0.5, s"z-order lost the first key entirely: $zA")
+  }
+
   test("dynamic partition overwrite rewrites only the touched partition") {
     import graft.operators.Layout
     import spark.implicits._
