@@ -343,6 +343,45 @@ class OperatorsSpec extends AnyFunSuite {
       s"AQE did not mark/split the skewed partition:\n$finalPlan")
   }
 
+  test("ANALYZE TABLE feeds exact row/column stats to the optimizer (CBO-ready)") {
+    // cbo.enabled is read thread-locally when stats are computed, so set it
+    // on THIS session (restored below) rather than a newSession whose conf
+    // the lazy stats visitor would never see
+    val saved = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      graft.core.Tables.orders(spark, "/root/testdata/sf0.001")
+        .write.mode("overwrite").saveAsTable("orders_cbo")
+      spark.sql("ANALYZE TABLE orders_cbo COMPUTE STATISTICS FOR ALL COLUMNS")
+      val stats = spark.table("orders_cbo").queryExecution.optimizedPlan.stats
+      val n = spark.table("orders_cbo").count()
+      assert(stats.rowCount.contains(BigInt(n)),
+        s"optimizer does not see the analyzed row count: ${stats.rowCount}")
+      assert(stats.attributeStats.nonEmpty, "no column-level stats reached the plan")
+      val custStats = stats.attributeStats.find(_._1.name == "o_custkey").map(_._2)
+      assert(custStats.exists(_.distinctCount.isDefined),
+        "o_custkey NDV missing — join cardinality estimation would be blind")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_cbo")
+      spark.conf.set("spark.sql.cbo.enabled", saved)
+    }
+  }
+
+  test("cached temp view scans from InMemoryRelation and stays correct") {
+    val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val expected = li.groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    li.createOrReplaceTempView("li_cached")
+    spark.catalog.cacheTable("li_cached")
+    try {
+      val agg = spark.table("li_cached").groupBy("l_returnflag").count()
+      val got = agg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expected)
+      assert(agg.queryExecution.executedPlan.toString.contains("InMemoryRelation"),
+        "cached view not served from the in-memory columnar relation")
+    } finally spark.catalog.uncacheTable("li_cached")
+  }
+
   test("observe computes named metrics in the same pass as the action") {
     import graft.operators.Metrics
     val sf = "/root/testdata/sf0.001"
