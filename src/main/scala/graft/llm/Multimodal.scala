@@ -132,6 +132,29 @@ object Multimodal {
       |  CAST(sum(octet_length(encode(text)) // 100 + 1) AS BIGINT) AS total_frames
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** q119 — frame-sampling profile: every 3rd 100-byte "frame" of each
+    * video payload (stub codec, real explode shape — see sampleFrames).
+    * The sampled-frame count per video is ⌈⌈bytes/100⌉/3⌉, which DuckDB
+    * can state from the text length — so the stub pipeline is
+    * oracle-checked end-to-end, not just spec'd. */
+  def frameSampleProfile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val frames = sampleFrames(media(s, d).as[MediaRow], 3)
+    frames.groupBy("media_id").agg(count(lit(1)).as("n_sampled"))
+      .agg(count(lit(1)).as("n_videos"),
+        sum("n_sampled").as("total_sampled"),
+        max("n_sampled").as("max_sampled"))
+  }
+
+  val frameSampleProfileSql: String =
+    """SELECT count(*) AS n_videos,
+      |  CAST(sum(ceil(ceil(octet_length(encode(text)) / 100.0) / 3.0)) AS BIGINT)
+      |    AS total_sampled,
+      |  CAST(max(ceil(ceil(octet_length(encode(text)) / 100.0) / 3.0)) AS BIGINT)
+      |    AS max_sampled
+      |FROM documents WHERE doc_id % 3 = 2""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
-    GraftQuery("q42_multimodal_features", featureProfile _, Some(featureProfileSql)))
+    GraftQuery("q42_multimodal_features", featureProfile _, Some(featureProfileSql)),
+    GraftQuery("q119_frame_sample", frameSampleProfile _, Some(frameSampleProfileSql)))
 }

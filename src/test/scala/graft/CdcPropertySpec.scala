@@ -51,6 +51,19 @@ class CdcPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("applyChangelog is idempotent: re-applying the merged state is a no-op") {
+    import spark.implicits._
+    val log = changelog(7L, 200)
+    val state = Cdc.applyChangelog(
+      log.toDF("key", "ts", "seq", "op", "v"), "key", "ts", "seq", "op")
+    // the merged state, re-expressed as an all-upsert changelog
+    val again = Cdc.applyChangelog(
+      state.withColumn("op", lit("U")), "key", "ts", "seq", "op")
+    val a = state.collect().map(_.toSeq).toSet
+    val b = again.collect().map(_.toSeq).toSet
+    assert(a == b, "second application changed the state")
+  }
+
   test("scd2: upserts tile the timeline; a trailing tombstone leaves no open version") {
     import spark.implicits._
     for (seed <- 100L until 104L) {
