@@ -154,7 +154,34 @@ object Multimodal {
       |    AS max_sampled
       |FROM documents WHERE doc_id % 3 = 2""".stripMargin
 
+  /** q120 — resize accounting: run the (stub) 320×240 resize over the
+    * media table and profile the payload-size change per kind. The stub's
+    * length arithmetic (len·(320·240)/max(1, w·h), clamped to [1, 1 MiB],
+    * truncated) is restated exactly in the oracle from the documents
+    * columns, so the typed mapPartitions path is hash-checked end-to-end. */
+  def resizeProfile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    resize(media(s, d).as[MediaRow], 320, 240)
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_items"),
+        sum(length(col("payload"))).as("total_bytes"),
+        max(length(col("payload"))).cast("long").as("max_bytes"))
+  }
+
+  val resizeProfileSql: String =
+    """WITH m AS (
+      |  SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |              ELSE 'video' END AS kind,
+      |         GREATEST(1, LEAST(CAST(trunc(octet_length(encode(text)) *
+      |             (76800.0 / GREATEST(1, (doc_id % 640) * (doc_id % 480)))) AS BIGINT),
+      |           1048576)) AS n_bytes
+      |  FROM documents)
+      |SELECT kind, count(*) AS n_items,
+      |       sum(n_bytes) AS total_bytes, max(n_bytes) AS max_bytes
+      |FROM m GROUP BY kind""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q42_multimodal_features", featureProfile _, Some(featureProfileSql)),
-    GraftQuery("q119_frame_sample", frameSampleProfile _, Some(frameSampleProfileSql)))
+    GraftQuery("q119_frame_sample", frameSampleProfile _, Some(frameSampleProfileSql)),
+    GraftQuery("q120_resize_profile", resizeProfile _, Some(resizeProfileSql)))
 }
