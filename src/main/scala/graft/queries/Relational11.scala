@@ -200,11 +200,50 @@ object Relational11 {
     """SELECT o_orderpriority AS priority, count(*) AS n
       |FROM orders GROUP BY 1 ORDER BY n DESC, priority LIMIT 3""".stripMargin
 
+  // ---------------------------------------------------------------- q121
+  /** Data-quality audit — the constraint checks a lake runs before
+    * publishing a table version: referential integrity (orphan facts,
+    * anti join), primary-key uniqueness, null rate, and domain bounds,
+    * emitted as one (check, violations) report. Each check is an
+    * aggregate over one scan; the orphan check is the same left-anti
+    * shape as the dedup primitive (A5/q08). A real deployment gates the
+    * partition swap on `violations == 0` (the write-audit-publish
+    * pattern); the operator is the audit half. */
+  private def q121(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val orphans = li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("orphan_lineitems").as("check"), col("violations"))
+    val dupPk = li.agg(
+        (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber")))
+          .as("violations"))
+      .select(lit("duplicate_lineitem_pk").as("check"), col("violations"))
+    val nulls = li.agg(count_if(col("l_shipdate").isNull).as("violations"))
+      .select(lit("null_shipdate").as("check"), col("violations"))
+    val domain = li.agg(count_if(col("l_quantity") <= 0).as("violations"))
+      .select(lit("nonpositive_quantity").as("check"), col("violations"))
+    orphans.unionAll(dupPk).unionAll(nulls).unionAll(domain)
+  }
+
+  private val q121Sql =
+    """SELECT 'orphan_lineitems' AS check, count(*) AS violations
+      |FROM lineitem l WHERE NOT EXISTS
+      |  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      |UNION ALL
+      |SELECT 'duplicate_lineitem_pk',
+      |       count(*) - count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem
+      |UNION ALL
+      |SELECT 'null_shipdate', count(*) FILTER (l_shipdate IS NULL) FROM lineitem
+      |UNION ALL
+      |SELECT 'nonpositive_quantity', count(*) FILTER (l_quantity <= 0) FROM lineitem""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q108_zscore_outliers", q108, Some(q108Sql)),
     GraftQuery("q109_funnel", q109, Some(q109Sql)),
     GraftQuery("q110_cohort_retention", q110, Some(q110Sql)),
     GraftQuery("q111_event_transitions", q111, Some(q111Sql)),
     GraftQuery("q113_fuzzy_match", q113, Some(q113Sql)),
-    GraftQuery("q116_approx_top_k", q116, Some(q116Sql)))
+    GraftQuery("q116_approx_top_k", q116, Some(q116Sql)),
+    GraftQuery("q121_dq_audit", q121, Some(q121Sql)))
 }
