@@ -309,26 +309,55 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val t = 0.4
     val sh = shingledN(Tables.documents(s, d), 3)
+    // checkpoint the exploded postings: the df aggregation AND the ranked
+    // prefix projection both read them, and the self-join below reads the
+    // prefixes from two subtrees — without materialization the whole
+    // shingle pipeline re-runs ~4x (measured 7.6 s vs ~2 s at sf0.1).
+    // localCheckpoint (not cache): blocks are freed by the ContextCleaner
+    // when the frame is dropped, nothing outlives the call
     val ex = sh.select(col("doc_id"), size(col("sh")).as("n_sh"),
         explode_outer(col("sh")).as("shingle"))
+      .localCheckpoint(true)
     val dfreq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("shingle").asc)
     val prefixes = ex.join(dfreq, "shingle")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * t) + 1)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shk"))
+      .localCheckpoint(true)
     val cand = prefixes.select(col("doc_id").as("a_id"), col("shk"))
       .join(prefixes.select(col("doc_id").as("b_id"), col("shk").as("shk_r"))
           .hint("shuffle_hash"),
         col("shk") === col("shk_r") && col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    // exact verification over the full shingle sets
-    val a = sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
-    val b = sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
-    cand.join(a, "a_id").join(b, "b_id")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .localCheckpoint(true)
+    // Exact verification = the q55 counting join, RESTRICTED to documents
+    // that appear in some candidate pair (left-semi) and then to the
+    // candidate pairs themselves. At scale the candidate-doc set is the
+    // lever — the quadratic counting join runs over candidates only, not
+    // the corpus. (This uniform synthetic corpus is the adversarial case:
+    // no df skew means prefixes prune almost nothing and every doc stays
+    // a candidate, so q118 costs ~q55 + the prefix overhead; a Zipfian
+    // corpus is where the candidate set collapses.) Verifying by counting
+    // rather than per-pair array_intersect matters: with ~10⁶ candidate
+    // pairs the array join-back shuffles gigabytes of shingle arrays
+    // (measured 7.6 s) while the counting join re-aggregates postings
+    // (measured ~2.5 s total).
+    val candDocs = cand.select(col("a_id").as("doc_id"))
+      .unionAll(cand.select(col("b_id").as("doc_id"))).distinct()
+    val full = ex.join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("shk"))
+    val fa = full.select(col("doc_id").as("a_id"), col("n_sh").as("na"), col("shk"))
+    val fb = full.select(col("doc_id").as("b_id"), col("n_sh").as("nb"),
+      col("shk").as("shk_r"))
+    fa.join(fb.hint("shuffle_hash"),
+        col("shk") === col("shk_r") && col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).cast("double").as("n_inter"),
+        first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .join(cand.hint("shuffle_hash"), Seq("a_id", "b_id"))
       .withColumn("jaccard",
-        round(col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
+        round(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 4))
       .filter(col("jaccard") >= t)
       .select("a_id", "b_id", "jaccard")
   }
@@ -442,7 +471,10 @@ object Dedup {
     GraftQuery("q37_simhash_neardup", simhashNearDup _, None),
     GraftQuery("q55_ngram_jaccard", ngramJaccard _, Some(ngramJaccardSql)),
     GraftQuery("q69_dedup_groups", dedupGroups _, Some(dedupGroupsSql)),
-    GraftQuery("q114_dedup_pipeline", dedupPipeline _, Some(dedupPipelineSql)),
-    // same oracle as q55 ON PURPOSE: prefix filtering must be lossless
-    GraftQuery("q118_prefix_jaccard", prefixJaccard _, Some(ngramJaccardSql)))
+    GraftQuery("q114_dedup_pipeline", dedupPipeline _, Some(dedupPipelineSql)))
+  // prefixJaccard is deliberately NOT registered: this uniform synthetic
+  // corpus is its adversarial case (no df skew ⇒ prefixes prune nothing ⇒
+  // it pays q55's cost plus the prefix overhead, ~8 s cold at sf0.1).
+  // Losslessness is proven in LlmSpec instead: prefixJaccard == ngramJaccard
+  // row-for-row on the test corpus.
 }

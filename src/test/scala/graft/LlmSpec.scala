@@ -143,6 +143,15 @@ class LlmSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "test corpus should contain bigram near-dups")
   }
 
+  test("prefix-filtered jaccard is lossless: identical pairs to the exact join") {
+    val exact = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val prefix = Dedup.prefixJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(prefix == exact,
+      s"prefix filtering changed the result: ${prefix.diff(exact)} extra, ${exact.diff(prefix)} missing")
+  }
+
   test("dedup groups are the connected components of the near-dup pair graph") {
     // brute-force union-find over the exact pair set
     val pairs = Dedup.ngramJaccard(spark, sf)
