@@ -321,6 +321,72 @@ object Retrieval {
       |  GROUP BY ex.doc_id)
       |WHERE frac >= 0.05""".stripMargin
 
+  // ---------------------------------------------------------------- q122
+  /** Hybrid retrieval via reciprocal-rank fusion (RRF, k=60): fuse the
+    * BM25 text ranking (q87) with the exact cosine kNN ranking (q39,
+    * doc_id ≡ vec_id on this corpus) — the standard fusion rule for
+    * keyword + vector search, score = Σ 1/(k + rank_i), absent-from-a-list
+    * contributes 0. Both source rankings are bounded (top-10 / top-5), so
+    * the fusion is a join of two tiny frames regardless of corpus size —
+    * all the heavy lifting happened in the rankers. */
+  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("bm25").desc, col("doc_id").asc)
+    val text = bm25(s, d)
+      .withColumn("t_rank", row_number().over(w))
+      .select(col("doc_id").as("id"), col("t_rank"))
+    val vec = Similarity.knnBrute(s, d)
+      .select(col("neighbor_id").as("id"), col("rank").as("v_rank"))
+    text.join(vec, Seq("id"), "full_outer")
+      .withColumn("rrf", round(
+        when(col("t_rank").isNotNull, lit(1.0) / (lit(60) + col("t_rank"))).otherwise(0.0) +
+        when(col("v_rank").isNotNull, lit(1.0) / (lit(60) + col("v_rank"))).otherwise(0.0),
+        6))
+      .orderBy(col("rrf").desc, col("id").asc)
+      .limit(10)
+      .select("id", "t_rank", "v_rank", "rrf")
+  }
+
+  val hybridRrfSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents
+      |), tf AS (
+      |  SELECT doc_id, word, count(*) AS tf FROM toks
+      |  WHERE word IN ('spark', 'vector', 'merge') GROUP BY 1, 2
+      |), df AS (
+      |  SELECT word, count(*) AS df FROM tf GROUP BY 1
+      |), lens AS (
+      |  SELECT doc_id, count(*) AS dl FROM toks WHERE word <> '' GROUP BY 1
+      |), stats AS (
+      |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens
+      |), bm AS (
+      |  SELECT doc_id, round(sum(term_score), 4) AS bm25
+      |  FROM (
+      |    SELECT tf.doc_id,
+      |           ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+      |             (tf.tf * 2.2) /
+      |             (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / stats.avgdl)) AS term_score
+      |    FROM tf JOIN df USING (word) JOIN lens USING (doc_id) CROSS JOIN stats
+      |  ) GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10
+      |), trank AS (
+      |  SELECT doc_id AS id,
+      |         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS t_rank
+      |  FROM bm
+      |), e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |q AS (SELECT v FROM e WHERE vec_id = 0),
+      |scored AS (
+      |  SELECT e.vec_id, round(list_cosine_similarity(e.v, q.v), 4) AS cosine
+      |  FROM e, q WHERE e.vec_id != 0),
+      |vrank AS (
+      |  SELECT vec_id AS id, CAST(rank AS INT) AS v_rank
+      |  FROM (SELECT *, row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+      |        FROM scored)
+      |  WHERE rank <= 5)
+      |SELECT id, t_rank, v_rank,
+      |       round(coalesce(1.0 / (60 + t_rank), 0) +
+      |             coalesce(1.0 / (60 + v_rank), 0), 6) AS rrf
+      |FROM trank FULL OUTER JOIN vrank USING (id)
+      |ORDER BY rrf DESC, id ASC LIMIT 10""".stripMargin
+
   // ---------------------------------------------------------------- q115
   /** Token-budget batch packing — assign documents (in doc_id order) to
     * training batches of ~512 tokens: batch_id = ⌊exclusive-prefix-sum of
@@ -376,5 +442,6 @@ object Retrieval {
     GraftQuery("q90_repetition_quality", repetitionQuality, Some(repetitionQualitySql)),
     GraftQuery("q107_bigram_lm", bigramLm, Some(bigramLmSql)),
     GraftQuery("q112_contamination", contamination, Some(contaminationSql)),
-    GraftQuery("q115_token_packing", tokenPacking, Some(tokenPackingSql)))
+    GraftQuery("q115_token_packing", tokenPacking, Some(tokenPackingSql)),
+    GraftQuery("q122_hybrid_rrf", hybridRrf, Some(hybridRrfSql)))
 }
