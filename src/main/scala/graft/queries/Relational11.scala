@@ -238,6 +238,44 @@ object Relational11 {
       |UNION ALL
       |SELECT 'nonpositive_quantity', count(*) FILTER (l_quantity <= 0) FROM lineitem""".stripMargin
 
+  // ---------------------------------------------------------------- q123
+  /** Winsorization — clamp a measure to its per-group [p01, p99] band, the
+    * standard outlier-robust cleaning step before training on heavy-tailed
+    * columns. Exact percentiles per group (tiny stats side, AQE broadcasts
+    * it back over the stream), then a map-side clamp + profile. The band
+    * edges are rounded to 4 decimals on BOTH engines BEFORE comparing, so
+    * interpolation-order float drift can't flip a boundary row's
+    * clipped/unclipped classification. */
+  private def q123(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val stats = li.groupBy("l_returnflag").agg(
+      round(expr("percentile(l_extendedprice, 0.01)"), 4).as("p01"),
+      round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+    li.join(stats, "l_returnflag")
+      .withColumn("clipped",
+        least(greatest(col("l_extendedprice"), col("p01")), col("p99")))
+      .groupBy("l_returnflag")
+      .agg(
+        round(avg("l_extendedprice"), 4).as("raw_mean"),
+        round(avg("clipped"), 4).as("winsor_mean"),
+        count_if(col("l_extendedprice") < col("p01")).as("n_low"),
+        count_if(col("l_extendedprice") > col("p99")).as("n_high"))
+  }
+
+  private val q123Sql =
+    """WITH stats AS (
+      |  SELECT l_returnflag,
+      |         round(quantile_cont(l_extendedprice, 0.01), 4) AS p01,
+      |         round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag,
+      |  round(avg(l_extendedprice), 4) AS raw_mean,
+      |  round(avg(least(greatest(l_extendedprice, p01), p99)), 4) AS winsor_mean,
+      |  count(*) FILTER (l_extendedprice < p01) AS n_low,
+      |  count(*) FILTER (l_extendedprice > p99) AS n_high
+      |FROM lineitem JOIN stats USING (l_returnflag)
+      |GROUP BY l_returnflag""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q108_zscore_outliers", q108, Some(q108Sql)),
     GraftQuery("q109_funnel", q109, Some(q109Sql)),
@@ -245,5 +283,6 @@ object Relational11 {
     GraftQuery("q111_event_transitions", q111, Some(q111Sql)),
     GraftQuery("q113_fuzzy_match", q113, Some(q113Sql)),
     GraftQuery("q116_approx_top_k", q116, Some(q116Sql)),
-    GraftQuery("q121_dq_audit", q121, Some(q121Sql)))
+    GraftQuery("q121_dq_audit", q121, Some(q121Sql)),
+    GraftQuery("q123_winsorize", q123, Some(q123Sql)))
 }
