@@ -162,6 +162,27 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), s"NOT EXISTS not decorrelated to anti join:\n$p")
   }
 
+  test("q104: last-change-wins plans as WindowGroupLimit (top-1 pruned before the shuffle)") {
+    val p = plan("q104_cdc_merge")
+    // rk = 1 over a row_number window lowers to WindowGroupLimit: each map
+    // task keeps only its per-key best row, so the shuffle carries ~1 row
+    // per (partition, key) instead of the whole changelog
+    assert(p.contains("WindowGroupLimit"), s"CDC merge shuffles the full changelog:\n$p")
+  }
+
+  test("q121: referential-integrity check plans as an anti join") {
+    val p = plan("q121_dq_audit")
+    assert(p.contains("LeftAnti"), s"orphan check not an anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the audit:\n$p")
+  }
+
+  test("q110: cohort retention aggregates partially before both shuffles") {
+    val p = plan("q110_cohort_retention")
+    assert(p.contains("partial_min") || p.contains("partial_"),
+      s"cohort assignment not partially aggregated:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("whole-stage codegen covers the scan-to-aggregate pipeline of q02") {
     // AQE finalizes the plan lazily — execute, then inspect the final plan
     val df = SparkEntry.queries("q02_agg_pricing")(spark, sf)
