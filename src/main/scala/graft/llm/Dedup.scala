@@ -187,13 +187,22 @@ object Dedup {
     val ex = sh.select(col("doc_id"), size(col("sh")).as("n_sh"),
                        explode_outer(col("sh")).as("shingle"))
       .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("shk"))
-    val ax = ex.select(col("doc_id").as("a_id"), col("n_sh").as("na"), col("shk"))
-    val bx = ex.select(col("doc_id").as("b_id"), col("n_sh").as("nb"),
-                       col("shk").as("shk_r"))
-    // shuffle_hash hint: Generate inherits its child's (tiny) size estimate,
-    // so the static planner broadcasts the 1.3M-row exploded side and the
-    // driver-side hash build dominates (measured 2.7-9s vs 1.2s). A shuffled
-    // hash join partitions by shingle — the shape that holds at 100 TB
+    jaccardCountingJoin(ex, 0.4)
+  }
+
+  /** The ONE exact-Jaccard counting join, shared by q55 and the
+    * prefix-filtered variant (their equivalence proof assumes an identical
+    * verification core — keep it identical by construction). Input: hashed
+    * postings (doc_id, n_sh, shk).
+    *
+    * shuffle_hash hint: Generate inherits its child's (tiny) size estimate,
+    * so the static planner broadcasts the 1.3M-row exploded side and the
+    * driver-side hash build dominates (measured 2.7-9s vs 1.2s). A shuffled
+    * hash join partitions by shingle — the shape that holds at 100 TB. */
+  private def jaccardCountingJoin(postings: DataFrame, t: Double): DataFrame = {
+    val ax = postings.select(col("doc_id").as("a_id"), col("n_sh").as("na"), col("shk"))
+    val bx = postings.select(col("doc_id").as("b_id"), col("n_sh").as("nb"),
+                             col("shk").as("shk_r"))
     ax.join(bx.hint("shuffle_hash"),
         col("shk") === col("shk_r") && col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id")
@@ -201,7 +210,7 @@ object Dedup {
            first(col("na")).as("na"), first(col("nb")).as("nb"))
       .withColumn("jaccard",
         round(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 4))
-      .filter(col("jaccard") >= 0.4)
+      .filter(col("jaccard") >= t)
       .select("a_id", "b_id", "jaccard")
   }
 
@@ -295,10 +304,13 @@ object Dedup {
     * (df-heavy, quadratic pair blowup) land at the END of the order and
     * mostly fall OUT of prefixes, which is exactly what caps the
     * Σ df² explosion on skewed corpora. Candidates are then verified
-    * EXACTLY (full intersection over the complete shingle arrays) — no
-    * false positives survive, and the theorem rules out false negatives,
-    * which the oracle proves concretely: q118 hash-matches q55's exact
-    * all-pairs oracle verbatim.
+    * EXACTLY (the same counting join as q55, shared helper) — no false
+    * positives survive, and the theorem rules out false negatives for
+    * TRUE Jaccard ≥ t. One boundary caveat: q55 thresholds the round-4
+    * jaccard, so a pair with true J ∈ [t − 5·10⁻⁵, t) (possible only when
+    * documents carry ≥10⁴ shingles) could appear in q55 yet be legitimately
+    * pruned here; on this corpus (≲10² shingles/doc) the two are
+    * row-identical, which LlmSpec asserts.
     *
     * Cost shape vs q55: one extra aggregation (global df) and a per-doc
     * window to rank shingles; the payoff is candidate-join input
@@ -347,19 +359,10 @@ object Dedup {
       .unionAll(cand.select(col("b_id").as("doc_id"))).distinct()
     val full = ex.join(candDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("shk"))
-    val fa = full.select(col("doc_id").as("a_id"), col("n_sh").as("na"), col("shk"))
-    val fb = full.select(col("doc_id").as("b_id"), col("n_sh").as("nb"),
-      col("shk").as("shk_r"))
-    fa.join(fb.hint("shuffle_hash"),
-        col("shk") === col("shk_r") && col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id")
-      .agg(count(lit(1)).cast("double").as("n_inter"),
-        first(col("na")).as("na"), first(col("nb")).as("nb"))
-      .join(cand.hint("shuffle_hash"), Seq("a_id", "b_id"))
-      .withColumn("jaccard",
-        round(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 4))
-      .filter(col("jaccard") >= t)
-      .select("a_id", "b_id", "jaccard")
+    // the SAME verification core as q55 (shared helper — the equivalence
+    // proof depends on it), restricted to candidate pairs afterwards
+    jaccardCountingJoin(full, t)
+      .join(cand.hint("shuffle_hash"), Seq("a_id", "b_id"), "left_semi")
   }
 
   // ---------------------------------------------------------------- pipeline

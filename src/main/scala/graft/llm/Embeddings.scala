@@ -29,26 +29,33 @@ object Embeddings {
       eigenvalues: Array[Double],
       components: Array[Array[Double]])
 
-  /** Fit PCA over an `(… , v: array<double>)` frame in one data pass. */
+  /** Fit PCA over an `(… , v: array<double>)` frame in ONE data pass —
+    * the vector width is taken from each partition's first row (no
+    * up-front `first()` job re-reading the source). Throws on an empty
+    * frame (PCA of nothing is undefined). */
   def fitPca(e: DataFrame): PcaModel = {
     val rdd = e.select(col("v")).rdd.map(_.getSeq[Double](0).toArray)
-    val dim = rdd.first().length
     val (n, sum, scatter) = rdd
       .mapPartitions { it =>
-        var n = 0L
-        val s = new Array[Double](dim)
-        val m = new Array[Double](dim * dim) // lower triangle accumulated
-        it.foreach { v =>
-          n += 1
-          var i = 0
-          while (i < dim) {
-            s(i) += v(i)
-            var j = 0
-            while (j <= i) { m(i * dim + j) += v(i) * v(j); j += 1 }
-            i += 1
+        if (!it.hasNext) Iterator.empty
+        else {
+          val head = it.next()
+          val dim = head.length
+          var n = 0L
+          val s = new Array[Double](dim)
+          val m = new Array[Double](dim * dim) // lower triangle accumulated
+          (Iterator(head) ++ it).foreach { v =>
+            n += 1
+            var i = 0
+            while (i < dim) {
+              s(i) += v(i)
+              var j = 0
+              while (j <= i) { m(i * dim + j) += v(i) * v(j); j += 1 }
+              i += 1
+            }
           }
+          Iterator((n, s, m))
         }
-        Iterator((n, s, m))
       }
       .reduce { case ((n1, s1, m1), (n2, s2, m2)) =>
         var i = 0
@@ -57,6 +64,7 @@ object Embeddings {
         while (j < m1.length) { m1(j) += m2(j); j += 1 }
         (n1 + n2, s1, m1)
       }
+    val dim = sum.length
     val mean = sum.map(_ / n)
     val cov = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
     for (i <- 0 until dim; j <- 0 to i) {
@@ -112,7 +120,10 @@ object Embeddings {
     * components' eigenvalues and the cumulative variance ratio. The
     * eigenvalues are deterministic up to reduce-order float drift
     * (~1e-12 on these magnitudes); round-4/5 absorbs it, so the sf0.01
-    * output pins as a golden. The semantic checks (variance-of-projection
+    * output pins as a golden. NOTE the golden (like the other pinned ANN
+    * goldens) is data-dependent: the driver's gate always runs at sf0.01;
+    * a local Verify at another SF will report a q117 mismatch that means
+    * "wrong fixture", not "wrong code" (see SKILL.md). The semantic checks (variance-of-projection
     * == eigenvalue, orthonormal components) live in RetrievalSpec. */
   def pcaVariance(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

@@ -139,11 +139,17 @@ object Multimodal {
     * oracle-checked end-to-end, not just spec'd. */
   def frameSampleProfile(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val frames = sampleFrames(media(s, d).as[MediaRow], 3)
-    frames.groupBy("media_id").agg(count(lit(1)).as("n_sampled"))
+    val m = media(s, d)
+    val frames = sampleFrames(m.as[MediaRow], 3)
+    // count videos from the MEDIA table, not the frame output: a zero-byte
+    // payload emits no frames and would otherwise vanish from n_videos
+    // while the oracle (which counts documents) still sees it
+    val vids = m.filter(col("kind") === "video").select("media_id")
+    vids.join(frames.groupBy("media_id").agg(count(lit(1)).as("n_sampled")),
+        Seq("media_id"), "left")
       .agg(count(lit(1)).as("n_videos"),
-        sum("n_sampled").as("total_sampled"),
-        max("n_sampled").as("max_sampled"))
+        sum(coalesce(col("n_sampled"), lit(0L))).as("total_sampled"),
+        max(coalesce(col("n_sampled"), lit(0L))).as("max_sampled"))
   }
 
   val frameSampleProfileSql: String =

@@ -346,6 +346,11 @@ object Retrieval {
       .select("id", "t_rank", "v_rank", "rrf")
   }
 
+  // MIRROR WARNING: the bm/toks/tf/df/lens/stats CTEs below are q87's
+  // oracle inlined, and e/q/scored mirror q39's — SQL can't nest WITH
+  // inside a CTE, so composition-by-string would need fragile surgery.
+  // Any change to bm25Sql or knnBruteSql must be mirrored here (the gate
+  // catches drift: q122 would stop hash-matching).
   val hybridRrfSql: String =
     """WITH toks AS (
       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents

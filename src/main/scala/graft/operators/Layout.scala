@@ -53,6 +53,12 @@ object Layout {
                   colA: String, colB: String): Unit = {
     val stats = df.agg(
       min(colA), max(colA), min(colB), max(colB)).head()
+    // empty input / all-null key: no range to interleave — degrade to a
+    // plain write rather than NPE on the null min/max
+    if (stats.isNullAt(0) || stats.isNullAt(2)) {
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     def code(c: String, lo: Double, hi: Double): Column = {
       val span = if (hi > lo) hi - lo else 1.0
       least(greatest(((col(c) - lo) / span * 65535.0).cast("long"), lit(0L)),

@@ -178,7 +178,7 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("q110: cohort retention aggregates partially before both shuffles") {
     val p = plan("q110_cohort_retention")
-    assert(p.contains("partial_min") || p.contains("partial_"),
+    assert(p.contains("partial_min"),
       s"cohort assignment not partially aggregated:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
