@@ -54,6 +54,41 @@ class LlmPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("chunking reconstructs every generated document exactly") {
+    val texts = sample(text, 60) // doc_ids 0..59; chunk covers doc_id < 40
+    val d = corpusDir(texts)
+    val byDoc = graft.llm.Retrieval.chunk(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(3)))
+      .groupBy(_._1)
+    byDoc.foreach { case (id, chunks) =>
+      val raw = texts(id.toInt).split(" ", -1).toSeq
+      chunks.sortBy(_._2).foreach { case (_, start, ctext) =>
+        assert(ctext == raw.slice(start, start + 30).mkString(" "),
+          s"doc $id chunk@$start diverges from the source tokens")
+      }
+      // stitching the stride-20 prefixes of each chunk (plus the last
+      // chunk's tail) rebuilds the document verbatim
+      val ordered = chunks.sortBy(_._2)
+      val stitched = (ordered.init.map(_._3.split(" ", -1).take(20)) :+
+        ordered.last._3.split(" ", -1)).flatten.toSeq
+      assert(stitched == raw, s"doc $id does not reassemble from its chunks")
+    }
+  }
+
+  test("token packing on generated corpora: every doc packed once, batches bounded") {
+    val texts = sample(text, 200)
+    val d = corpusDir(texts)
+    val batches = graft.llm.Retrieval.tokenPacking(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(batches.map(_._2).sum == texts.length, "doc lost or duplicated")
+    assert(batches.map(_._1).toSeq == (0L until batches.length), "ids not dense")
+    val maxDoc = texts.map(_.split(" ", -1).length.toLong).max
+    batches.dropRight(1).foreach { case (id, _, total) =>
+      assert(total > 512 - maxDoc && total < 512 + maxDoc,
+        s"batch $id outside the exclusive-prefix bound: $total")
+    }
+  }
+
   test("langId only emits declared codes") {
     val d = corpusDir(sample(text, 300))
     val codes = graft.llm.TextAnalysis.langId(spark, d)
