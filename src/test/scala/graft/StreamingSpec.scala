@@ -107,6 +107,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("observe surfaces per-micro-batch metrics in QueryProgress (streaming A17 counters)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    // the name-based overload: the Observation-object form rejects streams
+    // (one metric row per micro-batch — read them from QueryProgress)
+    val out = in.toDF().toDF("event_id", "value")
+      .observe("batch_metrics", count(lit(1)).as("rows"), sum("value").as("total"))
+    val q = out.writeStream.format("memory").queryName("obs_out")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, 2.5), (2L, 3.5))
+      q.processAllAvailable()
+      val m = q.lastProgress.observedMetrics.get("batch_metrics")
+      assert(m != null, "observed metrics missing from QueryProgress")
+      assert(m.getAs[Long]("rows") == 2L)
+      assert(m.getAs[Double]("total") == 6.0)
+    } finally q.stop()
+  }
+
   test("complete output mode re-emits the whole aggregate per trigger") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
