@@ -183,7 +183,7 @@ object Multimodal {
       |           1048576)) AS n_bytes
       |  FROM documents)
       |SELECT kind, count(*) AS n_items,
-      |       sum(n_bytes) AS total_bytes, max(n_bytes) AS max_bytes
+      |       CAST(sum(n_bytes) AS BIGINT) AS total_bytes, max(n_bytes) AS max_bytes
       |FROM m GROUP BY kind""".stripMargin
 
   val queries: Seq[GraftQuery] = Seq(

@@ -178,19 +178,27 @@ object Retrieval {
     termFreq(s, d)
       .groupBy("doc_id")
       .agg(sum("tf").as("n_tokens"),
-        round(
-          log(sum("tf")) - sum(col("tf") * log(col("tf"))) / sum("tf"),
-          4).as("entropy"))
+        // floor(x*1e4+0.5) spelling, not round(): Spark's round() is
+        // BigDecimal HALF_UP on the shortest decimal repr while DuckDB
+        // rounds the scaled double — they disagree on decimal-tie values.
+        // Both engines compute this spelling on identical doubles.
+        (floor((log(sum("tf")) - sum(col("tf") * log(col("tf"))) / sum("tf"))
+          * 10000 + 0.5) / 10000.0).as("entropy"))
       .select("doc_id", "n_tokens", "entropy")
 
+  // CAST(sum AS BIGINT): DuckDB sum(BIGINT) is HUGEINT, which pandas
+  // renders as float64 — the driver's dtype-sensitive hash then mismatches
+  // Spark's int64 even when every value is equal (the r03 q89/q90/q115/q120
+  // regression class). Every integer-sum oracle column must carry the cast.
   val wordEntropySql: String =
     """WITH toks AS (
       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents
       |), tf AS (
       |  SELECT doc_id, word, count(*) AS tf FROM toks WHERE word <> '' GROUP BY 1, 2
       |)
-      |SELECT doc_id, sum(tf) AS n_tokens,
-      |       round(ln(sum(tf)) - sum(tf * ln(tf)) / sum(tf), 4) AS entropy
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |       floor((ln(sum(tf)) - sum(tf * ln(tf)) / sum(tf)) * 10000 + 0.5) / 10000.0
+      |         AS entropy
       |FROM tf GROUP BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q90
@@ -204,10 +212,15 @@ object Retrieval {
       .agg(
         sum("tf").as("n_tokens"),
         count(lit(1)).as("n_unique"),
-        round(count(lit(1)).cast("double") / sum("tf"), 4).as("unique_frac"),
-        round(max("tf").cast("double") / sum("tf"), 4).as("top_frac"),
-        round(sum(col("tf") * length(col("word"))).cast("double") / sum("tf"), 4)
-          .as("mean_tok_len"))
+        // floor-spelled rounding (see wordEntropy): int/int ratios land on
+        // exact decimal ties (e.g. 2469/20000 = 0.12345) where Spark round()
+        // and DuckDB round() split; floor(x*1e4+0.5) agrees bit-for-bit.
+        (floor(count(lit(1)).cast("double") / sum("tf") * 10000 + 0.5) / 10000.0)
+          .as("unique_frac"),
+        (floor(max("tf").cast("double") / sum("tf") * 10000 + 0.5) / 10000.0)
+          .as("top_frac"),
+        (floor(sum(col("tf") * length(col("word"))).cast("double") / sum("tf")
+          * 10000 + 0.5) / 10000.0).as("mean_tok_len"))
       .withColumn("keep",
         (col("unique_frac") >= 0.3) && (col("top_frac") <= 0.2) &&
           col("n_tokens").between(10, 1000))
@@ -220,12 +233,12 @@ object Retrieval {
       |), tf AS (
       |  SELECT doc_id, word, count(*) AS tf FROM toks WHERE word <> '' GROUP BY 1, 2
       |)
-      |SELECT doc_id, sum(tf) AS n_tokens, count(*) AS n_unique,
-      |       round(CAST(count(*) AS DOUBLE) / sum(tf), 4) AS unique_frac,
-      |       round(CAST(max(tf) AS DOUBLE) / sum(tf), 4) AS top_frac,
-      |       round(CAST(sum(tf * len(word)) AS DOUBLE) / sum(tf), 4) AS mean_tok_len,
-      |       (round(CAST(count(*) AS DOUBLE) / sum(tf), 4) >= 0.3
-      |        AND round(CAST(max(tf) AS DOUBLE) / sum(tf), 4) <= 0.2
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, count(*) AS n_unique,
+      |       floor(CAST(count(*) AS DOUBLE) / sum(tf) * 10000 + 0.5) / 10000.0 AS unique_frac,
+      |       floor(CAST(max(tf) AS DOUBLE) / sum(tf) * 10000 + 0.5) / 10000.0 AS top_frac,
+      |       floor(CAST(sum(tf * len(word)) AS DOUBLE) / sum(tf) * 10000 + 0.5) / 10000.0 AS mean_tok_len,
+      |       (floor(CAST(count(*) AS DOUBLE) / sum(tf) * 10000 + 0.5) / 10000.0 >= 0.3
+      |        AND floor(CAST(max(tf) AS DOUBLE) / sum(tf) * 10000 + 0.5) / 10000.0 <= 0.2
       |        AND sum(tf) BETWEEN 10 AND 1000) AS keep
       |FROM tf GROUP BY doc_id""".stripMargin
 
@@ -433,7 +446,8 @@ object Retrieval {
       |                     - n_tok) / 512) AS BIGINT) AS batch_id
       |  FROM counts),
       |agged AS (
-      |  SELECT batch_id, count(*) AS n_docs, sum(n_tok) AS batch_tokens
+      |  SELECT batch_id, count(*) AS n_docs,
+      |         CAST(sum(n_tok) AS BIGINT) AS batch_tokens
       |  FROM packed GROUP BY batch_id)
       |SELECT CAST(row_number() OVER (ORDER BY batch_id) - 1 AS BIGINT) AS batch_id,
       |       n_docs, batch_tokens

@@ -26,11 +26,25 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
+def kind(s: pd.Series) -> str:
+    """Dtype kind as the driver's hash sees it: int vs float vs bool vs
+    object. DuckDB sum(BIGINT) returns HUGEINT -> pandas float64/object,
+    which hash-mismatches Spark's int64 even when every value is equal
+    (the r03 q89/q90/q115/q120 regression class) — so a kind difference
+    is a FAIL here even if the values compare equal as floats."""
+    k = s.dtype.kind
+    return {"i": "int", "u": "int", "f": "float", "b": "bool",
+            "M": "ts", "O": "obj"}.get(k, k)
+
 def compare(name, sdf, odf):
     if sorted(sdf.columns) != sorted(odf.columns):
         return f"FAIL cols spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
     if len(sdf) != len(odf):
         return f"FAIL rows spark={len(sdf)} oracle={len(odf)}"
+    dk = [(c, kind(sdf[c]), kind(odf[c])) for c in sorted(sdf.columns)
+          if kind(sdf[c]) != kind(odf[c])]
+    if dk:
+        return f"FAIL dtype {dk}"
     sdf, odf = canon(sdf), canon(odf)
     bad = []
     for c in sdf.columns:
