@@ -436,9 +436,12 @@ object Dedup {
   /** SimHash near-dup pairs, hamming ≤ MaxHamming. Candidate generation by
     * the pigeonhole trick: split the 64-bit hash into 4×16-bit chunks; any
     * pair within hamming 3 shares ≥1 identical chunk, so an equi-join on
-    * (chunk_idx, chunk_value) finds all of them without a cross join. No SQL
-    * oracle (hash constants are engine-specific); SimilaritySpec verifies
-    * against brute-force hamming on the test corpus. */
+    * (chunk_idx, chunk_value) finds all of them without a cross join.
+    * xxhash64 constants are engine-specific so DuckDB can't recompute
+    * them: hash-checked against a pinned sf0.01 golden (deterministic,
+    * bit-stable across partition counts — see graft.core.Goldens);
+    * SimilaritySpec verifies against brute-force hamming on the test
+    * corpus. */
   private val MaxHamming = 3
 
   def simhashNearDup(s: SparkSession, d: String): DataFrame = {
@@ -471,7 +474,8 @@ object Dedup {
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q35_dedup_exact", exactDedup _, Some(exactDedupSql)),
     GraftQuery("q36_minhash_neardup", minhashNearDup _, Some(minhashNearDupSql)),
-    GraftQuery("q37_simhash_neardup", simhashNearDup _, None),
+    GraftQuery("q37_simhash_neardup", simhashNearDup _,
+      Some(graft.core.Goldens.load("q37_simhash_neardup"))),
     GraftQuery("q55_ngram_jaccard", ngramJaccard _, Some(ngramJaccardSql)),
     GraftQuery("q69_dedup_groups", dedupGroups _, Some(dedupGroupsSql)),
     GraftQuery("q114_dedup_pipeline", dedupPipeline _, Some(dedupPipelineSql)))

@@ -144,9 +144,11 @@ object TextAnalysis {
       |FROM documents""".stripMargin
 
   /** Rolling-hash fingerprint via the custom codegen'd Catalyst expression
-    * (graft.functions.RollingHash). No SQL oracle — hash constants are
-    * engine-specific; RollingHashSpec verifies interpreted == codegen ==
-    * reference impl. */
+    * (graft.functions.RollingHash). Hash constants are engine-specific so
+    * DuckDB can't recompute them: hash-checked against a pinned sf0.01
+    * golden (pure per-row map, partition-independent — see
+    * graft.core.Goldens); RollingHashSpec verifies interpreted == codegen
+    * == reference impl. */
   def rollingFingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id"),
@@ -235,7 +237,8 @@ object TextAnalysis {
     GraftQuery("q32_quality_score", qualityScore _, Some(qualityScoreSql)),
     GraftQuery("q33_lang_id", langId _, Some(langIdSql)),
     GraftQuery("q34_fingerprint", fingerprint _, Some(fingerprintSql)),
-    GraftQuery("q34b_rolling_fingerprint", rollingFingerprint _, None),
+    GraftQuery("q34b_rolling_fingerprint", rollingFingerprint _,
+      Some(graft.core.Goldens.load("q34b_rolling_fingerprint"))),
     GraftQuery("q99_pii_redact", piiRedact _, Some(piiRedactSql)),
     GraftQuery("q100_vocab", vocab _, Some(vocabSql)))
 }

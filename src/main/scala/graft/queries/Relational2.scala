@@ -272,7 +272,9 @@ object Relational2 {
       |                       WHERE p_type = p.p_type)""".stripMargin
 
   /** Sketch-based quantiles — the constant-memory 100 TB answer to q26's
-    * exact median. No oracle (sketch values are engine-specific);
+    * exact median. Sketch values are engine-specific so DuckDB can't
+    * recompute them: hash-checked against a pinned sf0.01 golden
+    * (bit-stable across partition counts — see graft.core.Goldens);
     * RelationalSpec asserts each estimate within the declared 1% rank
     * accuracy against the exact percentile. */
   private def q26approx(s: SparkSession, d: String): DataFrame =
@@ -292,7 +294,8 @@ object Relational2 {
 
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q22_pivot", q22, Some(q22Sql)),
-    GraftQuery("q26_approx_percentile", q26approx, None),
+    GraftQuery("q26_approx_percentile", q26approx,
+      Some(graft.core.Goldens.load("q26_approx_percentile"))),
     GraftQuery("q23_cube", q23, Some(q23Sql)),
     GraftQuery("q24_window_family", q24, Some(q24Sql)),
     GraftQuery("q25_multiset_ops", q25, Some(q25Sql)),

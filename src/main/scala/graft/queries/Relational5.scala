@@ -103,7 +103,9 @@ object Relational5 {
     * fractions — downsample dominant languages, keep the rare ones whole,
     * the class-rebalancing primitive of corpus construction. Map-side
     * (a seeded hash draw per row, no shuffle before the profile agg).
-    * No SQL oracle: the draw sequence is engine-specific; the spec bounds
+    * The seeded draw sequence is engine-specific so DuckDB can't recompute
+    * it: hash-checked against a pinned sf0.01 golden (seed 42, bit-stable
+    * across partition counts — see graft.core.Goldens); the spec bounds
     * each stratum's realized fraction and asserts run-to-run determinism. */
   private def q60(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -145,7 +147,8 @@ object Relational5 {
     GraftQuery("q57_array_extra", q57, Some(q57Sql)),
     GraftQuery("q58_json_extra", q58, Some(q58Sql)),
     GraftQuery("q59_hash_split", q59, Some(q59Sql)),
-    GraftQuery("q60_stratified_sample", q60, None),
+    GraftQuery("q60_stratified_sample", q60,
+      Some(graft.core.Goldens.load("q60_stratified_sample"))),
     GraftQuery("q61_map_explode", q61, Some(q61Sql)),
   )
 }
