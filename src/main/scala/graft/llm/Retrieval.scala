@@ -409,30 +409,52 @@ object Retrieval {
   /** Token-budget batch packing — assign documents (in doc_id order) to
     * training batches of ~512 tokens: batch_id = ⌊exclusive-prefix-sum of
     * token counts / 512⌋. The standard streaming-packing approximation
-    * (a batch may overflow by at most one document; no bin-packing search)
-    * and deliberately a pure window cumsum, so the assignment is stable
-    * under re-runs and appends of higher doc_ids. The single unpartitioned
-    * window runs over ONE ROW PER DOCUMENT (the token counts, already
-    * aggregated) — fine at this corpus; at 100 TB the same prefix sum runs
-    * per shard (pack within partition) or via the two-pass offset scheme
-    * of `Layout.stableRowIds`. */
+    * (a batch may overflow by at most one document; no bin-packing search),
+    * stable under re-runs and appends of higher doc_ids.
+    *
+    * Scale shape: the naive spelling is a cumsum over an UNPARTITIONED
+    * window — a single-task funnel over every document. Instead the prefix
+    * sum runs as the two-pass offset scheme of `Layout.stableRowIds`:
+    * range-repartition by doc_id into disjoint shards, one tiny job sums
+    * tokens per shard (one row per shard to the driver), then a map-side
+    * pass adds each shard's broadcast exclusive offset to its local running
+    * sum. No global funnel, no WindowExec (PlanQualitySpec gates this);
+    * both passes reuse the same shuffle output. Same contract as
+    * stableRowIds: doc_id is the total order (unique per row). The dense
+    * renumber of the (much smaller) one-row-per-batch frame reuses
+    * stableRowIds itself. */
   def tokenPacking(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val counts = Tables.documents(s, d)
-      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
-    val w = Window.orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    counts
-      .withColumn("batch_id",
-        floor((sum(col("n_tok")).over(w) - col("n_tok")) / 512).cast("long"))
-      .groupBy("batch_id")
+    import s.implicits._
+    val shards = s.sparkContext.defaultParallelism
+    val sorted = Tables.documents(s, d)
+      .select(col("doc_id").cast("long").as("_1"),
+        size(split(col("text"), " ")).cast("long").as("_2"))
+      .as[(Long, Long)]
+      .repartitionByRange(shards, col("_1"))
+      .sortWithinPartitions("_1")
+    val rdd = sorted.rdd // referenced by both jobs -> shuffle files reused
+    // pass 1: per-shard token totals (`shards` rows to the driver)
+    val totals = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var t = 0L; it.foreach(t += _._2); Iterator((pid, t))
+    }.collect()
+    val offs = new Array[Long](shards)
+    var acc = 0L
+    totals.sortBy(_._1).foreach { case (pid, t) => offs(pid) = acc; acc += t }
+    // pass 2: map-side running prefix seeded with the shard offset;
+    // batch = exclusive-prefix / 512, computed in exact Long arithmetic
+    val bc = s.sparkContext.broadcast(offs)
+    val raw = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var running = bc.value(pid)
+      it.map { case (id, n) => val p = running; running += n; (id, n, p / 512) }
+    }
+    val grouped = raw.toDF("doc_id", "n_tok", "batch_raw")
+      .groupBy("batch_raw")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("batch_tokens"))
-      // raw ⌊prefix/512⌋ ids skip numbers when one document spans multiple
-      // budgets (a 2000-token doc jumps the counter by 3) — renumber
-      // densely so batch_id is always 0..n_batches-1. The rank window runs
-      // over one row per BATCH, not per document.
-      .withColumn("batch_id",
-        (row_number().over(Window.orderBy("batch_id")) - 1).cast("long"))
+    // raw ⌊prefix/512⌋ ids skip numbers when one document spans multiple
+    // budgets (a 2000-token doc jumps the counter by 3) — renumber densely
+    // so batch_id is always 0..n_batches-1, again without a global window
+    graft.operators.Layout.stableRowIds(grouped, shards, "batch_raw")
+      .select(col("row_id").as("batch_id"), col("n_docs"), col("batch_tokens"))
   }
 
   val tokenPackingSql: String =

@@ -141,6 +141,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"chunker shuffles:\n$p")
   }
 
+  test("q115: token packing is window-free (two-pass shard prefix sum)") {
+    // the naive cumsum spelling is an UNPARTITIONED window — a single-task
+    // funnel over every document; the shipped plan must contain no
+    // WindowExec at all (prefix sums run per shard + broadcast offsets)
+    val p = plan("q115_token_packing")
+    assert(!p.contains("Window"), s"token packing regressed to a window:\n$p")
+  }
+
   test("q87: BM25 term filter lands before the tf aggregation") {
     val p = plan("q87_bm25")
     // the posting-list restriction must precede the first shuffle: the IN
