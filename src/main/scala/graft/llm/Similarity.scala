@@ -30,22 +30,89 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
 
   // ---------------------------------------------------------------- near-dup
-  /** Embedding-cosine near-dup pairs with label blocking: the O(n²) pair
-    * space is cut to within-label groups by an equi-join on `label` — the
-    * blocking pattern that keeps near-dup joins feasible at scale (blocks
-    * shuffle-partition independently; no global cross join). */
-  def cosineNearDup(s: SparkSession, d: String): DataFrame = {
-    // precompute each vector's norm once (map-side, n rows) instead of
-    // folding dot(a,a)/dot(b,b) again for every one of the n² pairs
-    val e = vecs(s, d).withColumn("norm", sqrt(dot(col("v"), col("v"))))
-    val a = e.select(col("label"), col("vec_id").as("a_id"),
-                     col("v").as("va"), col("norm").as("na"))
-    val b = e.select(col("label"), col("vec_id").as("b_id"),
-                     col("v").as("vb"), col("norm").as("nb"))
-    a.join(b, "label")
-      .filter(col("a_id") < col("b_id"))
+  /** Number of tile groups for the exact self-join: a hot label's n² pair
+    * work spreads over G(G+1)/2 independent tiles instead of one task. */
+  private val TileGroups = 8
+
+  /** Embedding-cosine near-dup pairs (exact, threshold 0.35) with label
+    * blocking and triangle-tiled pair generation — see cosineNearDupPairs.
+    *
+    * Why not LSH candidate generation here: this query's threshold (0.35,
+    * qualifying pairs 0.35–0.47 against a ≈0-cosine background) is below
+    * where angular LSH separates — P(bit agrees) ≈ 0.61 vs 0.5 background,
+    * so any (bits, tables) with recall ≈ 1 admits essentially every pair
+    * as a candidate (same adversarial-corpus argument as the unregistered
+    * prefixJaccard). An exact threshold join is inherently Ω(pairs-within-
+    * block); what DOES kill it at scale is one task owning a hot label's
+    * whole n² block, and the tiling removes exactly that. For real near-dup
+    * thresholds (≳0.8) use `cosineNearDupLsh`, which prunes candidates with
+    * the knnLsh hyperplane tables and confirms exactly. */
+  def cosineNearDup(s: SparkSession, d: String): DataFrame =
+    cosineNearDupPairs(vecs(s, d), 0.35)
+
+  /** Exact within-label cosine-threshold pairs over (vec_id, label, v).
+    *
+    * Pair generation is an equi-join on (label, t1, t2) — label blocking
+    * PLUS triangle tiling: each row lands in group g = hash(vec_id) mod G
+    * and is replicated to the G tiles {(min(g,j), max(g,j))}; a pair with
+    * groups (ga, gb), ga ≠ gb, co-occurs in exactly tile (min, max), and a
+    * same-group pair only survives the (t1 = t2 OR ga ≠ gb) filter in its
+    * diagonal tile (g, g) — so every unordered pair is emitted exactly
+    * once and the result is EXACT (oracle-checked), while a hot label's
+    * pair space spreads across G(G+1)/2 shuffle-independent tiles instead
+    * of funneling through one task. Shuffle volume grows G×; pair work is
+    * unchanged. Norms are precomputed once per row, not per pair. */
+  private[graft] def cosineNearDupPairs(ev: DataFrame, threshold: Double): DataFrame = {
+    val g = TileGroups
+    val e = ev.withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("g", pmod(hash(col("vec_id")), lit(g)))
+      .withColumn("j", explode(sequence(lit(0), lit(g - 1))))
+      .withColumn("t1", least(col("g"), col("j")))
+      .withColumn("t2", greatest(col("g"), col("j")))
+    val a = e.select(col("label"), col("t1"), col("t2"), col("g").as("ga"),
+                     col("vec_id").as("a_id"), col("v").as("va"), col("norm").as("na"))
+    val b = e.select(col("label"), col("t1"), col("t2"), col("g").as("gb"),
+                     col("vec_id").as("b_id"), col("v").as("vb"), col("norm").as("nb"))
+    a.join(b, Seq("label", "t1", "t2"))
+      .filter(col("a_id") < col("b_id") &&
+        (col("t1") === col("t2") || col("ga") =!= col("gb")))
       .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
-      .filter(col("cos") >= 0.35)
+      .filter(col("cos") >= threshold)
+      .select(col("label"), col("a_id"), col("b_id"), col("cos"))
+  }
+
+  /** LSH-blocked near-dup pairs for REAL near-dup thresholds (cosine ≳ 0.8):
+    * candidate pairs come from an equi-self-join on (label, table, bucket)
+    * using the same seeded hyperplane signatures as knnLsh, then exact
+    * cosine confirm. Approximate by construction — a pair whose signatures
+    * collide in no table is missed, P(miss) = (1 − p^B)^L with
+    * p = 1 − θ/π — which is why the exact q38 query doesn't use it at
+    * threshold 0.35 (see cosineNearDup); at 0.9+, (B=8, L=8) has
+    * per-pair miss ≈ 1e-4 and prunes the ≈0-cosine background to
+    * L·2⁻ᴮ ≈ 3% candidate fraction. SimilaritySpec verifies exact-match
+    * recall on a planted-near-dup corpus. */
+  def cosineNearDupLsh(ev: DataFrame, threshold: Double,
+                       bits: Int = 8, tables: Int = 8): DataFrame = {
+    val dim = ev.select(size(col("v"))).head.getInt(0)
+    val planes = hyperplanes(dim, tables, bits)
+    val e = ev.withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      .select(col("label"), col("vec_id"), col("v"), col("norm"),
+        posexplode(array((0 until tables).map(t =>
+          signature(planes, bits, t)): _*)).as(Seq("tbl", "bucket")))
+    val a = e.select(col("label"), col("tbl"), col("bucket"),
+                     col("vec_id").as("a_id"), col("v").as("va"), col("norm").as("na"))
+    val b = e.select(col("label"), col("tbl"), col("bucket"),
+                     col("vec_id").as("b_id"), col("v").as("vb"), col("norm").as("nb"))
+    a.join(b, Seq("label", "tbl", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      // a pair colliding in several tables scores once: dedup on the pair
+      // KEY (first(v) carries the payload — cheaper than distinct'ing the
+      // array columns through the shuffle comparator)
+      .groupBy("label", "a_id", "b_id")
+      .agg(first(col("va")).as("va"), first(col("vb")).as("vb"),
+           first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .filter(col("cos") >= threshold)
       .select(col("label"), col("a_id"), col("b_id"), col("cos"))
   }
 
@@ -156,6 +223,21 @@ object Similarity {
   private val LshTables = 16
   private val LshBits = 4
 
+  /** Fixed seeded Gaussian hyperplane matrix — the LSH "model" (tables ×
+    * bits × dim doubles), tiny enough to bake into the plan as literals. */
+  private def hyperplanes(dim: Int, tables: Int, bits: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(tables * bits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit bucket signature of column `v` for table `t` — pure map-side
+    * codegen'd dot products against the plane literals. */
+  private def signature(planes: Array[Array[Double]], bits: Int, t: Int): Column =
+    (0 until bits).map { b =>
+      when(dot(col("v"), typedLit(planes(t * bits + b).toSeq)) >= 0, lit(1L << b))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** Random-hyperplane LSH ANN — the other scale path (vs IVF): L tables of
     * B sign-bits each. (B, L) trades candidate-set size against recall:
     * P(bit agrees) = 1 − θ/π, recall ≈ 1 − (1 − p^B)^L. This synthetic
@@ -185,17 +267,12 @@ object Similarity {
   private[graft] def knnLshPlan(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     val e = vecs(s, d).withColumn("norm", sqrt(dot(col("v"), col("v"))))
     val dim = Tables.embeddings(s, d).select(size(col("embedding"))).head.getInt(0)
-    val rnd = new scala.util.Random(42)
-    val planes = Array.fill(LshTables * LshBits)(Array.fill(dim)(rnd.nextGaussian()))
-    def signature(t: Int): Column =
-      (0 until LshBits).map { b =>
-        when(dot(col("v"), typedLit(planes(t * LshBits + b).toSeq)) >= 0, lit(1L << b))
-          .otherwise(lit(0L))
-      }.reduce(_ + _)
+    val planes = hyperplanes(dim, LshTables, LshBits)
     // materialize the signatures once — the frame feeds both the query-
     // bucket lookup and the corpus side of the candidate join
     val withBuckets = e.select(col("vec_id"), col("v"), col("norm"),
-      posexplode(array((0 until LshTables).map(signature): _*)).as(Seq("tbl", "bucket")))
+      posexplode(array((0 until LshTables).map(t =>
+        signature(planes, LshBits, t)): _*)).as(Seq("tbl", "bucket")))
       .cache()
     val qb = withBuckets.filter(col("vec_id") === 0)
       .select(col("tbl").as("q_tbl"), col("bucket").as("q_bucket"),

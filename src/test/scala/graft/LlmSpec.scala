@@ -19,6 +19,36 @@ class LlmSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("cosineNearDupLsh recovers the exact pairs on a planted near-dup corpus") {
+    // the LSH-blocked variant is sound at real near-dup thresholds (≳0.8):
+    // plant 12 high-cosine pairs (≈0.994) among 120 random unit vectors and
+    // assert (label, tbl, bucket) candidate generation + exact confirm
+    // returns exactly the exact-join result. Seeded end-to-end: per-pair
+    // miss probability at these parameters is ≈1e-5 and the draw is fixed.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 32
+    def unit(): Array[Double] = {
+      val a = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(a.map(x => x * x).sum)
+      a.map(_ / n)
+    }
+    val base = (0 until 120).map(i => (i.toLong, i % 5, unit()))
+    val planted = (0 until 12).map { k =>
+      val (_, lab, v) = base(k)
+      val p = v.map(x => x + 0.02 * rnd.nextGaussian())
+      val n = math.sqrt(p.map(x => x * x).sum)
+      (200L + k, lab, p.map(_ / n))
+    }
+    val ev = (base ++ planted).toDF("vec_id", "label", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val exact = rows(Similarity.cosineNearDupPairs(ev, 0.9))
+    val lsh = rows(Similarity.cosineNearDupLsh(ev, 0.9))
+    assert(exact.size >= 12, s"planted pairs missing from the exact join: $exact")
+    assert(lsh == exact, s"LSH candidates missed/invented pairs:\n  exact=$exact\n  lsh=$lsh")
+  }
+
   test("rolling_hash codegen == interpreted == reference") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.unsafe.types.UTF8String

@@ -141,6 +141,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"chunker shuffles:\n$p")
   }
 
+  test("q38: pair join is tiled — 3-key equi-join on (label, t1, t2), not label alone") {
+    // label-only blocking funnels a hot label's whole n² pair space through
+    // one task; the triangle tiling adds (t1, t2) to the join key so the
+    // block spreads over G(G+1)/2 shuffle-independent tiles
+    val p = plan("q38_cosine_neardup")
+    assert(p.contains("keys [3]"), s"pair join is not the 3-key tiled equi-join:\n$p")
+  }
+
   test("q115: token packing is window-free (two-pass shard prefix sum)") {
     // the naive cumsum spelling is an UNPARTITIONED window — a single-task
     // funnel over every document; the shipped plan must contain no
