@@ -194,12 +194,15 @@ object Pipeline {
     * directory then swaps in (read path and write path must differ).
     * Returns the compacted file count.
     *
-    * CONCURRENCY CONTRACT: the streaming writer on `messagesDir` MUST be
-    * stopped while this runs. The swap is not transactional against a live
-    * appender — a micro-batch landing between the rewrite's snapshot read
-    * and the swap would be silently dropped (a format without a commit log
-    * cannot do better; a table format with one — e.g. an ACID lakehouse
-    * table — is the real 100 TB answer).
+    * CONCURRENCY CONTRACT: the rewrite reads an explicit SNAPSHOT of the
+    * data-file set, and at swap time any file COMMITTED to the live
+    * directory after that snapshot (a racing micro-batch append) is
+    * detected by the file-set diff and carried into the compacted table —
+    * so a completed append during compaction loses nothing (OperatorsSpec
+    * covers this). What the contract still excludes is a write IN FLIGHT
+    * at the swap instant (task files not yet committed): a format without
+    * a commit log cannot fence those — stop the stream for that guarantee,
+    * or use a table format with a log (the real 100 TB answer).
     *
     * Crash safety: the live table is renamed aside to `__old` before the
     * rewrite is promoted, so no crash point loses data — at worst the read
@@ -207,7 +210,13 @@ object Pipeline {
     * fully-materialized `__compacting`) survives for recovery. A leftover
     * `__old` from a crashed prior run is restored before starting. */
   def compactLake(spark: SparkSession, messagesDir: String,
-                  targetBytes: Long = 128L << 20): Int = {
+                  targetBytes: Long = 128L << 20): Int =
+    compactLake(spark, messagesDir, targetBytes, () => ())
+
+  /** Test seam: `beforeSwap` runs after the rewrite materializes and before
+    * the directory swap — the exact window a racing append lands in. */
+  private[graft] def compactLake(spark: SparkSession, messagesDir: String,
+                                 targetBytes: Long, beforeSwap: () => Unit): Int = {
     import org.apache.hadoop.fs.Path
     val path = new Path(messagesDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -217,15 +226,59 @@ object Pipeline {
     if (!fs.exists(path) && fs.exists(old)) fs.rename(old, path)
     fs.delete(old, true)
     fs.delete(tmp, true)
-    val totalBytes = fs.getContentSummary(path).getLength
+    // committed data files relative to `dir` (skips _SUCCESS/_temporary/hidden)
+    def dataFiles(dir: Path): Seq[(String, Long)] = {
+      if (!fs.exists(dir)) return Nil
+      // listFiles returns scheme-qualified paths — qualify the root the
+      // same way or the relative-path strip silently no-ops
+      val prefix = fs.makeQualified(dir).toString + "/"
+      val it = fs.listFiles(dir, true)
+      val buf = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+      while (it.hasNext) {
+        val st = it.next()
+        val f = st.getPath
+        val rel = f.toString.stripPrefix(prefix)
+        if (!f.getName.startsWith("_") && !f.getName.startsWith(".") &&
+            !rel.contains("/_") && !rel.contains("/."))
+          buf += ((rel, st.getLen))
+      }
+      buf.toSeq
+    }
+    val snapshot = dataFiles(path)
+    if (snapshot.isEmpty) return 0
+    val snapSet = snapshot.map(_._1).toSet
+    val totalBytes = snapshot.map(_._2).sum
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    val df = spark.read.parquet(messagesDir)
+    // read exactly the snapshot files (basePath keeps the zone/protocol
+    // partition columns) — late appends are handled by the diff below, not
+    // silently half-included by a directory re-listing
+    val df = spark.read.option("basePath", messagesDir)
+      .parquet(snapshot.map(f => s"$messagesDir/${f._1}"): _*)
     df.repartition(nFiles, col("zone"), col("protocol"),
         pmod(xxhash64(col("message_id")), lit(nFiles)))
       .write.mode("overwrite").partitionBy("zone", "protocol")
       .parquet(tmp.toString)
+    beforeSwap()
     fs.rename(path, old)
-    fs.rename(tmp, path)
+    // carry files committed after the snapshot (racing appender) into the
+    // compacted table, preserving their partition subpaths
+    dataFiles(old).foreach { case (rel, _) =>
+      if (!snapSet.contains(rel)) {
+        val dest = new Path(tmp, rel)
+        fs.mkdirs(dest.getParent)
+        fs.rename(new Path(old, rel), dest)
+      }
+    }
+    if (!fs.rename(tmp, path)) {
+      // an appender recreated the live dir inside the swap window: merge
+      // the compacted files into it instead of failing the promote
+      dataFiles(tmp).foreach { case (rel, _) =>
+        val dest = new Path(path, rel)
+        fs.mkdirs(dest.getParent)
+        fs.rename(new Path(tmp, rel), dest)
+      }
+      fs.delete(tmp, true)
+    }
     fs.delete(old, true)
     nFiles
   }

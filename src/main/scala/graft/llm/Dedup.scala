@@ -246,22 +246,40 @@ object Dedup {
     * small-star (O(log n) rounds), same per-round plan shape. Each round is
     * localCheckpoint'ed: the lineage would otherwise double per iteration
     * and re-run every prior join on each action. */
-  def dedupGroups(s: SparkSession, d: String): DataFrame = {
-    val pairs = ngramJaccard(s, d).select("a_id", "b_id").localCheckpoint(true)
+  def dedupGroups(s: SparkSession, d: String): DataFrame =
+    dedupGroupsFromPairs(
+      ngramJaccard(s, d).select("a_id", "b_id").localCheckpoint(true))
+
+  /** The closure stage alone, over an already-materialized pair set — split
+    * out so the end-to-end pipeline (q114) computes the expensive pair join
+    * ONCE and feeds it to both this and any later per-pair stage, instead
+    * of replaying the q55 plan per consumer.
+    *
+    * Convergence check: min-propagation labels only ever DECREASE, so the
+    * label sum strictly decreases iff any label changed — one scalar
+    * aggregate per round replaces the old join + count change probe
+    * (two fewer shuffles per iteration). */
+  private[graft] def dedupGroupsFromPairs(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .unionAll(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
       .localCheckpoint(true)
     var labels = edges.select(col("u").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint(true)
-    var changed = 1L
-    while (changed > 0) {
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum("label")).head
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var curSum = labelSum(labels)
+    var changed = true
+    while (changed) {
       val prop = labels.join(edges, col("node") === col("u"))
         .select(col("v").as("node"), col("label"))
         .unionAll(labels)
         .groupBy("node").agg(min("label").as("label"))
         .localCheckpoint(true)
-      changed = prop.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") < col("old")).count()
+      val newSum = labelSum(prop)
+      changed = newSum != curSum
+      curSum = newSum
       labels = prop
     }
     labels.select(col("node").as("doc_id"), col("label").as("group_id"))
@@ -375,7 +393,12 @@ object Dedup {
     * group with its kept representative and the member count (singleton
     * docs survive untouched and don't appear — they have no group). */
   def dedupPipeline(s: SparkSession, d: String): DataFrame = {
-    val groups = dedupGroups(s, d) // (doc_id, group_id)
+    // the pair join is the pipeline's expensive stage: materialize it ONCE
+    // (eager localCheckpoint) and hand the materialized set to the closure —
+    // any additional per-pair stage (e.g. pair-level audit) reads the same
+    // checkpoint instead of replaying the q55 plan
+    val pairs = ngramJaccard(s, d).select("a_id", "b_id").localCheckpoint(true)
+    val groups = dedupGroupsFromPairs(pairs) // (doc_id, group_id)
     val quality = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
     groups.join(quality, "doc_id")
       .groupBy("group_id")

@@ -107,6 +107,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$tmp/messages__old").exists(), "__old must be cleaned up")
   }
 
+  test("append during compaction loses nothing (late files carried into the swap)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact-race").toString
+    val events = graft.hl7.Pipeline.allEvents(spark)
+    val (first, late) = {
+      val ids = events.select("message_id").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      val cut = ids(ids.size / 2)
+      (events.filter(col("message_id") <= cut), events.filter(col("message_id") > cut))
+    }
+    first.repartition(10).write.mode("overwrite")
+      .partitionBy("zone", "protocol").parquet(s"$tmp/messages")
+    // the racing micro-batch commits AFTER the rewrite materialized and
+    // RIGHT BEFORE the directory swap — the exact window the old
+    // implementation silently dropped
+    graft.hl7.Pipeline.compactLake(spark, s"$tmp/messages", 128L << 20, () => {
+      late.write.mode("append")
+        .partitionBy("zone", "protocol").parquet(s"$tmp/messages")
+    })
+    val got = spark.read.parquet(s"$tmp/messages")
+      .select("message_id").collect().map(_.getString(0)).sorted.toSeq
+    val want = events.select("message_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(got == want, "rows appended during compaction were dropped by the swap")
+  }
+
   test("optimizer rule: exploded join sides are never broadcast") {
     import spark.implicits._
     val docs = (0L until 50L).map(i => (i, s"w$i x$i y$i z$i")).toDF("id", "text")
