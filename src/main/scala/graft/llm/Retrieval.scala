@@ -405,6 +405,24 @@ object Retrieval {
       |FROM trank FULL OUTER JOIN vrank USING (id)
       |ORDER BY rrf DESC, id ASC LIMIT 10""".stripMargin
 
+  /** Extract the span [from, to] of `src`, failing if the anchors moved. */
+  private def mirrored(src: String, from: String, to: String): String = {
+    val a = src.indexOf(from)
+    val b = src.indexOf(to, math.max(a, 0))
+    require(a >= 0 && b >= a, s"mirror anchor moved: [$from .. $to]")
+    src.substring(a, b + to.length)
+  }
+  // Drift guards for the MIRROR WARNING above: the fused oracle must embed
+  // q87's CTE chain and q39's scored pipeline VERBATIM. Editing bm25Sql or
+  // knnBruteSql without resyncing hybridRrfSql now fails at class init
+  // (same pattern as dedupPipelineSql's rewrite anchor) instead of
+  // surfacing as a baffling q122 hash mismatch at gate time.
+  require(hybridRrfSql.contains(mirrored(bm25Sql, "toks AS (", "FROM lens\n)")),
+    "hybridRrfSql no longer embeds q87's CTE chain — resync the mirror")
+  require(hybridRrfSql.contains(
+    mirrored(Similarity.knnBruteSql, "e AS (", "vec_id != 0)")),
+    "hybridRrfSql no longer embeds q39's scored CTE — resync the mirror")
+
   // ---------------------------------------------------------------- q115
   /** Token-budget batch packing — assign documents (in doc_id order) to
     * training batches of ~512 tokens: batch_id = ⌊exclusive-prefix-sum of

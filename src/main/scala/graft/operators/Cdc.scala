@@ -14,6 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object Cdc {
 
+  /** `op` must be a non-null 'U' or 'D'; anything else fails the job loudly
+    * (raise_error) instead of acting as a silent tombstone — a NULL op
+    * would otherwise null the `=!= "D"` predicate, drop the key from
+    * applyChangelog, and still close the predecessor's valid_to in scd2. */
+  private def validatedOp(op: String): Column =
+    when(col(op).isin("U", "D"), col(op))
+      .otherwise(raise_error(concat(
+        lit(s"malformed changelog: op must be 'U' or 'D', got "),
+        coalesce(col(op), lit("NULL")))))
+
   /** Apply a changelog: last change per key wins, terminal delete removes
     * the key. One window (rank by change order desc) + filter — the
     * "deduplicate the CDC feed then MERGE" backfill shape; incremental
@@ -22,7 +32,7 @@ object Cdc {
                      op: String): DataFrame = {
     val w = Window.partitionBy(key).orderBy(col(ts).desc, col(seq).desc)
     log.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1 && col(op) =!= "D")
+      .filter(col("__rk") === 1 && validatedOp(op) =!= "D")
       .drop("__rk", op)
   }
 
@@ -40,7 +50,7 @@ object Cdc {
     log.withColumn("valid_from", col(ts))
       .withColumn("valid_to", lead(col(ts), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
-      .filter(col(op) =!= "D")
+      .filter(validatedOp(op) =!= "D")
       .drop(op)
   }
 }

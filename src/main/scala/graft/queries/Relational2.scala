@@ -201,6 +201,15 @@ object Relational2 {
       |  CAST(octet_length(from_base64(to_base64(encode(text)))) AS INT) AS roundtrip_len
       |FROM documents""".stripMargin
 
+  /** q43b — crc32, the last declared §2B hash scalar. Split from q43
+    * because DuckDB (1.0) has no crc32 to state a SQL oracle with: checked
+    * against a pinned sf0.01 golden (pure per-row map, deterministic), and
+    * LlmSpec verifies Spark's crc32 against java.util.zip.CRC32. */
+  private def q43b(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      crc32(col("text").cast("binary")).as("crc"))
+
   // ---------------------------------------------------------------- q44
   /** Math scalar family. */
   private def q44(s: SparkSession, d: String): DataFrame =
@@ -304,6 +313,8 @@ object Relational2 {
     GraftQuery("q28_csv_roundtrip", q28, Some(q28Sql)),
     GraftQuery("q29_from_json", q29, Some(q29Sql)),
     GraftQuery("q43_hash_codec", q43, Some(q43Sql)),
+    GraftQuery("q43b_crc32", q43b,
+      Some(graft.core.Goldens.load("q43b_crc32"))),
     GraftQuery("q44_math_funcs", q44, Some(q44Sql)),
     GraftQuery("q45_conditional", q45, Some(q45Sql)),
     GraftQuery("q46_correlated_subquery", q46, Some(q46Sql)),

@@ -35,6 +35,24 @@ class CdcPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("malformed op (null or unknown) fails loudly instead of acting as a delete") {
+    import spark.implicits._
+    val bad = Seq((1L, 1L, 1L, "U", 1.0), (1L, 2L, 2L, null: String, 2.0))
+      .toDF("key", "ts", "seq", "op", "v")
+    val ex = intercept[Exception] {
+      Cdc.applyChangelog(bad, "key", "ts", "seq", "op").collect()
+    }
+    assert(ex.getMessage.contains("malformed changelog") ||
+      Option(ex.getCause).exists(_.getMessage.contains("malformed changelog")),
+      s"expected the raise_error message, got: ${ex.getMessage}")
+    val ex2 = intercept[Exception] {
+      Cdc.scd2(bad.withColumn("op", coalesce(col("op"), lit("X"))),
+        "key", "ts", "seq", "op").collect()
+    }
+    assert(ex2.getMessage.contains("malformed changelog") ||
+      Option(ex2.getCause).exists(_.getMessage.contains("malformed changelog")))
+  }
+
   test("applyChangelog == driver-side fold in (ts, seq) order, any input order") {
     import spark.implicits._
     for (seed <- 0L until 8L) {

@@ -49,6 +49,19 @@ class LlmSpec extends AnyFunSuite {
     assert(lsh == exact, s"LSH candidates missed/invented pairs:\n  exact=$exact\n  lsh=$lsh")
   }
 
+  test("crc32 matches java.util.zip.CRC32 (q43b's scalar)") {
+    import spark.implicits._
+    val samples = Seq("", "a", "hello world", "café ☕", "x" * 1000)
+    samples.toDF("s")
+      .select(col("s"), crc32(col("s").cast("binary")).as("c"))
+      .collect().foreach { r =>
+        val ref = new java.util.zip.CRC32()
+        val bytes = r.getString(0).getBytes("UTF-8")
+        ref.update(bytes, 0, bytes.length)
+        assert(r.getLong(1) == ref.getValue, s"crc32 mismatch for '${r.getString(0)}'")
+      }
+  }
+
   test("rolling_hash codegen == interpreted == reference") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.unsafe.types.UTF8String
