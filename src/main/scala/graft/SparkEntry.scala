@@ -89,7 +89,8 @@ object SparkEntry {
     graft.llm.Retrieval.queries ++
     graft.llm.Embeddings.queries ++
     graft.llm.Multimodal.queries ++
-    graft.operators.AsOf.queries
+    graft.operators.AsOf.queries ++
+    graft.streaming.StreamingPipeline.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

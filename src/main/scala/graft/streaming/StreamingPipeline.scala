@@ -270,6 +270,40 @@ object StreamingPipeline {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("n_events"),
               col("session_window.start").as("session_start"))
+
+  /** q20b — the q20 tumbling-bucket aggregation run THROUGH Structured
+    * Streaming on the same events table: AvailableNow file-source
+    * micro-batches → complete-mode windowed aggregate → memory sink,
+    * returned after the stream drains. Registered under q20's DuckDB
+    * oracle, which puts the streaming engine itself (source slicing,
+    * state-store aggregation, sink commit) under the driver's hash gate —
+    * the batch/stream parity the "one definition, two execution modes"
+    * claim rests on. Complete mode needs no watermark and re-emits the
+    * full state on the final trigger; ts normalization matches
+    * `Tables.events` (ns floor-div to µs). */
+  def q20StreamBucket(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val buckets = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      // the file source requires a DIRECTORY; select just the events table
+      // out of the sf dir with the glob (same listing, no extra copy)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("bucket_start"), col("n"), col("sum_value"))
+    val sink = s"q20b_mem_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = buckets.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(sink)
+  }
+
+  val queries: Seq[graft.queries.GraftQuery] = Seq(
+    graft.queries.GraftQuery("q20b_stream_bucket", q20StreamBucket _,
+      Some(graft.queries.Relational.q20Sql)))
 }
 
 /** StatefulProcessor for [[StreamingPipeline.userStatsTws]]: one named
