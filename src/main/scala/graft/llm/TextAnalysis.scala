@@ -206,13 +206,20 @@ object TextAnalysis {
     val counts = Retrieval.tokenStream(s, d)
       .groupBy("word").agg(count(lit(1)).as("n"))
     val total = counts.agg(sum("n").as("total"))
+    // top-20 FIRST via orderBy+limit (TakeOrderedAndProject: per-partition
+    // heaps, 20-row merge) — ranking the full vocabulary through an
+    // unpartitioned window would funnel every distinct word through one
+    // task, and web-corpus vocabulary is unbounded (same scale trap the
+    // token-packing rewrite removed). Rank/coverage windows then run over
+    // exactly 20 rows; the top-20 running prefix only depends on the
+    // top-20, so the result is identical.
+    val top = counts.orderBy(col("n").desc, col("word")).limit(20)
     val w = Window.orderBy(col("n").desc, col("word"))
-    counts.crossJoin(broadcast(total))
+    top.crossJoin(broadcast(total))
       .withColumn("rank", row_number().over(w))
       .withColumn("coverage",
         round(sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           / col("total"), 4))
-      .filter(col("rank") <= 20)
       .select("rank", "word", "n", "coverage")
   }
 

@@ -149,6 +149,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("keys [3]"), s"pair join is not the 3-key tiled equi-join:\n$p")
   }
 
+  test("q100: vocabulary top-k cuts via TakeOrdered before any window") {
+    // the rank/coverage windows must run over the 20-row top-k, never the
+    // full (unbounded at scale) vocabulary — the cut is a per-partition
+    // heap merge, not a global sort or an unpartitioned full-table window
+    val p = plan("q100_vocab")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to a global sort:\n$p")
+  }
+
   test("q115: token packing is window-free (two-pass shard prefix sum)") {
     // the naive cumsum spelling is an UNPARTITIONED window — a single-task
     // funnel over every document; the shipped plan must contain no
