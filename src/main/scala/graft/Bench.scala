@@ -63,6 +63,10 @@ object Bench {
         case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime / 1e9
         case _ => -1.0
       }
+    // discard one sample of each marker first: the JIT compiles the spin
+    // loop / thread-startup path on the first call, inflating it ~1.5-2×
+    // and masquerading as starvation in the before/after comparison
+    calibMs(); calibParMs()
     val cpuBefore = processCpuSec()
     val calibBefore = calibMs()
     val calibParBefore = calibParMs()
