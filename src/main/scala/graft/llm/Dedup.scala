@@ -430,6 +430,68 @@ object Dedup {
         |  FROM groups g JOIN documents d ON g.doc_id = d.doc_id)
         |WHERE rk = 1""".stripMargin)
 
+  // ---------------------------------------------------------------- dup spans
+  /** Substring-level duplicate-span profile — the n-gram window form of
+    * suffix-array training-data dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): any L-token window that
+    * occurs ≥2 times corpus-wide is a duplicated span; emit per-document
+    * span counts and the duplicated fraction. This catches boilerplate and
+    * templated passages that document-level dedup (q35/q36/q55) cannot see,
+    * because the containing documents differ.
+    *
+    * Plan shape: explode each document into its (n_tokens − L + 1) rolling
+    * windows — O(corpus tokens) rows, map-side; corpus-wide frequency is one
+    * hash-partitioned groupBy on the 8-byte xxhash64 of the window (the same
+    * shuffle-width + accepted-collision contract as ngramJaccard's shingle
+    * key); the per-doc profile is postings ⋈ freq on that key followed by a
+    * partial-agg groupBy(doc_id). No cross join, nothing driver-side, and
+    * span STRINGS never enter a shuffle. At 100 TB the windows row count is
+    * ~token count — the same order as tokenization itself — and both wide
+    * stages partition by the span hash, so skew is bounded by the hottest
+    * single span (a stop-span cap is the standard lossy refinement). */
+  private val SpanLen = 8
+
+  def dupSpans(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= SpanLen)
+    // explode_outer: same constraint-inference trap as ngramJaccard
+    val spans = toks.select(col("doc_id"),
+        explode_outer(expr(
+          s"transform(sequence(0, size(t)-$SpanLen), i -> concat_ws(' ', slice(t, i+1, $SpanLen)))"
+        )).as("span"))
+      .select(col("doc_id"), xxhash64(col("span")).as("sk"))
+    val freq = spans.groupBy("sk").agg(count(lit(1)).as("n_occ"))
+    // shuffle_hash hint: both sides descend from the same Generate whose
+    // size estimate is tiny, so the static planner would broadcast the
+    // corpus-sized freq side (see jaccardCountingJoin) — partition by the
+    // span hash instead, the shape that holds at 100 TB
+    spans.join(freq.hint("shuffle_hash"), "sk")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+           sum(when(col("n_occ") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      // floor-spelled rounding — see wordEntropy (Retrieval.scala): int/int
+      // ratios land on exact decimal ties where Spark round() and DuckDB
+      // round() disagree; floor(x*1e4+0.5) agrees bit-for-bit
+      .withColumn("dup_frac",
+        floor(col("n_dup_spans").cast("double") / col("n_spans") * 10000 + 0.5) / 10000.0)
+  }
+
+  // CAST(... AS BIGINT) on integer sums: DuckDB sum() is HUGEINT → pandas
+  // float64 → dtype-sensitive hash mismatch (the r03 regression class)
+  val dupSpansSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents
+      |              WHERE len(string_split(text, ' ')) >= 8),
+      |ex AS (SELECT doc_id, unnest([array_to_string(t[i:i+7], ' ')
+      |                              for i in range(1, len(t) - 6)]) AS span FROM toks),
+      |freq AS (SELECT span, count(*) AS n_occ FROM ex GROUP BY span)
+      |SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |       CAST(sum(CASE WHEN f.n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+      |       floor(sum(CASE WHEN f.n_occ >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*)
+      |             * 10000 + 0.5) / 10000.0 AS dup_frac
+      |FROM ex e JOIN freq f ON e.span = f.span
+      |GROUP BY e.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- simhash
   /** 64-bit SimHash over the word set: per-token xxhash64, signed bit votes,
     * sign → bit. Computed with built-in expressions (explode + conditional
@@ -500,6 +562,7 @@ object Dedup {
     GraftQuery("q37_simhash_neardup", simhashNearDup _,
       Some(graft.core.Goldens.load("q37_simhash_neardup"))),
     GraftQuery("q55_ngram_jaccard", ngramJaccard _, Some(ngramJaccardSql)),
+    GraftQuery("q124_dup_spans", dupSpans _, Some(dupSpansSql)),
     GraftQuery("q69_dedup_groups", dedupGroups _, Some(dedupGroupsSql)),
     GraftQuery("q114_dedup_pipeline", dedupPipeline _, Some(dedupPipelineSql)))
   // prefixJaccard is deliberately NOT registered: this uniform synthetic

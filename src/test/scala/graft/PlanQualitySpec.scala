@@ -90,6 +90,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(joins == 1, s"expected exactly one join (the shingle self-join), got $joins:\n$simple")
   }
 
+  test("q124: span-frequency join shuffles on the hash, never broadcasts the corpus") {
+    val p = plan("q124_dup_spans")
+    assert(!p.contains("CartesianProduct"), s"q124 has a cartesian product:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"q124 broadcasts the corpus-sized freq side (Generate's size lie):\n$p")
+    assert(p.contains("ShuffledHashJoin"), s"q124 lost its shuffled hash join:\n$p")
+    assert(p.contains("partial_"), s"no partial aggregation before shuffle:\n$p")
+  }
+
   test("q56: LSH candidate generation is a broadcast equi-join + TakeOrdered top-k") {
     val p = lazyPlan(graft.llm.Similarity.knnLshPlan)
     assert(!p.contains("CartesianProduct"), s"q56 has a cartesian product:\n$p")
