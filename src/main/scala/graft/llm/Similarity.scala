@@ -404,6 +404,51 @@ object Similarity {
            round(sum("d2"), 2).as("sse"))
   }
 
+  // ---------------------------------------------------------------- semdedup
+  /** q125 — SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): semantic near-duplicate
+    * pruning by k-means clustering of the embedding space, then a cosine
+    * threshold WITHIN each cluster only. The pruning rule is the paper's
+    * greedy: a vector is pruned iff some lower-id member of its own cluster
+    * sits above the threshold — one deterministic representative per
+    * semantic duplicate set survives. Output: per-cluster membership and
+    * prune counts (the corpus-curation accounting a pipeline acts on).
+    *
+    * Scale shape: clustering is the blocker that makes 100 TB feasible —
+    * the pair join runs within clusters only, and the cluster count k is
+    * the lever (SemDeDup runs k ∝ n/⟨cluster size⟩ so blocks stay bounded);
+    * the within-cluster join reuses q38's triangle tiling, so even a hot
+    * cluster's pair space spreads over G(G+1)/2 independent tasks rather
+    * than funneling through one. Deterministic end-to-end (deterministic
+    * Lloyd's, round-4 cosines, vec_id tiebreak) → pinned sf0.01 golden,
+    * same contract as q98; the semantic checks live in LlmSpec. */
+  private val SemDedupThreshold = 0.35
+
+  def semDedup(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d).select("vec_id", "v")
+    val cents = kmeans(e, 8, 3)
+    val assigned = assign(e, cents).localCheckpoint(true)
+    semDedupFromAssigned(assigned)
+  }
+
+  /** The pruning stage alone, over an already-assigned (vec_id, cent_id, v)
+    * frame — split out so LlmSpec can drive it with a planted clustering. */
+  private[graft] def semDedupFromAssigned(assigned: DataFrame): DataFrame = {
+    val pairs = cosineNearDupPairs(
+      assigned.select(col("vec_id"), col("cent_id").as("label"), col("v")),
+      SemDedupThreshold)
+    val pruned = pairs
+      .select(col("label").as("cent_id"), col("b_id").as("vec_id"))
+      .distinct()
+      .withColumn("is_pruned", lit(1L))
+    assigned.select("vec_id", "cent_id")
+      .join(pruned, Seq("cent_id", "vec_id"), "left")
+      .groupBy("cent_id")
+      .agg(count(lit(1)).as("n_members"),
+           sum(coalesce(col("is_pruned"), lit(0L))).as("n_pruned"))
+      .withColumn("n_kept", col("n_members") - col("n_pruned"))
+  }
+
   /** Pinned sf0.01 golden for q98 (deterministic Lloyd's — see ivfTrain). */
   private val ivfTrainGoldenSql: Option[String] = Some(
     """SELECT * FROM (VALUES
@@ -438,5 +483,7 @@ object Similarity {
     GraftQuery("q40_knn_ivf", knnIvf _, Some(annGoldenSql)),
     GraftQuery("q56_knn_lsh", knnLsh _, Some(annGoldenSql)),
     GraftQuery("q70_knn_quantized", knnQuantized _, Some(annGoldenSql)),
-    GraftQuery("q98_ivf_train", ivfTrain _, ivfTrainGoldenSql))
+    GraftQuery("q98_ivf_train", ivfTrain _, ivfTrainGoldenSql),
+    GraftQuery("q125_semdedup", semDedup _,
+      Some(graft.core.Goldens.load("q125_semdedup"))))
 }

@@ -49,6 +49,55 @@ class LlmSpec extends AnyFunSuite {
     assert(lsh == exact, s"LSH candidates missed/invented pairs:\n  exact=$exact\n  lsh=$lsh")
   }
 
+  test("semDedup pruning matches the brute-force greedy rule (q125)") {
+    // drive the pruning stage with a planted clustering: 3 clusters of unit
+    // vectors where cluster 0 holds two exact-duplicate groups, cluster 1
+    // holds orthogonal vectors (nothing prunable), cluster 2 mixes both —
+    // then recompute the paper's greedy rule (prune iff a lower-id
+    // cluster-mate has round-4 cosine ≥ 0.35) in plain Scala
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    def unit(): Array[Double] = {
+      val a = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(a.map(x => x * x).sum)
+      a.map(_ / n)
+    }
+    def jitter(v: Array[Double]): Array[Double] = {
+      val p = v.map(x => x + 0.05 * rnd.nextGaussian())
+      val n = math.sqrt(p.map(x => x * x).sum)
+      p.map(_ / n)
+    }
+    val seeds = Array.fill(6)(unit())
+    val rows = Seq.newBuilder[(Long, Long, Array[Double])]
+    var id = 0L
+    for (c <- 0 until 3; s <- 0 until 2; k <- 0 until (3 + c)) {
+      val base = seeds(c * 2 + s)
+      rows += ((id, c.toLong, if (k == 0) base else jitter(base))); id += 1
+    }
+    val assigned = rows.result().toDF("vec_id", "cent_id", "v")
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      // Spark round(,4) semantics: BigDecimal HALF_UP on the double value
+      BigDecimal(d / (na * nb)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val data = rows.result()
+    val expected = data.groupBy(_._2).map { case (c, xs) =>
+      val pruned = xs.count { case (i, _, v) =>
+        xs.exists { case (j, _, w) => j < i && cos(v, w) >= 0.35 }
+      }
+      (c, xs.length.toLong, pruned.toLong, (xs.length - pruned).toLong)
+    }.toSet
+    val got = Similarity.semDedupFromAssigned(assigned).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected, s"missing=${expected -- got}\n  extra=${got -- expected}")
+    // the plant must exercise both branches
+    assert(expected.exists(_._3 > 0) && expected.exists(e => e._4 > 1),
+      "plant has no prunable or no kept-distinct vectors — weak test")
+  }
+
   test("dupSpans matches a brute-force span count (q124)") {
     // brute-force reference: collect the corpus (50 docs at sf0.001), count
     // 8-token windows and their corpus-wide frequencies in plain Scala, and

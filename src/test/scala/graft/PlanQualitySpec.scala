@@ -65,7 +65,8 @@ class PlanQualitySpec extends AnyFunSuite {
     val plans = Seq(
       "q36_minhash_neardup" -> lazyPlan(graft.llm.Dedup.minhashNearDupPlan),
       "q37_simhash_neardup" -> lazyPlan(graft.llm.Dedup.simhashNearDupPlan),
-      "q38_cosine_neardup" -> plan("q38_cosine_neardup"))
+      "q38_cosine_neardup" -> plan("q38_cosine_neardup"),
+      "q125_semdedup" -> plan("q125_semdedup"))
     for ((q, p) <- plans) {
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join:\n$p")
