@@ -115,6 +115,46 @@ object Relational5 {
       .groupBy("lang")
       .agg(count(lit(1)).as("n_sampled"))
 
+  // ---------------------------------------------------------------- q126
+  /** Quality-weighted deterministic sampling — the bucketized importance-
+    * sampling shape (DSIR-style: per-example keep probability from a quality
+    * proxy, here length tiers long/mid/short → 0.9/0.5/0.1). The uniform
+    * draw is the first 48 bits of md5("dsir|" + doc_id) compared against the
+    * tier cutoff ⌊w·2⁴⁸⌋ AS 12-char lowercase hex — equal-length lowercase
+    * hex compares lexicographically in numeric order, and both engines
+    * produce the identical digest string, so the sampled SET (not just its
+    * size) is engine-independent and fully oracle-checked. Pure map-side:
+    * one hash + one string compare per row, no shuffle, no seeded-RNG
+    * partition-order drift — the q59 contract extended from split
+    * assignment to weighted acceptance. */
+  private def q126(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("tier",
+        when(col("n_chars") > 400, "long")
+          .when(col("n_chars") >= 200, "mid")
+          .otherwise("short"))
+      .withColumn("cut",
+        when(col("tier") === "long", "e66666666666")   // ⌊0.9·2⁴⁸⌋
+          .when(col("tier") === "mid", "800000000000") // ⌊0.5·2⁴⁸⌋
+          .otherwise("199999999999"))                  // ⌊0.1·2⁴⁸⌋
+      .withColumn("u", substring(md5(concat_ws("|", lit("dsir"), col("doc_id"))), 1, 12))
+      .filter(col("u") < col("cut"))
+      .select("doc_id", "tier")
+
+  private val q126Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CASE WHEN n_chars > 400 THEN 'long'
+      |              WHEN n_chars >= 200 THEN 'mid'
+      |              ELSE 'short' END AS tier,
+      |         substring(md5('dsir|' || doc_id), 1, 12) AS u
+      |  FROM documents)
+      |SELECT doc_id, tier FROM t
+      |WHERE u < CASE tier WHEN 'long' THEN 'e66666666666'
+      |                    WHEN 'mid' THEN '800000000000'
+      |                    ELSE '199999999999' END""".stripMargin
+
   // ---------------------------------------------------------------- q61
   /** Map explode (§2B map family): parse `events.props` schema-on-read into
     * MapType, explode to (key, value) rows, aggregate per key — the generic
@@ -150,5 +190,6 @@ object Relational5 {
     GraftQuery("q60_stratified_sample", q60,
       Some(graft.core.Goldens.load("q60_stratified_sample"))),
     GraftQuery("q61_map_explode", q61, Some(q61Sql)),
+    GraftQuery("q126_importance_sample", q126, Some(q126Sql)),
   )
 }

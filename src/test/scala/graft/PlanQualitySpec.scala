@@ -111,6 +111,11 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"pure per-row projection must not shuffle:\n$p")
   }
 
+  test("q126: weighted acceptance sampling is pure map-side — zero exchanges") {
+    val p = plan("q126_importance_sample")
+    assert(!p.contains("Exchange"), s"per-row hash acceptance must not shuffle:\n$p")
+  }
+
   test("q59: hash split aggregates partially before the exchange") {
     val p = plan("q59_hash_split")
     assert(p.contains("partial_"), s"no partial aggregation before shuffle:\n$p")
