@@ -492,6 +492,143 @@ object Dedup {
       |FROM ex e JOIN freq f ON e.span = f.span
       |GROUP BY e.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- segment dedup
+  /** Segment-level keep-first dedup — the APPLY form of q124's duplicate-span
+    * profile (CCNet-style passage dedup): split every document into
+    * consecutive SegLen-token segments, keep only the globally FIRST
+    * occurrence of each distinct segment (first = smallest (doc_id, seg_idx)),
+    * and rebuild each document from its surviving segments. This is the
+    * operator that actually strips cross-document boilerplate from a
+    * training corpus; document-level dedup (q35/q36/q55) can't touch it
+    * because the containing documents differ.
+    *
+    * Plan shape: segmentation is map-side (one generator row per segment,
+    * O(corpus tokens / SegLen) rows); the keep-first decision is ONE
+    * hash-partitioned window — row_number over (PARTITION BY seg ORDER BY
+    * doc_id, seg_idx) — i.e. partitioned by the segment value itself, never
+    * a global window (PlanQualitySpec gates this); the rebuild is a groupBy
+    * (doc_id) whose collect_list gathers only the surviving segments (nulls
+    * are skipped by collect_list) and restores document order with an
+    * array_sort on (seg_idx, seg) structs. Both wide stages are partitioned
+    * by high-cardinality keys (segment text, doc_id); skew is bounded by the
+    * hottest single segment's occurrence count — and only its (doc_id,
+    * seg_idx, rk) triples ride that partition, not payloads. The segment
+    * string must flow through the first shuffle anyway (it IS the rebuild
+    * payload), so partitioning by it costs nothing extra. */
+  private val SegLen = 8
+
+  def segmentDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val segs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      // posexplode_outer: same constraint-inference trap as ngramJaccard
+      .select(col("doc_id"), posexplode_outer(expr(
+        s"transform(sequence(0, cast(ceil(size(t) / ${SegLen}.0) as int) - 1)," +
+        s" i -> concat_ws(' ', slice(t, i * $SegLen + 1, $SegLen)))"
+      )).as(Seq("seg_idx", "seg")))
+    val w = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    segs.withColumn("rk", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"),
+        // CASE without ELSE → null for dropped segments; collect_list skips
+        // nulls, array_sort restores document order by seg_idx
+        expr("array_join(transform(array_sort(collect_list(" +
+          "CASE WHEN rk = 1 THEN struct(seg_idx, seg) END)), x -> x.seg), ' ')")
+          .as("dedup_text"))
+  }
+
+  // string_agg ignores NULLs exactly as collect_list does; a document whose
+  // EVERY segment was seen earlier keeps empty text on both sides (coalesce —
+  // all-NULL string_agg is NULL, all-null collect_list is []); CAST(.. AS
+  // BIGINT) on integer sums per the HUGEINT dtype contract
+  val segmentDedupSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+      |idx AS (SELECT doc_id, t,
+      |               unnest(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS seg_idx
+      |        FROM toks),
+      |segs AS (SELECT doc_id, seg_idx,
+      |                array_to_string(t[seg_idx * 8 + 1 : seg_idx * 8 + 8], ' ') AS seg
+      |         FROM idx),
+      |rk AS (SELECT doc_id, seg_idx, seg,
+      |              row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rk
+      |       FROM segs)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+      |       CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |       coalesce(string_agg(CASE WHEN rk = 1 THEN seg END, ' ' ORDER BY seg_idx),
+      |                '') AS dedup_text
+      |FROM rk GROUP BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- incremental near-dup
+  /** Incremental MinHash-LSH dedup — flag documents of an INCOMING shard
+    * that near-duplicate an EXISTING corpus (here: doc_id % 10 ≥ 8 is the
+    * incoming 20%, % 10 < 8 the existing 80%; a real pipeline passes two
+    * frames). This is the shape dedup actually runs in at 100 TB: the
+    * existing corpus's band table is a precomputed, stored index — only the
+    * incoming shard is shingled and hashed per run, and the candidate join
+    * probes the index instead of re-pairing the whole corpus (q36 re-derives
+    * both sides only because the oracle needs a self-contained statement).
+    *
+    * Plan shape mirrors q36: map-side signatures, equi-join on (band, bv)
+    * for candidates — partitioned by band value, never a cross join — then
+    * exact-Jaccard confirm on the candidate pairs only. Asymmetry is the
+    * point: the incoming side is small, so AQE broadcasts ITS band table
+    * against the big stored index, and the confirm join touches only
+    * matched existing docs. */
+  def incrementalNearDup(s: SparkSession, d: String): DataFrame = {
+    val (pairs, cached) = incrementalNearDupPlan(s, d)
+    // eager materialize + release the corpus-sized shingle cache (see
+    // minhashNearDup)
+    try pairs.localCheckpoint(true) finally cached.foreach(_.unpersist(false))
+  }
+
+  /** Lazy plan + the cached frames it reads (see minhashNearDupPlan). */
+  private[graft] def incrementalNearDupPlan(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+    val docs = Tables.documents(s, d)
+    val sh = shingled(docs).cache()
+    val numBands = NumHashes / BandRows
+    val bands = minhashSignature(sh).select(col("doc_id"),
+      posexplode(array((0 until numBands).map(b =>
+        xxhash64(lit(b),
+          element_at(col("sig"), b * BandRows + 1),
+          element_at(col("sig"), b * BandRows + 2))): _*)).as(Seq("band", "bv")))
+    val existing = bands.filter(pmod(col("doc_id"), lit(10)) < 8)
+      .select(col("doc_id").as("ex_id"), col("band"), col("bv"))
+    val incoming = bands.filter(pmod(col("doc_id"), lit(10)) >= 8)
+      .select(col("doc_id").as("inc_id"), col("band").as("band_r"), col("bv").as("bv_r"))
+    val cand = existing.join(incoming,
+        col("band") === col("band_r") && col("bv") === col("bv_r"))
+      .select("inc_id", "ex_id").distinct()
+    val a = sh.select(col("doc_id").as("inc_id"), col("sh").as("sh_i"))
+    val b = sh.select(col("doc_id").as("ex_id"), col("sh").as("sh_e"))
+    val pairs = a.join(cand, "inc_id").join(b, "ex_id")
+      .withColumn("inter", size(array_intersect(col("sh_i"), col("sh_e"))).cast("double"))
+      .withColumn("jaccard",
+        round(col("inter") / (size(col("sh_i")) + size(col("sh_e")) - col("inter")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select("inc_id", "ex_id", "jaccard")
+    (pairs, Seq(sh))
+  }
+
+  /** Declarative oracle: the q36 shingle-join restricted to
+    * (existing, incoming) pairs — same 0.5 threshold, same shingling. */
+  val incrementalNearDupSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |                                     for i in range(1, len(t) - 1)]) s FROM toks),
+      |ex AS (SELECT doc_id, unnest(s) shingle FROM sh),
+      |inter AS (SELECT b.doc_id inc_id, a.doc_id ex_id, count(*) n
+      |          FROM ex a JOIN ex b ON a.shingle = b.shingle
+      |          WHERE a.doc_id % 10 < 8 AND b.doc_id % 10 >= 8
+      |          GROUP BY 1, 2)
+      |SELECT inc_id, ex_id, jaccard FROM (
+      |  SELECT i.inc_id, i.ex_id,
+      |         round(i.n::DOUBLE / (len(si.s) + len(se.s) - i.n), 4) AS jaccard
+      |  FROM inter i
+      |  JOIN sh si ON i.inc_id = si.doc_id
+      |  JOIN sh se ON i.ex_id = se.doc_id)
+      |WHERE jaccard >= 0.5""".stripMargin
+
   // ---------------------------------------------------------------- simhash
   /** 64-bit SimHash over the word set: per-token xxhash64, signed bit votes,
     * sign → bit. Computed with built-in expressions (explode + conditional
@@ -563,6 +700,9 @@ object Dedup {
       Some(graft.core.Goldens.load("q37_simhash_neardup"))),
     GraftQuery("q55_ngram_jaccard", ngramJaccard _, Some(ngramJaccardSql)),
     GraftQuery("q124_dup_spans", dupSpans _, Some(dupSpansSql)),
+    GraftQuery("q127_segment_dedup", segmentDedup _, Some(segmentDedupSql)),
+    GraftQuery("q128_incremental_neardup", incrementalNearDup _,
+      Some(incrementalNearDupSql)),
     GraftQuery("q69_dedup_groups", dedupGroups _, Some(dedupGroupsSql)),
     GraftQuery("q114_dedup_pipeline", dedupPipeline _, Some(dedupPipelineSql)))
   // prefixJaccard is deliberately NOT registered: this uniform synthetic

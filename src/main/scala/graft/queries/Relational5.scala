@@ -155,6 +155,58 @@ object Relational5 {
       |                    WHEN 'mid' THEN '800000000000'
       |                    ELSE '199999999999' END""".stripMargin
 
+  // ---------------------------------------------------------------- q129
+  /** Corpus mixture rebalancing — the data-mixing step of a training
+    * pipeline: compute per-language acceptance probabilities that equalize
+    * language shares (p_lang = min(1, (T/k) / n_lang): over-represented
+    * languages are down-sampled toward the uniform cap, minority languages
+    * kept whole), then draw deterministically. The uniform draw is the
+    * Knuth multiplicative hash u = (doc_id · 2654435761) mod 2³², and the
+    * acceptance test u < p·2³² is evaluated in EXACT integer arithmetic —
+    * u·k·n_lang < T·2³² — so there is no float boundary for the two engines
+    * to disagree on, and the sampled SET is engine-independent (the q59/q126
+    * determinism contract, extended to data-dependent rates). Fits 64-bit
+    * as long as u·k·n_lang < 2⁶³, i.e. per-language counts below ~2²⁶; past
+    * that, drop u to 20 bits (same guarantee, coarser grid).
+    *
+    * Plan shape: two tiny aggregates (per-language counts, corpus totals)
+    * broadcast back onto the fact scan; the acceptance filter is map-side;
+    * one final partial-agg groupBy(lang). No wide join, no window. */
+  private def q129(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "lang")
+    val perLang = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val totals = docs.agg(count(lit(1)).as("t_total"),
+      countDistinct(col("lang")).as("k_langs"))
+    val sampled = docs
+      .join(broadcast(perLang), "lang")
+      .crossJoin(broadcast(totals))
+      .withColumn("u", pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)))
+      .filter(col("u") * col("k_langs") * col("n_docs") <
+        col("t_total") * lit(4294967296L))
+      .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+    perLang.join(sampled, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        // floor-spelled rounding — see wordEntropy (Retrieval.scala)
+        (floor(coalesce(col("n_sampled"), lit(0L)).cast("double") / col("n_docs")
+          * 10000 + 0.5) / 10000.0).as("sampled_frac"))
+  }
+
+  private val q129Sql =
+    """WITH pl AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+      |t AS (SELECT count(*) AS t_total, count(DISTINCT lang) AS k_langs FROM documents),
+      |acc AS (
+      |  SELECT d.lang
+      |  FROM documents d JOIN pl ON d.lang = pl.lang CROSS JOIN t
+      |  WHERE ((d.doc_id * 2654435761) % 4294967296) * t.k_langs * pl.n_docs
+      |        < t.t_total * 4294967296),
+      |sm AS (SELECT lang, count(*) AS n_sampled FROM acc GROUP BY lang)
+      |SELECT pl.lang, CAST(pl.n_docs AS BIGINT) AS n_docs,
+      |       CAST(coalesce(sm.n_sampled, 0) AS BIGINT) AS n_sampled,
+      |       floor(coalesce(sm.n_sampled, 0)::DOUBLE / pl.n_docs * 10000 + 0.5)
+      |         / 10000.0 AS sampled_frac
+      |FROM pl LEFT JOIN sm ON pl.lang = sm.lang""".stripMargin
+
   // ---------------------------------------------------------------- q61
   /** Map explode (§2B map family): parse `events.props` schema-on-read into
     * MapType, explode to (key, value) rows, aggregate per key — the generic
@@ -191,5 +243,6 @@ object Relational5 {
       Some(graft.core.Goldens.load("q60_stratified_sample"))),
     GraftQuery("q61_map_explode", q61, Some(q61Sql)),
     GraftQuery("q126_importance_sample", q126, Some(q126Sql)),
+    GraftQuery("q129_mixture_rebalance", q129, Some(q129Sql)),
   )
 }

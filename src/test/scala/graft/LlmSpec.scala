@@ -125,6 +125,64 @@ class LlmSpec extends AnyFunSuite {
     assert(expected.exists(_._3 > 0), "no duplicated spans in corpus — weak test")
   }
 
+  test("segmentDedup keeps exactly the first global occurrence of each segment (q127)") {
+    // brute-force reference in plain Scala: split every document into
+    // consecutive 8-token segments, keep a segment iff its (doc_id, seg_idx)
+    // is the minimum over all occurrences of that exact segment text, and
+    // rebuild the text in document order
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val segs = docs.flatMap { case (id, text) =>
+      val t = text.split(" ", -1)
+      (0 until math.ceil(t.length / 8.0).toInt).map { i =>
+        (id, i.toLong, t.slice(i * 8, math.min(i * 8 + 8, t.length)).mkString(" "))
+      }
+    }
+    val firstOcc = segs.groupBy(_._3).map { case (s, xs) =>
+      (s, xs.map(x => (x._1, x._2)).min)
+    }
+    val expected = segs.groupBy(_._1).map { case (id, xs) =>
+      val kept = xs.filter(x => firstOcc(x._3) == ((x._1, x._2)))
+      (id, xs.length.toLong, kept.length.toLong,
+        kept.sortBy(_._2).map(_._3).mkString(" "))
+    }.toSet
+    val got = Dedup.segmentDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(got == expected, s"missing=${expected -- got}\n  extra=${got -- expected}")
+    // the corpus must exercise the drop branch (204 dropped segments at
+    // sf0.001) — otherwise keep-first is vacuous
+    assert(expected.exists(e => e._3 < e._2), "no segment ever dropped — weak test")
+  }
+
+  test("incrementalNearDup finds exactly the existing↔incoming jaccard pairs (q128)") {
+    // brute-force trigram-shingle Jaccard between the existing (doc_id%10<8)
+    // and incoming (doc_id%10>=8) splits — the LSH path must recover every
+    // pair at the 0.5 threshold (same bimodal-corpus argument as q36)
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def shingles(text: String): Set[String] = {
+      val t = text.split(" ", -1)
+      if (t.length < 3) Set.empty
+      else (0 to t.length - 3).map(i => t.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val sh = docs.map { case (id, t) => (id, shingles(t)) }.filter(_._2.nonEmpty)
+    val existing = sh.filter(_._1 % 10 < 8)
+    val incoming = sh.filter(_._1 % 10 >= 8)
+    val expected = (for {
+      (ei, es) <- existing; (ii, is) <- incoming
+      inter = (es & is).size.toDouble
+      j = BigDecimal(inter / (es.size + is.size - inter))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if j >= 0.5
+    } yield (ii, ei, j)).toSet
+    val got = Dedup.incrementalNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected, s"missing=${expected -- got}\n  extra=${got -- expected}")
+    assert(expected.nonEmpty, "no cross-split near-dup pairs in corpus — weak test")
+  }
+
   test("crc32 matches java.util.zip.CRC32 (q43b's scalar)") {
     import spark.implicits._
     val samples = Seq("", "a", "hello world", "café ☕", "x" * 1000)

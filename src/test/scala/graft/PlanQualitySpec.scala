@@ -66,7 +66,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "q36_minhash_neardup" -> lazyPlan(graft.llm.Dedup.minhashNearDupPlan),
       "q37_simhash_neardup" -> lazyPlan(graft.llm.Dedup.simhashNearDupPlan),
       "q38_cosine_neardup" -> plan("q38_cosine_neardup"),
-      "q125_semdedup" -> plan("q125_semdedup"))
+      "q125_semdedup" -> plan("q125_semdedup"),
+      "q128_incremental_neardup" -> lazyPlan(graft.llm.Dedup.incrementalNearDupPlan))
     for ((q, p) <- plans) {
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join:\n$p")
@@ -114,6 +115,25 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q126: weighted acceptance sampling is pure map-side — zero exchanges") {
     val p = plan("q126_importance_sample")
     assert(!p.contains("Exchange"), s"per-row hash acceptance must not shuffle:\n$p")
+  }
+
+  test("q127: keep-first window is partitioned by the segment — never global") {
+    val p = plan("q127_segment_dedup")
+    // the row_number window must carry a partition spec (the segment value);
+    // an unpartitioned window is the single-task funnel q115 was cured of
+    assert(p.contains("row_number"), s"q127 lost its keep-first window:\n$p")
+    assert("windowspecdefinition\\(seg#\\d+".r.findFirstIn(p).isDefined,
+      s"keep-first window is not partitioned by seg:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q127 grew a pair join — it must stay window + groupBy:\n$p")
+  }
+
+  test("q129: rate aggregates broadcast back onto the scan — no sort-merge join") {
+    val p = plan("q129_mixture_rebalance")
+    // per-language counts and corpus totals are tiny aggregates; joining
+    // them to the fact scan must broadcast, never shuffle the fact side
+    assert(p.contains("BroadcastHashJoin"), s"q129 lost its broadcast rate join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q129 shuffles the fact side for a join:\n$p")
   }
 
   test("q59: hash split aggregates partially before the exchange") {
