@@ -303,6 +303,19 @@ class LlmSpec extends AnyFunSuite {
     assert(quant == brute, s"quantized path diverged: quant=$quant brute=$brute")
   }
 
+  test("PQ knn finds most of the brute-force top-5 (q130)") {
+    // PQ at 64× compression is genuinely lossy and this corpus's top-5
+    // margins are a few thousandths of cosine — the recall contract is the
+    // q40/q56 one, not q70's exact-equality (see knnPq scaladoc)
+    val brute = Similarity.knnBrute(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val pq = Similarity.knnPq(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(pq.size == 5, s"PQ must yield 5 results, got $pq")
+    val recall = (brute & pq).size / 5.0
+    assert(recall >= 0.6, s"PQ recall $recall too low (pq=$pq brute=$brute)")
+  }
+
   test("ngram jaccard pairs == brute-force trigram jaccard >= 0.4") {
     val docs = graft.core.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
