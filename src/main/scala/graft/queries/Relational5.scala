@@ -207,6 +207,43 @@ object Relational5 {
       |         / 10000.0 AS sampled_frac
       |FROM pl LEFT JOIN sm ON pl.lang = sm.lang""".stripMargin
 
+  // ---------------------------------------------------------------- q131
+  /** Per-source document cap — the "domain cap" curation op: no single
+    * source may contribute more than CapN documents, and which documents
+    * survive is a deterministic, engine-independent draw (md5 order, doc_id
+    * tiebreak — the q126 hex-compare contract), not head-of-file bias or a
+    * seeded RNG. Complements q129: that one equalizes SHARES
+    * probabilistically, this one enforces a hard per-group COUNT.
+    *
+    * Plan shape: one window partitioned by source (hash-partitioned
+    * shuffle, parallel across sources; a hot source bounds one partition —
+    * at 100 TB cap-per-(source, shard-of-source) first, then re-cap, the
+    * standard two-level refinement) and a map-side hash; no join, no
+    * global window. */
+  private val CapN = 10
+
+  private def q131(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(col("u"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        md5(concat_ws("|", lit("cap"), col("doc_id"))).as("u"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= CapN)
+      .select(col("source"), col("doc_id"), col("rk").cast("int").as("rk"))
+  }
+
+  private val q131Sql =
+    """WITH u AS (
+      |  SELECT doc_id, source, md5('cap|' || doc_id) AS u FROM documents),
+      |rk AS (
+      |  SELECT source, doc_id,
+      |         CAST(row_number() OVER (PARTITION BY source ORDER BY u, doc_id)
+      |              AS INT) AS rk
+      |  FROM u)
+      |SELECT source, doc_id, rk FROM rk WHERE rk <= 10""".stripMargin
+
   // ---------------------------------------------------------------- q61
   /** Map explode (§2B map family): parse `events.props` schema-on-read into
     * MapType, explode to (key, value) rows, aggregate per key — the generic
@@ -244,5 +281,6 @@ object Relational5 {
     GraftQuery("q61_map_explode", q61, Some(q61Sql)),
     GraftQuery("q126_importance_sample", q126, Some(q126Sql)),
     GraftQuery("q129_mixture_rebalance", q129, Some(q129Sql)),
+    GraftQuery("q131_source_cap", q131, Some(q131Sql)),
   )
 }

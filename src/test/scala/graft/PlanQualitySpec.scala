@@ -136,6 +136,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"q129 shuffles the fact side for a join:\n$p")
   }
 
+  test("q131: per-source cap windows by source and prunes with WindowGroupLimit") {
+    val p = plan("q131_source_cap")
+    assert("windowspecdefinition\\(source#\\d+".r.findFirstIn(p).isDefined,
+      s"cap window is not partitioned by source:\n$p")
+    // rk <= 10 must prune map-side before the shuffle (rank-limit pushdown),
+    // not materialize every row through the window
+    assert(p.contains("WindowGroupLimit"), s"rank filter not pushed down:\n$p")
+  }
+
   test("q59: hash split aggregates partially before the exchange") {
     val p = plan("q59_hash_split")
     assert(p.contains("partial_"), s"no partial aggregation before shuffle:\n$p")
