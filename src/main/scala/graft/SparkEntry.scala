@@ -89,6 +89,7 @@ object SparkEntry {
     graft.llm.Retrieval.queries ++
     graft.llm.Embeddings.queries ++
     graft.llm.Multimodal.queries ++
+    graft.llm.Curation.queries ++
     graft.operators.AsOf.queries ++
     graft.streaming.StreamingPipeline.queries
 

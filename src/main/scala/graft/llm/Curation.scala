@@ -1,0 +1,223 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.queries.GraftQuery
+
+/** Corpus-construction operators that sit BETWEEN filtering and training:
+  * deterministic epoch shuffling into shards, padding-efficiency length
+  * bucketing, fixed-weight model-based quality scoring, and a
+  * duplicate-aware (leakage-safe) train/heldout split. The reference lake
+  * has no training surface at all — these extend the engine the way
+  * `Dedup`/`Retrieval` do (charter north-star ops), and every query is
+  * DuckDB-oracle-checked end to end: each draw/assignment is a pure
+  * function of row keys (md5 hex compare or exact integer arithmetic — the
+  * q59/q126/q129 determinism contract), never a seeded RNG whose sequence
+  * depends on partition order.
+  */
+object Curation {
+
+  // ---------------------------------------------------------------- q132
+  /** Deterministic epoch shuffle — materialize "epoch 7" of a training run
+    * as (doc_id, shard, pos): every document is dealt to one of `Shards`
+    * shards by a multiplicative hash salted with the epoch, and ordered
+    * within its shard by an epoch-salted md5 — a different, reproducible
+    * permutation per epoch, identical on any cluster/engine (no RNG). This
+    * is the operator a 100 TB run uses to write epoch manifests: the
+    * training job then streams shard files in pos order.
+    *
+    * Plan shape: the shard/order keys are map-side hashes; the only wide op
+    * is ONE window partitioned by shard (hash-partitioned shuffle — never a
+    * global window; PlanQualitySpec gates it). `Shards` bounds the write
+    * parallelism, so at 100 TB it is O(executors), not 16 — and with
+    * per-shard output files the row_number itself disappears into the sort
+    * order of the written file (the pos column exists here because the
+    * oracle checks the permutation, not because the pipeline needs it
+    * materialized). */
+  private val Shards = 16
+  private val Epoch = 7
+
+  def epochShard(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(col("u"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        // Knuth multiplicative hash over doc_id⊕epoch: exact 64-bit integer
+        // arithmetic both engines agree on bit-for-bit (q129 contract)
+        pmod(col("doc_id") * lit(2654435761L) + lit(Epoch * 40503L),
+          lit(4294967296L)).as("shard_u"),
+        md5(concat_ws("|", lit(s"ep$Epoch"), col("doc_id"))).as("u"))
+      .withColumn("shard", pmod(col("shard_u"), lit(Shards)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("pos").cast("int").as("pos"))
+  }
+
+  val epochShardSql: String =
+    s"""WITH keyed AS (
+      |  SELECT doc_id,
+      |         CAST(((doc_id * 2654435761 + ${Epoch * 40503}) % 4294967296)
+      |              % $Shards AS INT) AS shard,
+      |         md5('ep$Epoch|' || doc_id) AS u
+      |  FROM documents)
+      |SELECT doc_id, shard,
+      |       CAST(row_number() OVER (PARTITION BY shard ORDER BY u, doc_id)
+      |            AS INT) AS pos
+      |FROM keyed""".stripMargin
+
+  // ---------------------------------------------------------------- q133
+  /** Sequence-length bucketing — the padding-efficiency profile: group
+    * documents into power-of-two token-length tiers and report how many
+    * pad tokens a fixed-shape batch of each tier wastes (padded = n_docs ×
+    * tier cap; waste = 1 − real/padded). This is the measurement that
+    * justifies length-grouped batching over naive fixed-length padding in
+    * a training pipeline. The tier CASE is closed-form on both engines (no
+    * float log2 at power-of-two boundaries). Pure map + one tiny partial
+    * aggregation — no joins, no windows, embarrassingly scalable. */
+  def lengthBuckets(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("bucket_cap",
+        when(col("n_tok") <= 16, 16L).when(col("n_tok") <= 32, 32L)
+          .when(col("n_tok") <= 64, 64L).when(col("n_tok") <= 128, 128L)
+          .when(col("n_tok") <= 256, 256L).when(col("n_tok") <= 512, 512L)
+          .otherwise(1024L))
+      .groupBy("bucket_cap")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tok"))
+      .withColumn("padded_tok", col("n_docs") * col("bucket_cap"))
+      // floor-spelled rounding — see wordEntropy (Retrieval.scala)
+      .withColumn("waste_frac",
+        floor((lit(1.0) - col("sum_tok").cast("double") / col("padded_tok"))
+          * 10000 + 0.5) / 10000.0)
+      .select("bucket_cap", "n_docs", "sum_tok", "padded_tok", "waste_frac")
+
+  val lengthBucketsSql: String =
+    """WITH counts AS (
+      |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+      |tiers AS (
+      |  SELECT n_tok,
+      |         CASE WHEN n_tok <= 16 THEN 16 WHEN n_tok <= 32 THEN 32
+      |              WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128
+      |              WHEN n_tok <= 256 THEN 256 WHEN n_tok <= 512 THEN 512
+      |              ELSE 1024 END AS bucket_cap
+      |  FROM counts)
+      |SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap,
+      |       count(*) AS n_docs,
+      |       CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+      |       CAST(count(*) * bucket_cap AS BIGINT) AS padded_tok,
+      |       floor((1.0 - CAST(sum(n_tok) AS DOUBLE) / (count(*) * bucket_cap))
+      |             * 10000 + 0.5) / 10000.0 AS waste_frac
+      |FROM tiers GROUP BY bucket_cap""".stripMargin
+
+  // ---------------------------------------------------------------- q134
+  /** Fixed-weight logistic quality classifier — the fastText-style
+    * model-based filter every production corpus applies after the
+    * heuristic gates (q32/q90 are the feature extractors; this is the
+    * inference pass). Weights are frozen constants (a real pipeline loads
+    * them from a trained artifact; scoring math is identical), features
+    * fold out of the (doc, word, tf) relation in one grouped pass:
+    * z = b + w₁·unique_frac + w₂·ln(n_tok) + w₃·top_frac,
+    * score = σ(z), keep = score ≥ 0.5. Distributed inference is therefore
+    * one partial-aggregated groupBy + a map — no model server, no UDF,
+    * stays in WholeStageCodegen. */
+  def qualityLogit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tokens"), count(lit(1)).as("n_unique"),
+        max("tf").as("top_tf"))
+      .withColumn("z",
+        lit(-1.2) + lit(3.0) * (col("n_unique").cast("double") / col("n_tokens"))
+          + lit(0.8) * log(col("n_tokens").cast("double"))
+          - lit(2.5) * (col("top_tf").cast("double") / col("n_tokens")))
+      // floor-spelled rounding — see wordEntropy (Retrieval.scala)
+      .withColumn("score",
+        floor(lit(1.0) / (lit(1.0) + exp(-col("z"))) * 10000 + 0.5) / 10000.0)
+      .withColumn("keep", col("score") >= 0.5)
+      .select("doc_id", "n_tokens", "score", "keep")
+
+  val qualityLogitSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents
+      |), tf AS (
+      |  SELECT doc_id, word, count(*) AS tf FROM toks WHERE word <> '' GROUP BY 1, 2
+      |), feat AS (
+      |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |         count(*) AS n_unique, max(tf) AS top_tf
+      |  FROM tf GROUP BY doc_id
+      |), scored AS (
+      |  SELECT doc_id, n_tokens,
+      |         -1.2 + 3.0 * (CAST(n_unique AS DOUBLE) / n_tokens)
+      |             + 0.8 * ln(CAST(n_tokens AS DOUBLE))
+      |             - 2.5 * (CAST(top_tf AS DOUBLE) / n_tokens) AS z
+      |  FROM feat)
+      |SELECT doc_id, n_tokens,
+      |       floor(1.0 / (1.0 + exp(-z)) * 10000 + 0.5) / 10000.0 AS score,
+      |       floor(1.0 / (1.0 + exp(-z)) * 10000 + 0.5) / 10000.0 >= 0.5 AS keep
+      |FROM scored""".stripMargin
+
+  // ---------------------------------------------------------------- q135
+  /** Duplicate-aware (leakage-safe) train/heldout split — the fix for the
+    * classic evaluation bug: hash-splitting DOCUMENTS (q59) puts two copies
+    * of the same text on both sides of the split. Here the split unit is
+    * the exact-duplicate GROUP (sha256 of text): every member follows its
+    * group representative's draw, so a duplicated document can never leak
+    * across the boundary. Near-dup-safe splitting is the same operator fed
+    * with q69's connected components as the group key — the composition is
+    * exercised in CurationSpec; this query keeps the oracle self-contained
+    * with the exact-hash grouping.
+    *
+    * Plan shape: one hash-partitioned groupBy(content hash) (map-side
+    * partial agg collapses copies early), a map-side md5 draw on the
+    * O(groups) relation, one tiny groupBy(split). No window, no join back
+    * to the corpus for the profile (members inherit the group draw through
+    * the group row itself when materializing assignments). */
+  def leakageSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), sha2(col("text"), 256).as("g"))
+      .groupBy("g")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("n_members"))
+      .withColumn("split",
+        when(substring(md5(concat_ws("|", lit("split"), col("rep"))), 1, 1)
+          .isin("0", "1", "2", "3"), "heldout").otherwise("train"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_groups"), sum("n_members").as("n_docs"),
+        sum(when(col("n_members") > 1, col("n_members") - 1).otherwise(0L))
+          .as("n_extra_dups"))
+
+  val leakageSplitSql: String =
+    """WITH grp AS (
+      |  SELECT sha256(text) AS g, min(doc_id) AS rep, count(*) AS n_members
+      |  FROM documents GROUP BY 1),
+      |drawn AS (
+      |  SELECT CASE WHEN substring(md5('split|' || rep), 1, 1) IN ('0','1','2','3')
+      |              THEN 'heldout' ELSE 'train' END AS split,
+      |         n_members
+      |  FROM grp)
+      |SELECT split, count(*) AS n_groups,
+      |       CAST(sum(n_members) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN n_members > 1 THEN n_members - 1 ELSE 0 END)
+      |            AS BIGINT) AS n_extra_dups
+      |FROM drawn GROUP BY split""".stripMargin
+
+  /** Per-document split assignment for an arbitrary (doc_id, group) frame —
+    * the reusable core of q135: every member inherits its group
+    * representative's deterministic draw. Fed with q69's connected
+    * components this becomes the near-dup-safe split (CurationSpec). */
+  def groupSplit(members: DataFrame, idCol: String, groupCol: String): DataFrame = {
+    val reps = members.groupBy(groupCol)
+      .agg(min(col(idCol)).as("rep"))
+      .withColumn("split",
+        when(substring(md5(concat_ws("|", lit("split"), col("rep"))), 1, 1)
+          .isin("0", "1", "2", "3"), "heldout").otherwise("train"))
+    members.join(reps, groupCol).select(col(idCol), col(groupCol), col("split"))
+  }
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q132_epoch_shard", epochShard _, Some(epochShardSql)),
+    GraftQuery("q133_length_buckets", lengthBuckets _, Some(lengthBucketsSql)),
+    GraftQuery("q134_quality_logit", qualityLogit _, Some(qualityLogitSql)),
+    GraftQuery("q135_leakage_split", leakageSplit _, Some(leakageSplitSql)))
+}

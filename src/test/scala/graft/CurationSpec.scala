@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.llm.{Curation, Dedup}
+
+/** Verifies the corpus-curation operators (q132–q135) beyond their SQL
+  * oracles: permutation/partition-function invariants, determinism across
+  * partition layouts, and the near-dup composition of the leakage-safe
+  * split. */
+class CurationSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("q132: epoch shard emits a bijection — every doc once, pos dense per shard") {
+    val out = Curation.epochShard(spark, sf).cache()
+    try {
+      val total = graft.core.Tables.documents(spark, sf).count()
+      assert(out.count() == total, "epoch shuffle dropped or duplicated documents")
+      assert(out.select("doc_id").distinct().count() == total)
+      // pos is exactly 1..n within each shard (dense, no gaps/ties)
+      val bad = out.groupBy("shard")
+        .agg(count(lit(1)).as("n"), min("pos").as("mn"), max("pos").as("mx"),
+          countDistinct("pos").as("nd"))
+        .filter(col("mn") =!= 1 || col("mx") =!= col("n") || col("nd") =!= col("n"))
+      assert(bad.isEmpty, s"non-dense shard positions: ${bad.collect().mkString}")
+    } finally out.unpersist(false)
+  }
+
+  test("q132: assignment is partition-layout independent (determinism contract)") {
+    val a = Curation.epochShard(spark, sf).collect().map(_.toSeq).toSet
+    val b = Curation.epochShard(spark, sf)
+      .repartition(3).collect().map(_.toSeq).toSet
+    assert(a == b, "epoch shuffle depends on partition layout")
+  }
+
+  test("q133: bucket caps bound their contents and waste is in [0, 1)") {
+    val rows = Curation.lengthBuckets(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (cap, nDocs, sumTok, padded, waste) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(padded == nDocs * cap)
+      assert(sumTok <= padded, s"bucket $cap holds docs longer than its cap")
+      assert(waste >= 0.0 && waste < 1.0, s"waste_frac $waste out of range")
+    }
+  }
+
+  test("q134: logistic score matches a plain-Scala recompute of the frozen model") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = docs.map { case (id, text) =>
+      val tf = text.toLowerCase.split(" ").filter(_.nonEmpty)
+        .groupBy(identity).map { case (_, v) => v.length }
+      val n = tf.sum.toDouble
+      val z = -1.2 + 3.0 * (tf.size / n) + 0.8 * math.log(n) - 2.5 * (tf.max / n)
+      val score = math.floor(1.0 / (1.0 + math.exp(-z)) * 10000 + 0.5) / 10000.0
+      id -> score
+    }
+    val got = Curation.qualityLogit(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got == expected, "distributed logistic scores diverge from the model")
+  }
+
+  test("q135: no sha-group straddles the split and counts reconcile") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), sha2(col("text"), 256).as("g"))
+    val assigned = Curation.groupSplit(docs, "doc_id", "g")
+    val straddling = assigned.groupBy("g")
+      .agg(countDistinct("split").as("k")).filter(col("k") > 1)
+    assert(straddling.isEmpty, "a duplicate group leaked across the split")
+    val profile = Curation.leakageSplit(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(profile.values.map(_._2).sum == docs.count(),
+      "split profile does not cover the corpus")
+    val perSplit = assigned.groupBy("split").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(profile.view.mapValues(_._2).toMap == perSplit,
+      "q135 profile disagrees with per-document assignment")
+  }
+
+  test("q135 composes with q69 connected components for a near-dup-safe split") {
+    // group key = near-dup cluster label: every member of a jaccard cluster
+    // must land on the same side of the split
+    val comps = Dedup.dedupGroups(spark, sf) // (doc_id, group_id)
+    val assigned = Curation.groupSplit(comps, "doc_id", "group_id")
+    val straddling = assigned.groupBy("group_id")
+      .agg(countDistinct("split").as("k")).filter(col("k") > 1)
+    assert(straddling.isEmpty, "a near-dup cluster straddles the split")
+  }
+}

@@ -251,6 +251,28 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q132: epoch-shuffle window is partitioned by shard — never global") {
+    val p = plan("q132_epoch_shard")
+    assert("windowspecdefinition\\(shard#\\d+".r.findFirstIn(p).isDefined,
+      s"epoch window is not partitioned by shard:\n$p")
+  }
+
+  test("q133/q135: curation profiles are join-free partial-agg pipelines") {
+    for (q <- Seq("q133_length_buckets", "q135_leakage_split")) {
+      val p = plan(q)
+      assert(p.contains("partial_"), s"$q: no map-side combine:\n$p")
+      assert(!p.contains("Join"), s"$q grew a join — must stay scan + agg:\n$p")
+      assert(!p.contains("Window"), s"$q grew a window:\n$p")
+    }
+  }
+
+  test("q134: logistic inference is groupBy + map — no window, no join, partial agg") {
+    val p = plan("q134_quality_logit")
+    assert(p.contains("partial_"), s"no map-side combine under the explode:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"inference must not join or window:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-to-aggregate pipeline of q02") {
     // AQE finalizes the plan lazily — execute, then inspect the final plan
     val df = SparkEntry.queries("q02_agg_pricing")(spark, sf)
