@@ -70,7 +70,13 @@ object Bench {
     val cpuBefore = processCpuSec()
     val calibBefore = calibMs()
     val calibParBefore = calibParMs()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-iteration filter (same contract as Verify): SPARK_GRAFT_ONLY=
+    // q86,q130 times just those queries — for isolating a perf target from
+    // suite-order effects; the committed BENCH_local.json is always a full run
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
@@ -99,7 +105,8 @@ object Bench {
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},$calib,"queries":$fullQs,"sf":"$sfDir"}"""
-    try {
+    // never let a filtered run overwrite the committed full-suite artifact
+    if (only.isEmpty) try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_local.json"),
         (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }

@@ -202,6 +202,94 @@ object Curation {
       |            AS BIGINT) AS n_extra_dups
       |FROM drawn GROUP BY split""".stripMargin
 
+  // ---------------------------------------------------------------- q136
+  /** N-gram novelty profile — the corpus-diversity metric: for each
+    * document, the fraction of its distinct word trigrams that occur
+    * NOWHERE else in the corpus (df = 1). Low novelty identifies
+    * template/boilerplate-heavy documents that repetition-aware sampling
+    * should down-weight even when no single pair crosses a dedup threshold;
+    * the corpus-level mean is the diversity number on a data card.
+    *
+    * Plan shape: the same inverted-index discipline as q55/q112 — shingles
+    * explode map-side, document frequency is a partial-aggregated
+    * groupBy(shingle), and the df joins back to the exploded stream on the
+    * shingle value (hash-partitioned equi-join, both sides already
+    * clustered by the first shuffle). Nothing is ever broadcast at corpus
+    * scale and no pair join exists — cost is O(corpus shingles), not
+    * O(docs²). Shares `Dedup.shingledN` so the trigram contract can't
+    * drift from the dedup family's. */
+  def ngramNovelty(s: SparkSession, d: String): DataFrame = {
+    val sh = Dedup.shingledN(Tables.documents(s, d), 3)
+    // explode_outer: plain explode's inferred non-null constraint re-runs
+    // the whole shingling expression in a pushed filter (see contamination)
+    val ex = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
+      explode_outer(col("sh")).as("shingle"))
+    val dfreq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+    ex.join(dfreq, "shingle")
+      .groupBy("doc_id")
+      .agg(first(col("n_sh")).as("n_sh"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      // floor-spelled rounding — see wordEntropy (Retrieval.scala)
+      .withColumn("novelty_frac",
+        floor(col("n_novel").cast("double") / col("n_sh") * 10000 + 0.5) / 10000.0)
+      .select("doc_id", "n_sh", "n_novel", "novelty_frac")
+  }
+
+  val ngramNoveltySql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents
+      |              WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |                                     for i in range(1, len(t) - 1)]) AS s FROM toks),
+      |ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
+      |dfreq AS (SELECT shingle, count(*) AS df FROM ex GROUP BY 1)
+      |SELECT ex.doc_id, CAST(min(ex.n_sh) AS BIGINT) AS n_sh,
+      |       CAST(sum(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |       floor(CAST(sum(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / min(ex.n_sh) * 10000 + 0.5) / 10000.0 AS novelty_frac
+      |FROM ex JOIN dfreq USING (shingle)
+      |GROUP BY ex.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q137
+  /** Data card — the per-(source, language) corpus report every released
+    * dataset ships: document and token counts, mean length, and the
+    * exact-duplicate rate, with ROLLUP subtotals per source and a corpus
+    * grand total. One scan, one grouped aggregation (ROLLUP expands in the
+    * aggregation, not as extra scans); the duplicate rate rides the same
+    * pass as a count(DISTINCT sha256). The grouping indicators disambiguate
+    * subtotal rows from a literal NULL group, so the card is
+    * machine-consumable. */
+  def dataCard(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        sha2(col("text"), 256).as("g"))
+      .rollup("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("total_tokens"),
+        // floor-spelled rounding — see wordEntropy (Retrieval.scala)
+        (floor(avg(col("n_chars")) * 10000 + 0.5) / 10000.0).as("avg_chars"),
+        countDistinct(col("g")).as("n_distinct"),
+        (floor((lit(1.0) - countDistinct(col("g")).cast("double") / count(lit(1)))
+          * 10000 + 0.5) / 10000.0).as("dup_frac"),
+        grouping(col("source")).cast("int").as("g_source"),
+        grouping(col("lang")).cast("int").as("g_lang"))
+
+  val dataCardSql: String =
+    """WITH base AS (
+      |  SELECT source, lang, n_chars,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |         sha256(text) AS g
+      |  FROM documents)
+      |SELECT source, lang, count(*) AS n_docs,
+      |       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+      |       floor(avg(n_chars) * 10000 + 0.5) / 10000.0 AS avg_chars,
+      |       count(DISTINCT g) AS n_distinct,
+      |       floor((1.0 - CAST(count(DISTINCT g) AS DOUBLE) / count(*))
+      |             * 10000 + 0.5) / 10000.0 AS dup_frac,
+      |       CAST(GROUPING(source) AS INT) AS g_source,
+      |       CAST(GROUPING(lang) AS INT) AS g_lang
+      |FROM base GROUP BY ROLLUP (source, lang)""".stripMargin
+
   /** Per-document split assignment for an arbitrary (doc_id, group) frame —
     * the reusable core of q135: every member inherits its group
     * representative's deterministic draw. Fed with q69's connected
@@ -219,5 +307,7 @@ object Curation {
     GraftQuery("q132_epoch_shard", epochShard _, Some(epochShardSql)),
     GraftQuery("q133_length_buckets", lengthBuckets _, Some(lengthBucketsSql)),
     GraftQuery("q134_quality_logit", qualityLogit _, Some(qualityLogitSql)),
-    GraftQuery("q135_leakage_split", leakageSplit _, Some(leakageSplitSql)))
+    GraftQuery("q135_leakage_split", leakageSplit _, Some(leakageSplitSql)),
+    GraftQuery("q136_ngram_novelty", ngramNovelty _, Some(ngramNoveltySql)),
+    GraftQuery("q137_data_card", dataCard _, Some(dataCardSql)))
 }

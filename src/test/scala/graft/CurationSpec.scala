@@ -88,6 +88,43 @@ class CurationSpec extends AnyFunSuite {
       "q135 profile disagrees with per-document assignment")
   }
 
+  test("q136: novelty matches a brute-force trigram df recompute") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val shingles = docs.map { case (id, text) =>
+      val t = text.split(" ")
+      id -> t.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty).toMap
+    val df = shingles.values.flatten.groupBy(identity).map { case (k, v) => k -> v.size }
+    val expected = shingles.map { case (id, sh) =>
+      val novel = sh.count(df(_) == 1).toLong
+      (id, sh.size.toLong, novel,
+        math.floor(novel.toDouble / sh.size * 10000 + 0.5) / 10000.0)
+    }.toSet
+    val got = Curation.ngramNovelty(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expected, "distributed novelty diverges from brute force")
+  }
+
+  test("q137: rollup subtotals reconcile with the grand total") {
+    val rows = Curation.dataCard(spark, sf).collect()
+    def level(gs: Int, gl: Int) =
+      rows.filter(r => r.getInt(7) == gs && r.getInt(8) == gl)
+    val grand = level(1, 1)
+    assert(grand.length == 1, "exactly one grand-total row expected")
+    val total = grand.head.getLong(2)
+    assert(level(0, 0).map(_.getLong(2)).sum == total,
+      "leaf rows do not sum to the grand total")
+    assert(level(0, 1).map(_.getLong(2)).sum == total,
+      "per-source subtotals do not sum to the grand total")
+    for (r <- rows) {
+      val dup = r.getDouble(6)
+      assert(dup >= 0.0 && dup < 1.0, s"dup_frac $dup out of range")
+      assert(r.getLong(5) <= r.getLong(2), "n_distinct exceeds n_docs")
+    }
+  }
+
   test("q135 composes with q69 connected components for a near-dup-safe split") {
     // group key = near-dup cluster label: every member of a jaccard cluster
     // must land on the same side of the split

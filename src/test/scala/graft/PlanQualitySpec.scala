@@ -273,6 +273,22 @@ class PlanQualitySpec extends AnyFunSuite {
       s"inference must not join or window:\n$p")
   }
 
+  test("q136: novelty join is the inverted-index equi-join — no pair join, no broadcast corpus") {
+    val p = plan("q136_ngram_novelty")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q136 grew a pair join:\n$p")
+    assert(p.contains("partial_"), s"df aggregation has no map-side combine:\n$p")
+  }
+
+  test("q137: data card is one scan through Expand — no self-join for subtotals") {
+    val p = plan("q137_data_card")
+    assert(p.contains("Expand"), s"rollup did not expand in the aggregation:\n$p")
+    assert(!p.contains("Join"), s"data card must not join:\n$p")
+    // one Location: line per scan node in the formatted detail section
+    assert(p.linesIterator.count(_.trim.startsWith("Location:")) == 1,
+      s"data card scans the corpus more than once:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-to-aggregate pipeline of q02") {
     // AQE finalizes the plan lazily — execute, then inspect the final plan
     val df = SparkEntry.queries("q02_agg_pricing")(spark, sf)
