@@ -301,9 +301,45 @@ object StreamingPipeline {
     s.table(sink)
   }
 
+  /** Streaming twin of q35 under the oracle gate: the exact-dedup profile
+    * recomputed with Structured Streaming primitives and checked against
+    * the SAME DuckDB oracle as the batch query. Streaming aggregations
+    * can't hold `countDistinct`, so the unique count is the
+    * streaming-native shape instead — stateful `dropDuplicates` on
+    * (source, content hash) (exactly the A5 ingest-dedup operator) feeding
+    * a plain count — run as a second AvailableNow pass over the same
+    * files; the two memory sinks join statically at the end. At scale both
+    * passes are one shuffle each (hash-partitioned by source / by dedup
+    * key), and dropDuplicates state is RocksDB-backed per key — the
+    * pattern a continuous ingest pipeline would run with a watermark
+    * bounding state. */
+  def q35StreamDedup(s: SparkSession, d: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    def src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+      .withColumn("h", sha2(col("text"), 256))
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val totals = src.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val uniques = src.dropDuplicates("source", "h")
+      .groupBy("source").agg(count(lit(1)).as("n_unique"))
+    val sinks = Seq("tot" -> totals, "uniq" -> uniques).map { case (tag, df) =>
+      val sink = s"q35b_${tag}_$runId"
+      val q = df.writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+      sink -> q
+    }
+    sinks.foreach(_._2.awaitTermination())
+    val Seq(tot, uniq) = sinks.map(x => s.table(x._1))
+    tot.join(uniq, "source").select("source", "n_docs", "n_unique")
+  }
+
   val queries: Seq[graft.queries.GraftQuery] = Seq(
     graft.queries.GraftQuery("q20b_stream_bucket", q20StreamBucket _,
-      Some(graft.queries.Relational.q20Sql)))
+      Some(graft.queries.Relational.q20Sql)),
+    graft.queries.GraftQuery("q35b_stream_dedup", q35StreamDedup _,
+      Some(graft.llm.Dedup.exactDedupSql)))
 }
 
 /** StatefulProcessor for [[StreamingPipeline.userStatsTws]]: one named
