@@ -493,6 +493,93 @@ object Retrieval {
       |       n_docs, batch_tokens
       |FROM agged""".stripMargin
 
+  // ---------------------------------------------------------------- q138
+  /** Perplexity-tercile corpus bucketing — the CCNet recipe: score every
+    * document with the corpus-trained bigram LM (q107's model, unfiltered),
+    * cut the score distribution at the 33rd/67th percentiles, and label
+    * each document head/middle/tail. Training pipelines then keep the head,
+    * downsample the middle, and drop (or separately mine) the tail.
+    *
+    * Scale shape: unlike q107 (which scores a 50-doc slice and can afford
+    * the per-instance join), scoring EVERY document forces the single-pass
+    * form: the bigram explode runs once below the (bigram, doc_id) partial
+    * aggregation, whose map-side-combined exchange is shared by both
+    * consumers (ReuseExchange — the instance counts and, derived from them,
+    * the corpus model c12/c1). Like the q124 rewrite this scans the span
+    * stream once, but here the partial agg stays BELOW the shared exchange
+    * so raw bigram strings never ride the shuffle. Scoring is then a vocabulary-
+    * sized model join against the REDUCED (bigram, doc_id, n) frame with a
+    * tf-weighted mean — Σ n·logp / Σ n over distinct bigrams, identical to
+    * the per-instance avg because logp is constant within a (doc, bigram)
+    * group — never a re-explode. The percentile aggregation sees one row
+    * per document (two scalar cutpoints to the driver; at 100 TB it becomes
+    * approx_percentile with pinned accuracy — same plan, bounded state) and
+    * the bucket CASE is map-side against broadcast cutpoints. Cutpoints and
+    * scores are floor-spell rounded (see wordEntropy) BEFORE the boundary
+    * compare, so both engines bucket identical doubles. */
+  def pplBuckets(s: SparkSession, d: String): DataFrame = {
+    val bg = Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.WordNgrams.word_ngrams(lower(col("text")), 2).as("bigram"))
+    val perDoc = bg.groupBy("bigram", "doc_id").agg(count(lit(1)).as("n"))
+    val c12 = perDoc.groupBy("bigram").agg(sum("n").as("c12"))
+    val c1 = c12.withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .groupBy("w1").agg(sum("c12").as("c1"))
+    val model = c12.withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .join(c1, "w1")
+      .select(col("bigram"), log(col("c12").cast("double") / col("c1")).as("logp"))
+    // shuffle_hash with model as build side: both frames descend from the
+    // same Generate whose size estimate is tiny, so the static planner
+    // broadcasts whichever side it meets first — it picked the CORPUS-sized
+    // perDoc over the vocabulary-sized model (observed; the jaccardCounting
+    // join / q124 size-lie class). Partitioning both by bigram holds at any
+    // scale and keeps the tiny model as the hash build.
+    val ppl = perDoc
+      .join(model.hint("shuffle_hash"), "bigram")
+      .groupBy("doc_id")
+      .agg((floor(exp(-(sum(col("n") * col("logp")) / sum(col("n"))))
+        * 10000 + 0.5) / 10000.0).as("ppl"))
+    val cuts = ppl.agg(
+      (floor(expr("percentile(ppl, 0.33)") * 10000 + 0.5) / 10000.0).as("c33"),
+      (floor(expr("percentile(ppl, 0.67)") * 10000 + 0.5) / 10000.0).as("c67"))
+    ppl.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("ppl") <= col("c33"), "head")
+          .when(col("ppl") <= col("c67"), "middle")
+          .otherwise("tail"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("ppl").as("min_ppl"), max("ppl").as("max_ppl"))
+      .select("bucket", "n_docs", "min_ppl", "max_ppl")
+  }
+
+  // the toks/bg CTEs mirror q107's tokenizer verbatim (drift guard below);
+  // the model/scoring CTEs are the weighted single-pass form — per-doc
+  // instance counts first, then Σ n·logp / Σ n (see pplBuckets scaladoc)
+  val pplBucketsSql: String =
+    s"""WITH ${mirrored(bigramLmSql, "toks AS (", "FROM toks WHERE len(t) >= 2)")},
+      |pd AS (SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY 1, 2),
+      |c12 AS (SELECT bigram, CAST(sum(n) AS BIGINT) AS c12 FROM pd GROUP BY 1),
+      |c1 AS (SELECT string_split(bigram, ' ')[1] AS w1, CAST(sum(c12) AS BIGINT) AS c1
+      |       FROM c12 GROUP BY 1),
+      |model AS (
+      |  SELECT bigram, ln(CAST(c12.c12 AS DOUBLE) / c1.c1) AS logp
+      |  FROM c12 JOIN c1 ON string_split(c12.bigram, ' ')[1] = c1.w1),
+      |ppl AS (
+      |  SELECT doc_id,
+      |         floor(exp(-(sum(n * logp) / sum(n))) * 10000 + 0.5)
+      |           / 10000.0 AS ppl
+      |  FROM pd JOIN model USING (bigram)
+      |  GROUP BY doc_id),
+      |cuts AS (
+      |  SELECT floor(quantile_cont(ppl, 0.33) * 10000 + 0.5) / 10000.0 AS c33,
+      |         floor(quantile_cont(ppl, 0.67) * 10000 + 0.5) / 10000.0 AS c67
+      |  FROM ppl)
+      |SELECT CASE WHEN ppl <= c33 THEN 'head'
+      |            WHEN ppl <= c67 THEN 'middle' ELSE 'tail' END AS bucket,
+      |       count(*) AS n_docs, min(ppl) AS min_ppl, max(ppl) AS max_ppl
+      |FROM ppl, cuts GROUP BY 1""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q86_tfidf", tfidf, Some(tfidfSql)),
     GraftQuery("q87_bm25", bm25, Some(bm25Sql)),
@@ -502,5 +589,6 @@ object Retrieval {
     GraftQuery("q107_bigram_lm", bigramLm, Some(bigramLmSql)),
     GraftQuery("q112_contamination", contamination, Some(contaminationSql)),
     GraftQuery("q115_token_packing", tokenPacking, Some(tokenPackingSql)),
-    GraftQuery("q122_hybrid_rrf", hybridRrf, Some(hybridRrfSql)))
+    GraftQuery("q122_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
+    GraftQuery("q138_ppl_buckets", pplBuckets, Some(pplBucketsSql)))
 }

@@ -545,6 +545,55 @@ object Similarity {
       .withColumn("n_kept", col("n_members") - col("n_pruned"))
   }
 
+  // ---------------------------------------------------------------- q139
+  /** Batched hard-negative mining — the contrastive-training data prep:
+    * for each query vector (the first `NegQueries` ids, standing in for a
+    * training batch), the top-`NegK` most-similar vectors with a DIFFERENT
+    * label. Highest-cosine wrong-label items are exactly the "hard
+    * negatives" InfoNCE/triplet training wants; same-label rows (including
+    * self) are excluded by the label predicate itself.
+    *
+    * Plan shape: the query batch is broadcast (a training batch is KB-sized
+    * by construction), scoring is one map-side pass over the corpus — the
+    * corpus never shuffles. The per-query top-k runs as a window partitioned
+    * by query_id over rows pre-pruned by a cosine floor: at bench scale the
+    * window input is the filtered corpus, and at 100 TB the candidate set
+    * per query comes from the IVF/LSH probes above (same rank stage, probe
+    * candidates instead of full scan) — the brute scan here is the oracle
+    * shape, deliberately exact. */
+  private val NegQueries = 3
+  private val NegK = 5
+
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d).withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val q = e.filter(col("vec_id") < NegQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("norm").as("qnorm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    e.join(broadcast(q), col("label") =!= col("q_label"))
+      .withColumn("cosine",
+        round(dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= NegK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cosine"))
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, label AS q_label, v AS qv
+      |      FROM e WHERE vec_id < $NegQueries),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id,
+      |         round(list_cosine_similarity(e.v, q.qv), 4) AS cosine
+      |  FROM e JOIN q ON e.label <> q.q_label)
+      |SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cosine
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+      |      FROM scored)
+      |WHERE rank <= $NegK""".stripMargin
+
   /** Pinned sf0.01 golden for q98 (deterministic Lloyd's — see ivfTrain). */
   private val ivfTrainGoldenSql: Option[String] = Some(
     """SELECT * FROM (VALUES
@@ -582,6 +631,7 @@ object Similarity {
     GraftQuery("q130_knn_pq", knnPq _,
       Some(graft.core.Goldens.load("q130_knn_pq"))),
     GraftQuery("q98_ivf_train", ivfTrain _, ivfTrainGoldenSql),
+    GraftQuery("q139_hard_negatives", hardNegatives _, Some(hardNegativesSql)),
     GraftQuery("q125_semdedup", semDedup _,
       Some(graft.core.Goldens.load("q125_semdedup"))))
 }

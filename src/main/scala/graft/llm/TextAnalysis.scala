@@ -238,6 +238,55 @@ object TextAnalysis {
       |  FROM counts CROSS JOIN t)
       |WHERE rank <= 20""".stripMargin
 
+  // ---------------------------------------------------------------- oov rate
+  /** Per-language out-of-vocabulary rate against a frozen top-K vocabulary —
+    * the tokenizer-fairness measurement for a multilingual corpus: train the
+    * vocab on the whole corpus (top `OovVocab` words, the q100 construction),
+    * then report per language what fraction of token OCCURRENCES fall
+    * outside it. Languages with high OOV rates get fragmented into long
+    * byte-fallback sequences by the real tokenizer — this is the number that
+    * decides per-language vocab budget before a 100 TB tokenization run.
+    *
+    * Plan shape: one corpus-wide (lang, word) partial-agg count — the only
+    * corpus-sized shuffle; the global vocab is a second aggregation of that
+    * (vocab×langs)-row frame plus a bounded top-K (TakeOrderedAndProject),
+    * broadcast back as the membership marker. Everything after the first
+    * groupBy is vocabulary-sized. */
+  private val OovVocab = 15
+
+  def oovRate(s: SparkSession, d: String): DataFrame = {
+    val byLang = Tables.documents(s, d)
+      .select(col("lang"), explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("lang", "word").agg(count(lit(1)).as("c"))
+    val top = byLang.groupBy("word").agg(sum("c").as("n"))
+      .orderBy(col("n").desc, col("word")).limit(OovVocab)
+      .select(col("word"), lit(1L).as("in_vocab"))
+    byLang.join(broadcast(top), Seq("word"), "left")
+      .groupBy("lang")
+      .agg(sum("c").as("n_tok"),
+        sum(when(col("in_vocab").isNull, col("c")).otherwise(0L)).as("n_oov"))
+      // floor-spelled rounding — see wordEntropy (Retrieval.scala)
+      .withColumn("oov_frac",
+        floor(col("n_oov").cast("double") / col("n_tok") * 10000 + 0.5) / 10000.0)
+      .select("lang", "n_tok", "n_oov", "oov_frac")
+  }
+
+  val oovRateSql: String =
+    s"""WITH toks AS (
+      |  SELECT lang, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+      |by_lang AS (
+      |  SELECT lang, word, count(*) AS c FROM toks WHERE word <> '' GROUP BY 1, 2),
+      |vocab AS (
+      |  SELECT word FROM (SELECT word, sum(c) AS n FROM by_lang GROUP BY 1)
+      |  ORDER BY n DESC, word LIMIT $OovVocab)
+      |SELECT lang, CAST(sum(c) AS BIGINT) AS n_tok,
+      |       CAST(sum(CASE WHEN v.word IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_oov,
+      |       floor(sum(CASE WHEN v.word IS NULL THEN c ELSE 0 END)::DOUBLE / sum(c)
+      |             * 10000 + 0.5) / 10000.0 AS oov_frac
+      |FROM by_lang b LEFT JOIN vocab v ON b.word = v.word
+      |GROUP BY lang""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q30_text_stats", textStats _, Some(textStatsSql)),
     GraftQuery("q31_token_count", tokenCount _, Some(tokenCountSql)),
@@ -247,5 +296,6 @@ object TextAnalysis {
     GraftQuery("q34b_rolling_fingerprint", rollingFingerprint _,
       Some(graft.core.Goldens.load("q34b_rolling_fingerprint"))),
     GraftQuery("q99_pii_redact", piiRedact _, Some(piiRedactSql)),
-    GraftQuery("q100_vocab", vocab _, Some(vocabSql)))
+    GraftQuery("q100_vocab", vocab _, Some(vocabSql)),
+    GraftQuery("q140_oov_rate", oovRate _, Some(oovRateSql)))
 }

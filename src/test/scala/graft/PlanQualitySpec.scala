@@ -92,13 +92,43 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(joins == 1, s"expected exactly one join (the shingle self-join), got $joins:\n$simple")
   }
 
-  test("q124: span-frequency join shuffles on the hash, never broadcasts the corpus") {
+  test("q124: single span-stream pass — no join, window rides the sk partitioning") {
     val p = plan("q124_dup_spans")
-    assert(!p.contains("CartesianProduct"), s"q124 has a cartesian product:\n$p")
-    assert(!p.contains("BroadcastHashJoin"),
-      s"q124 broadcasts the corpus-sized freq side (Generate's size lie):\n$p")
-    assert(p.contains("ShuffledHashJoin"), s"q124 lost its shuffled hash join:\n$p")
+    assert(!p.contains("Join"), s"q124 reintroduced a join (double span scan):\n$p")
+    // one Generate: the span explode is evaluated once, not per consumer
+    // (count the formatted-plan DETAIL headers "(n) Generate" — tree lines
+    // carry "+-" prefixes, the q137 lesson)
+    val generates = p.linesIterator.count(_.matches("""\(\d+\) Generate\s*"""))
+    assert(generates == 1, s"expected exactly one Generate, got $generates:\n$p")
+    assert(p.contains("Window"), s"q124 lost the per-sk occurrence window:\n$p")
     assert(p.contains("partial_"), s"no partial aggregation before shuffle:\n$p")
+    // the window must NOT add its own exchange: exactly the sk repartition
+    // and the final doc_id aggregation shuffle
+    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange\s*"""))
+    assert(exchanges == 2, s"expected 2 exchanges (sk, doc_id), got $exchanges:\n$p")
+  }
+
+  test("q138: one bigram explode behind reused exchanges; corpus never broadcast") {
+    // Exchange reuse is an AQE *runtime* decision (stage cache keyed on the
+    // canonicalized exchange): the initial plan legitimately shows the
+    // bigram subtree once per consumer, and only the final executed plan
+    // proves the dedup. Execute, then assert on the final-plan section.
+    val df = SparkEntry.queries("q138_ppl_buckets")(spark, sf)
+    df.collect()
+    val whole = df.queryExecution.executedPlan.toString
+    val cut = whole.indexOf("== Initial Plan ==")
+    val p = if (cut >= 0) whole.substring(0, cut) else whole
+    val generates = p.linesIterator.count(_.contains("Generate wordngrams"))
+    assert(generates == 1,
+      s"expected exactly one Generate in the final plan (all other consumers " +
+        s"must hit ReusedExchange), got $generates:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"q138 lost exchange reuse — the bigram stream is scanned per consumer:\n$p")
+    // the model join must not broadcast the corpus-derived perDoc side
+    // (Generate's size lie picks it statically); shuffle_hash pins the
+    // vocabulary-sized model as the build side
+    assert(p.contains("ShuffledHashJoin"),
+      s"q138 model join lost its shuffled hash shape:\n$p")
   }
 
   test("q56: LSH candidate generation is a broadcast equi-join + TakeOrdered top-k") {
