@@ -290,6 +290,67 @@ object Curation {
       |       CAST(GROUPING(lang) AS INT) AS g_lang
       |FROM base GROUP BY ROLLUP (source, lang)""".stripMargin
 
+  // ---------------------------------------------------------------- q142
+  /** Span-corruption statistics (the T5 denoising-objective prep): mask
+    * ~15% of each document's token positions with a deterministic per-
+    * position draw, count the contiguous masked runs (each run becomes one
+    * sentinel), and report the resulting encoder/decoder sequence lengths —
+    * input = kept tokens + one sentinel per span, target = masked tokens +
+    * one sentinel per span + EOS. These lengths are what sizes the packing
+    * (q115/q144) of a denoising pretraining mix.
+    *
+    * Determinism contract (q126/q131 class): the mask is a pure function of
+    * (doc_id, position) — first 4 md5 hex chars compared against "2666"
+    * (0x2666/0x10000 = 14.99%) — so both engines mask identical positions
+    * with no RNG, no partition-order dependence. A run boundary needs
+    * mask(p-1), which is RECOMPUTED from the hash rather than carried by a
+    * lag() window: two md5 calls per position buys a fully map-side plan —
+    * positions explode from sequence(), flags are per-row expressions, and
+    * the only shuffle is the final per-doc partial-agg sum. No window, no
+    * join, no sort at any scale. */
+  private val MaskHex = "2666"
+
+  def spanCorruption(s: SparkSession, d: String): DataFrame = {
+    def masked(p: org.apache.spark.sql.Column) =
+      substring(md5(concat_ws("|", lit("sc"), col("doc_id"), p)), 1, 4) < MaskHex
+    Tables.documents(s, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(0), col("n_tokens") - 1)).as("p"))
+      .withColumn("m", masked(col("p")))
+      .withColumn("st", col("m") && (col("p") === 0 || !masked(col("p") - 1)))
+      .groupBy("doc_id")
+      .agg(max("n_tokens").as("n_tokens"),
+        sum(when(col("m"), 1L).otherwise(0L)).as("n_masked"),
+        sum(when(col("st"), 1L).otherwise(0L)).as("n_spans"))
+      .select(col("doc_id"), col("n_tokens"), col("n_masked"), col("n_spans"),
+        (col("n_tokens") - col("n_masked") + col("n_spans")).as("input_len"),
+        (col("n_masked") + col("n_spans") + 1).as("target_len"))
+  }
+
+  val spanCorruptionSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, n_tokens, unnest(range(0, n_tokens)) AS p FROM toks),
+      |flags AS (
+      |  SELECT doc_id, n_tokens,
+      |         substring(md5('sc|' || doc_id || '|' || p), 1, 4) < '$MaskHex' AS m,
+      |         (substring(md5('sc|' || doc_id || '|' || p), 1, 4) < '$MaskHex'
+      |          AND (p = 0 OR NOT
+      |            substring(md5('sc|' || doc_id || '|' || (p - 1)), 1, 4) < '$MaskHex'))
+      |           AS st
+      |  FROM pos)
+      |SELECT doc_id, max(n_tokens) AS n_tokens,
+      |       CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+      |       CAST(sum(CASE WHEN st THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+      |       max(n_tokens) - CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT)
+      |         + CAST(sum(CASE WHEN st THEN 1 ELSE 0 END) AS BIGINT) AS input_len,
+      |       CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT)
+      |         + CAST(sum(CASE WHEN st THEN 1 ELSE 0 END) AS BIGINT) + 1 AS target_len
+      |FROM flags GROUP BY doc_id""".stripMargin
+
   /** Per-document split assignment for an arbitrary (doc_id, group) frame —
     * the reusable core of q135: every member inherits its group
     * representative's deterministic draw. Fed with q69's connected
@@ -309,5 +370,6 @@ object Curation {
     GraftQuery("q134_quality_logit", qualityLogit _, Some(qualityLogitSql)),
     GraftQuery("q135_leakage_split", leakageSplit _, Some(leakageSplitSql)),
     GraftQuery("q136_ngram_novelty", ngramNovelty _, Some(ngramNoveltySql)),
-    GraftQuery("q137_data_card", dataCard _, Some(dataCardSql)))
+    GraftQuery("q137_data_card", dataCard _, Some(dataCardSql)),
+    GraftQuery("q142_span_corruption", spanCorruption _, Some(spanCorruptionSql)))
 }

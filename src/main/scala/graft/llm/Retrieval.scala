@@ -441,13 +441,19 @@ object Retrieval {
     * stableRowIds: doc_id is the total order (unique per row). The dense
     * renumber of the (much smaller) one-row-per-batch frame reuses
     * stableRowIds itself. */
-  def tokenPacking(s: SparkSession, d: String): DataFrame = {
+  /** Shared two-pass shard-prefix batch assignment: (doc_id, n_tok,
+    * batch_raw, payload). `payload` rides the range shuffle untouched —
+    * lit("") for the stats-only q115 (zero-width), the document text for
+    * the q144 assembly. */
+  private def packAssignments(s: SparkSession, d: String,
+      payload: org.apache.spark.sql.Column): DataFrame = {
     import s.implicits._
     val shards = s.sparkContext.defaultParallelism
     val sorted = Tables.documents(s, d)
       .select(col("doc_id").cast("long").as("_1"),
-        size(split(col("text"), " ")).cast("long").as("_2"))
-      .as[(Long, Long)]
+        size(split(col("text"), " ")).cast("long").as("_2"),
+        payload.cast("string").as("_3"))
+      .as[(Long, Long, String)]
       .repartitionByRange(shards, col("_1"))
       .sortWithinPartitions("_1")
     val rdd = sorted.rdd // referenced by both jobs -> shuffle files reused
@@ -461,11 +467,15 @@ object Retrieval {
     // pass 2: map-side running prefix seeded with the shard offset;
     // batch = exclusive-prefix / 512, computed in exact Long arithmetic
     val bc = s.sparkContext.broadcast(offs)
-    val raw = rdd.mapPartitionsWithIndex { (pid, it) =>
+    rdd.mapPartitionsWithIndex { (pid, it) =>
       var running = bc.value(pid)
-      it.map { case (id, n) => val p = running; running += n; (id, n, p / 512) }
-    }
-    val grouped = raw.toDF("doc_id", "n_tok", "batch_raw")
+      it.map { case (id, n, pl) => val p = running; running += n; (id, n, p / 512, pl) }
+    }.toDF("doc_id", "n_tok", "batch_raw", "payload")
+  }
+
+  def tokenPacking(s: SparkSession, d: String): DataFrame = {
+    val shards = s.sparkContext.defaultParallelism
+    val grouped = packAssignments(s, d, lit(""))
       .groupBy("batch_raw")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("batch_tokens"))
     // raw ⌊prefix/512⌋ ids skip numbers when one document spans multiple
@@ -491,6 +501,55 @@ object Retrieval {
       |  FROM packed GROUP BY batch_id)
       |SELECT CAST(row_number() OVER (ORDER BY batch_id) - 1 AS BIGINT) AS batch_id,
       |       n_docs, batch_tokens
+      |FROM agged""".stripMargin
+
+  // ---------------------------------------------------------------- q144
+  /** Packed-example assembly — q115's batch assignment materialized into
+    * actual training examples: the documents of each batch concatenated in
+    * doc_id order with an ` <eos> ` separator. Emits the packed length and
+    * its md5 (not the megabyte string itself) so the oracle hash-checks the
+    * exact assembled bytes while the compare surface stays row-sized.
+    *
+    * Scale shape: the text payload rides the SAME two shuffles the
+    * assignment needs anyway (the doc_id range partition, then the
+    * batch_raw groupBy) — no extra join to glue text back on. Within-batch
+    * order comes from array_sort(collect_list(struct(doc_id, text))): a
+    * batch is ≤ budget tokens + one overflow document by construction, so
+    * the per-group sort is bounded by the packing budget, never by the
+    * corpus. At 100 TB the packed column streams straight to the epoch
+    * shard writer (q132) — the md5 column here exists for the oracle. */
+  def packAssembly(s: SparkSession, d: String): DataFrame = {
+    val shards = s.sparkContext.defaultParallelism
+    val grouped = packAssignments(s, d, col("text"))
+      .groupBy("batch_raw")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("batch_tokens"),
+        concat_ws(" <eos> ",
+          transform(array_sort(collect_list(struct(col("doc_id"), col("payload")))),
+            x => x.getField("payload"))).as("packed"))
+    graft.operators.Layout.stableRowIds(grouped, shards, "batch_raw")
+      .select(col("row_id").as("batch_id"), col("n_docs"), col("batch_tokens"),
+        length(col("packed")).cast("long").as("packed_len"),
+        md5(col("packed")).as("packed_md5"))
+  }
+
+  val packAssemblySql: String =
+    """WITH counts AS (
+      |  SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |packed AS (
+      |  SELECT doc_id, text, n_tok,
+      |         CAST(floor((sum(n_tok) OVER (ORDER BY doc_id
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |                     - n_tok) / 512) AS BIGINT) AS batch_id
+      |  FROM counts),
+      |agged AS (
+      |  SELECT batch_id, count(*) AS n_docs,
+      |         CAST(sum(n_tok) AS BIGINT) AS batch_tokens,
+      |         string_agg(text, ' <eos> ' ORDER BY doc_id) AS packed
+      |  FROM packed GROUP BY batch_id)
+      |SELECT CAST(row_number() OVER (ORDER BY batch_id) - 1 AS BIGINT) AS batch_id,
+      |       n_docs, batch_tokens, CAST(len(packed) AS BIGINT) AS packed_len,
+      |       md5(packed) AS packed_md5
       |FROM agged""".stripMargin
 
   // ---------------------------------------------------------------- q138
@@ -590,5 +649,6 @@ object Retrieval {
     GraftQuery("q112_contamination", contamination, Some(contaminationSql)),
     GraftQuery("q115_token_packing", tokenPacking, Some(tokenPackingSql)),
     GraftQuery("q122_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
-    GraftQuery("q138_ppl_buckets", pplBuckets, Some(pplBucketsSql)))
+    GraftQuery("q138_ppl_buckets", pplBuckets, Some(pplBucketsSql)),
+    GraftQuery("q144_pack_assembly", packAssembly, Some(packAssemblySql)))
 }

@@ -594,6 +594,110 @@ object Similarity {
       |      FROM scored)
       |WHERE rank <= $NegK""".stripMargin
 
+  // ---------------------------------------------------------------- q141
+  /** Embedding-level eval-set decontamination — the semantic complement of
+    * q112's n-gram overlap check: flag corpus vectors whose max cosine
+    * against the (bounded) eval/benchmark embedding set clears a threshold.
+    * Paraphrased eval leakage survives n-gram decontamination; it does not
+    * survive this.
+    *
+    * Plan shape: the eval set is broadcast (benchmarks are KB–MB sized by
+    * construction), scoring is one map-side pass over the corpus, and the
+    * per-vector argmax is a partial max(struct(cosine, -eval_id)) that
+    * collapses each vector's |eval| scored rows to one BEFORE the exchange
+    * (every scored row for a vector lives in the partition that scanned
+    * it), so the only shuffle is one tiny pre-reduced aggregate. The
+    * corpus itself never shuffles, never sorts — the shape that holds at
+    * 100 TB. struct-max ties break toward the LOWER eval_id (the negated
+    * second field), mirroring the oracle's ORDER BY cosine DESC, eval_id. */
+  private val EvalVecs = 10
+  private val DecontamThreshold = 0.30
+
+  def semanticDecontam(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d).withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val q = e.filter(col("vec_id") < EvalVecs)
+      .select(col("vec_id").as("eval_id"), col("v").as("qv"),
+        col("norm").as("qnorm"))
+    e.filter(col("vec_id") >= EvalVecs)
+      .crossJoin(broadcast(q))
+      .withColumn("cosine",
+        round(dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 4))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cosine"), (-col("eval_id")).as("neg_eval"))).as("m"))
+      .select(col("vec_id"), (-col("m.neg_eval")).as("eval_id"),
+        col("m.cosine").as("max_cos"))
+      .filter(col("max_cos") >= DecontamThreshold)
+  }
+
+  val semanticDecontamSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |q AS (SELECT vec_id AS eval_id, v AS qv FROM e WHERE vec_id < $EvalVecs),
+      |scored AS (
+      |  SELECT e.vec_id, q.eval_id,
+      |         round(list_cosine_similarity(e.v, q.qv), 4) AS cosine
+      |  FROM e CROSS JOIN q WHERE e.vec_id >= $EvalVecs)
+      |SELECT vec_id, eval_id, cosine AS max_cos
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY vec_id ORDER BY cosine DESC, eval_id ASC) AS rn
+      |      FROM scored)
+      |WHERE rn = 1 AND cosine >= $DecontamThreshold""".stripMargin
+
+  // ---------------------------------------------------------------- q143
+  /** Margin-based bitext mining (the LASER/CCMatrix recipe, mutual-top-1
+    * form): treat two label groups as two languages' embedding spaces and
+    * emit pairs that are each other's nearest neighbor, with the
+    * top1-vs-top2 margin that separates true translations from hubs.
+    *
+    * Plan shape: score the X×Y block once (Y broadcast — at 100 TB the
+    * block comes from ANN probes, same as q139's note), then BOTH
+    * directions' ranks come from two windows over the SAME scored frame —
+    * partitioned by x_id and by y_id respectively, never unpartitioned. A
+    * row that holds rank 1 in both windows IS a mutual pair — no
+    * top1⋈top1 self-join, no second scoring pass. The margin uses the
+    * lead() of the x-window (x's runner-up cosine) with the floor-spelled
+    * rounding (see wordEntropy) on the difference of already-rounded
+    * doubles. */
+  private val LangA = 0
+  private val LangB = 9
+
+  def bitextMine(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d).withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val x = e.filter(col("label") === LangA)
+      .select(col("vec_id").as("x_id"), col("v").as("xv"), col("norm").as("xn"))
+    val y = e.filter(col("label") === LangB)
+      .select(col("vec_id").as("y_id"), col("v").as("yv"), col("norm").as("yn"))
+    val wx = Window.partitionBy("x_id").orderBy(col("cosine").desc, col("y_id").asc)
+    val wy = Window.partitionBy("y_id").orderBy(col("cosine").desc, col("x_id").asc)
+    x.crossJoin(broadcast(y))
+      .withColumn("cosine",
+        round(dot(col("xv"), col("yv")) / (col("xn") * col("yn")), 4))
+      .withColumn("rx", row_number().over(wx))
+      .withColumn("cos2", lead(col("cosine"), 1).over(wx))
+      .withColumn("ry", row_number().over(wy))
+      .filter(col("rx") === 1 && col("ry") === 1)
+      .withColumn("margin",
+        floor((col("cosine") - coalesce(col("cos2"), lit(0.0))) * 10000 + 0.5)
+          / 10000.0)
+      .select("x_id", "y_id", "cosine", "margin")
+  }
+
+  val bitextMineSql: String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |x AS (SELECT vec_id AS x_id, v AS xv FROM e WHERE label = $LangA),
+      |y AS (SELECT vec_id AS y_id, v AS yv FROM e WHERE label = $LangB),
+      |scored AS (
+      |  SELECT x_id, y_id, round(list_cosine_similarity(xv, yv), 4) AS cosine
+      |  FROM x CROSS JOIN y),
+      |ranked AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY x_id ORDER BY cosine DESC, y_id) AS rx,
+      |    lead(cosine) OVER (PARTITION BY x_id ORDER BY cosine DESC, y_id) AS cos2,
+      |    row_number() OVER (PARTITION BY y_id ORDER BY cosine DESC, x_id) AS ry
+      |  FROM scored)
+      |SELECT x_id, y_id, cosine,
+      |       floor((cosine - coalesce(cos2, 0.0)) * 10000 + 0.5) / 10000.0 AS margin
+      |FROM ranked WHERE rx = 1 AND ry = 1""".stripMargin
+
   /** Pinned sf0.01 golden for q98 (deterministic Lloyd's — see ivfTrain). */
   private val ivfTrainGoldenSql: Option[String] = Some(
     """SELECT * FROM (VALUES
@@ -632,6 +736,8 @@ object Similarity {
       Some(graft.core.Goldens.load("q130_knn_pq"))),
     GraftQuery("q98_ivf_train", ivfTrain _, ivfTrainGoldenSql),
     GraftQuery("q139_hard_negatives", hardNegatives _, Some(hardNegativesSql)),
+    GraftQuery("q141_semantic_decontam", semanticDecontam _, Some(semanticDecontamSql)),
+    GraftQuery("q143_bitext_mine", bitextMine _, Some(bitextMineSql)),
     GraftQuery("q125_semdedup", semDedup _,
       Some(graft.core.Goldens.load("q125_semdedup"))))
 }

@@ -134,4 +134,29 @@ class CurationSpec extends AnyFunSuite {
       .agg(countDistinct("split").as("k")).filter(col("k") > 1)
     assert(straddling.isEmpty, "a near-dup cluster straddles the split")
   }
+
+  test("q142: span-corruption stats match a plain-Scala replay of the mask") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def masked(id: Long, p: Int): Boolean = {
+      val h = md.digest(s"sc|$id|$p".getBytes("UTF-8"))
+        .take(2).map(b => f"$b%02x").mkString
+      h < "2666"
+    }
+    val expected = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect().map { r =>
+        val id = r.getLong(0)
+        val n = r.getString(1).split(" ", -1).length
+        val flags = (0 until n).map(masked(id, _))
+        val nMasked = flags.count(identity)
+        val nSpans = flags.zipWithIndex.count { case (m, i) =>
+          m && (i == 0 || !flags(i - 1))
+        }
+        (id, n, nMasked.toLong, nSpans.toLong,
+          (n - nMasked + nSpans).toLong, (nMasked + nSpans + 1).toLong)
+      }.toSet
+    val got = Curation.spanCorruption(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == expected, "span-corruption stats diverge from the replay")
+  }
 }

@@ -402,4 +402,60 @@ class LlmSpec extends AnyFunSuite {
       assert(f.n_frames == bytes.length / 100 + 1)
     }
   }
+
+  private def loadVecs(): Array[(Long, Int, Array[Double])] =
+    graft.core.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+
+  private def cos4(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    // Spark round(,4) semantics: BigDecimal HALF_UP on the double value
+    BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("q141 semantic decontamination matches the brute-force eval argmax") {
+    val vecs = loadVecs()
+    val eval = vecs.filter(_._1 < 10)
+    val expected = vecs.filter(_._1 >= 10).flatMap { case (id, _, v) =>
+      // argmax with the query's tiebreak: cosine desc, eval_id asc
+      val best = eval.map { case (eid, _, qv) => (cos4(v, qv), eid) }
+        .maxBy { case (c, eid) => (c, -eid) }
+      if (best._1 >= 0.30) Some((id, best._2, best._1)) else None
+    }.toSet
+    val got = Similarity.semanticDecontam(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected,
+      s"decontam flags diverge:\n  got=$got\n  expected=$expected")
+  }
+
+  test("q143 bitext mining returns exactly the mutual-top-1 pairs with margins") {
+    val vecs = loadVecs()
+    val xs = vecs.filter(_._2 == 0)
+    val ys = vecs.filter(_._2 == 9)
+    assert(xs.nonEmpty && ys.nonEmpty, "test corpus lost its label groups")
+    def top(other: Array[(Long, Int, Array[Double])],
+            v: Array[Double]): List[(Double, Long)] =
+      other.map { case (oid, _, ov) => (cos4(v, ov), oid) }
+        .sortBy { case (c, oid) => (-c, oid) }.toList
+    val expected = xs.flatMap { case (xid, _, xv) =>
+      val rankedY = top(ys, xv)
+      val (c1, y1) = rankedY.head
+      val c2 = rankedY.drop(1).headOption.map(_._1).getOrElse(0.0)
+      val yTop = ys.find(_._1 == y1).get
+      val rankedX = top(xs, yTop._3)
+      if (rankedX.head._2 == xid)
+        Some((xid, y1, c1, math.floor((c1 - c2) * 10000 + 0.5) / 10000.0))
+      else None
+    }.toSet
+    val got = Similarity.bitextMine(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(got == expected,
+      s"mutual pairs diverge:\n  got=$got\n  expected=$expected")
+  }
 }

@@ -231,6 +231,42 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to a global sort:\n$p")
   }
 
+  test("q141: eval set broadcast, corpus argmax pre-reduced before the exchange") {
+    val p = plan("q141_semantic_decontam")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"q141 lost the broadcast cross against the bounded eval set:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"q141 shuffles or cartesians the corpus:\n$p")
+    assert(!p.contains("Window"), s"q141 grew a window — argmax must be a partial max:\n$p")
+    assert(p.contains("partial_max"),
+      s"per-vector argmax is not map-side-reduced before the exchange:\n$p")
+  }
+
+  test("q142: span corruption is map-side — no join, no window, one exchange") {
+    val p = plan("q142_span_corruption")
+    assert(!p.contains("Join"), s"q142 grew a join — mask(p-1) must be recomputed:\n$p")
+    assert(!p.contains("Window"), s"q142 grew a window — the mask is hash-derived:\n$p")
+    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange\s*"""))
+    assert(exchanges == 1, s"expected exactly 1 exchange (the doc_id agg), got $exchanges:\n$p")
+  }
+
+  test("q143: both rank directions are partitioned windows over one scored block") {
+    val p = plan("q143_bitext_mine")
+    assert(p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q143 scoring block is not a broadcast cross:\n$p")
+    assert("windowspecdefinition\\(x_id#\\d+".r.findFirstIn(p).isDefined,
+      s"x-direction window is not partitioned by x_id:\n$p")
+    assert("windowspecdefinition\\(y_id#\\d+".r.findFirstIn(p).isDefined,
+      s"y-direction window is not partitioned by y_id:\n$p")
+  }
+
+  test("q144: packed assembly is window-free like q115 (shared prefix assignment)") {
+    val p = plan("q144_pack_assembly")
+    assert(!p.contains("Window"), s"pack assembly regressed to a window:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"q144 glued text back with a join — payload must ride the prefix shuffle:\n$p")
+  }
+
   test("q115: token packing is window-free (two-pass shard prefix sum)") {
     // the naive cumsum spelling is an UNPARTITIONED window — a single-task
     // funnel over every document; the shipped plan must contain no
