@@ -34,7 +34,9 @@ object Relational4 {
               col("n_events"), col("session_start"), col("session_end"))
   }
 
-  private val q51Sql =
+  // private[graft]: the streaming twin (q51b, StreamingPipeline) registers
+  // under the same oracle, pinning batch/stream sessionization parity.
+  private[graft] val q51Sql =
     """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
       |flagged AS (
       |  SELECT user_id, event_id, ts,

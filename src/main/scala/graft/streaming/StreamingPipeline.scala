@@ -335,11 +335,66 @@ object StreamingPipeline {
     tot.join(uniq, "source").select("source", "n_docs", "n_unique")
   }
 
+  /** Session-window core shared by q51b and its boundary spec: the input
+    * must carry `user_id`, a µs-floored `ts` (for the output bounds) and a
+    * second-floored `ts_sec` (for the window algebra).
+    *
+    * Gap calibration: batch q51 breaks a session when the *floor-second*
+    * diff is > 300 (`unix_timestamp` truncates). `session_window` merges
+    * INCLUSIVELY on interval touch — next.start <= cur.start + gap
+    * (verified empirically by the StreamingSpec boundary case: gap 301
+    * wrongly merged a 301 s diff) — so on second-floored inputs a 300 s gap
+    * makes merge ⇔ floored diff <= 300: bit-identical session composition
+    * to the batch lag/running-sum formulation. */
+  def sessionWindowCore(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts_sec"), "300 seconds"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts")).as("session_start"),
+           max(col("ts")).as("session_end"))
+      .select(col("user_id"), col("n_events"),
+              col("session_start"), col("session_end"))
+
+  /** q51b — the q51 batch sessionization run THROUGH Structured Streaming
+    * on the same events table, under the SAME DuckDB oracle. AvailableNow
+    * micro-batches → `session_window` merge-on-overlap state → complete-mode
+    * memory sink. The only post-drain static step is the oracle's 1-based
+    * per-user session numbering, which no streaming operator can emit until
+    * every session is closed (it's a per-user rank over finished sessions —
+    * assigned here with one narrow window over the tiny session table).
+    * This puts the third streaming state shape (merging session state, after
+    * q20b's window aggregate and q35b's dropDuplicates ledger) under the
+    * driver's hash gate. */
+  def q51StreamSessionize(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val sessions = sessionWindowCore(
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .select(col("user_id"),
+                timestamp_micros(expr("ts div 1000")).as("ts"),
+                timestamp_seconds(expr("ts div 1000000000")).as("ts_sec")))
+    val sink = s"q51b_mem_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = sessions.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("session_start")
+    s.table(sink)
+      .withColumn("session_id", row_number().over(byUser).cast("long"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+              col("session_start"), col("session_end"))
+  }
+
   val queries: Seq[graft.queries.GraftQuery] = Seq(
     graft.queries.GraftQuery("q20b_stream_bucket", q20StreamBucket _,
       Some(graft.queries.Relational.q20Sql)),
     graft.queries.GraftQuery("q35b_stream_dedup", q35StreamDedup _,
-      Some(graft.llm.Dedup.exactDedupSql)))
+      Some(graft.llm.Dedup.exactDedupSql)),
+    graft.queries.GraftQuery("q51b_stream_sessionize", q51StreamSessionize _,
+      Some(graft.queries.Relational4.q51Sql)))
 }
 
 /** StatefulProcessor for [[StreamingPipeline.userStatsTws]]: one named

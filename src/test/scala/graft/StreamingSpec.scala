@@ -361,6 +361,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q51b session_window matches batch sessionization at the gap boundary") {
+    import spark.implicits._
+    // Crafted ns-long timestamps on BOTH sides of the truncation boundary:
+    // batch q51 compares floor-second diffs (> 300 breaks), so raw diffs of
+    // 300.9 s and 300.4 s must MERGE (floored 300) while 301.0 must split.
+    // Long arithmetic throughout — double seconds lose ~128 ns at 1.7e18.
+    val base = 1704067200L // 2024-01-01 00:00:00 UTC
+    def ns(sec: Long, ms: Long = 0L): Long = (base + sec) * 1000000000L + ms * 1000000L
+    val rows = Seq(
+      (1L, 1L, ns(0)), (1L, 2L, ns(300)),        // diff 300 → same session
+      (1L, 3L, ns(601)),                         // diff 301 → new session
+      (1L, 4L, ns(901, 900)),                    // raw 300.9, floored 300 → merge
+      (2L, 5L, ns(10, 100)), (2L, 6L, ns(310, 500))) // raw 300.4, floored 300 → merge
+    // testdata ships events.parquet as a single FILE (the stream's
+    // pathGlobFilter matches leaf names) — mirror that shape here
+    val dir = java.nio.file.Files.createTempDirectory("q51b").toString
+    rows.toDF("user_id", "event_id", "ts").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/staging")
+    val part = new java.io.File(s"$dir/staging").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val batch = SparkEntry.queries("q51_sessionize")(spark, dir)
+      .orderBy("user_id", "session_id").collect().map(_.toSeq).toSeq
+    val stream = SparkEntry.queries("q51b_stream_sessionize")(spark, dir)
+      .orderBy("user_id", "session_id").collect().map(_.toSeq).toSeq
+    assert(stream == batch, s"stream/batch session divergence:\n$stream\nvs\n$batch")
+    // and the crafted composition is the intended one: (2,2) for u1, (2) for u2
+    assert(batch.map(r => (r(0), r(2))) == Seq((1L, 2L), (1L, 2L), (2L, 2L)))
+  }
+
   test("streaming lake write equals the batch pipeline on the same corpus") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
     StreamingPipeline.run(spark, Pipeline.MessagesDir,
