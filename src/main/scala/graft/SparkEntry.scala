@@ -90,6 +90,7 @@ object SparkEntry {
     graft.llm.Embeddings.queries ++
     graft.llm.Multimodal.queries ++
     graft.llm.Curation.queries ++
+    graft.llm.Tokenizer.queries ++
     graft.operators.AsOf.queries ++
     graft.streaming.StreamingPipeline.queries
 
