@@ -364,6 +364,60 @@ object Curation {
     members.join(reps, groupCol).select(col(idCol), col(groupCol), col("split"))
   }
 
+  // ---------------------------------------------------------------- q147
+  /** Per-source corpus drift: KL(source ‖ corpus) over the word
+    * distribution — the monitoring metric a pipeline watches to catch a
+    * source whose content shifted between crawls (and the mixture-weighting
+    * input next to the q137 data card). Everything folds out of ONE
+    * (source, word, count) aggregation of the corpus: the corpus-wide
+    * distribution is re-aggregated from that relation (never a second text
+    * scan), and both side tables — per-word corpus counts and per-source
+    * totals — are broadcast back onto it, so the only corpus-sized shuffle
+    * is the initial partial-aggregated (source, word) groupBy. Every word
+    * in a source occurs in the corpus by construction, so q > 0 and the KL
+    * terms are total. Rounding uses the q89 floor-spelling contract. */
+  def corpusDrift(s: SparkSession, d: String): DataFrame = {
+    // the explicit isNotNull matches what join-key inference pushes into
+    // the probe branch's scan — without it the corpus/grand branches get a
+    // DIFFERENT canonical scan subtree and AQE exchange reuse breaks (the
+    // corpus would be tokenized twice; PlanQualitySpec gates one scan)
+    val sw = Tables.documents(s, d)
+      .filter(col("source").isNotNull)
+      .select(col("source"),
+        explode(filter(split(lower(col("text")), " "), w => length(w) > 0)).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("c"))
+    val corpus = sw.groupBy("word").agg(sum("c").as("cw"))
+    val totals = sw.groupBy("source").agg(sum("c").as("n_src"))
+    val grand = corpus.agg(sum("cw").as("n_all"))
+    sw.join(broadcast(corpus), "word")
+      .join(broadcast(totals), "source")
+      .crossJoin(broadcast(grand))
+      .groupBy("source")
+      .agg(max("n_src").as("n_tokens"),
+           count(lit(1)).as("n_unique_words"),
+           (floor(sum((col("c") / col("n_src"))
+               * log((col("c") / col("n_src")) / (col("cw") / col("n_all"))))
+             * 10000 + 0.5) / 10000.0).as("kl"))
+      .select("source", "n_tokens", "n_unique_words", "kl")
+  }
+
+  private val corpusDriftSql =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(lower(text), ' ')) AS word FROM documents
+      |), sw AS (
+      |  SELECT source, word, count(*) AS c FROM toks WHERE word <> '' GROUP BY 1, 2
+      |), corpus AS (SELECT word, sum(c) AS cw FROM sw GROUP BY 1),
+      |tot AS (SELECT source, sum(c) AS n_src FROM sw GROUP BY 1),
+      |grand AS (SELECT sum(cw) AS n_all FROM corpus)
+      |SELECT sw.source, CAST(max(tot.n_src) AS BIGINT) AS n_tokens,
+      |       CAST(count(*) AS BIGINT) AS n_unique_words,
+      |       floor(sum((sw.c / tot.n_src)
+      |                 * ln((sw.c / tot.n_src) / (corpus.cw / grand.n_all)))
+      |             * 10000 + 0.5) / 10000.0 AS kl
+      |FROM sw
+      |JOIN corpus USING (word) JOIN tot USING (source) CROSS JOIN grand
+      |GROUP BY sw.source""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q132_epoch_shard", epochShard _, Some(epochShardSql)),
     GraftQuery("q133_length_buckets", lengthBuckets _, Some(lengthBucketsSql)),
@@ -371,5 +425,6 @@ object Curation {
     GraftQuery("q135_leakage_split", leakageSplit _, Some(leakageSplitSql)),
     GraftQuery("q136_ngram_novelty", ngramNovelty _, Some(ngramNoveltySql)),
     GraftQuery("q137_data_card", dataCard _, Some(dataCardSql)),
-    GraftQuery("q142_span_corruption", spanCorruption _, Some(spanCorruptionSql)))
+    GraftQuery("q142_span_corruption", spanCorruption _, Some(spanCorruptionSql)),
+    GraftQuery("q147_corpus_drift", corpusDrift _, Some(corpusDriftSql)))
 }

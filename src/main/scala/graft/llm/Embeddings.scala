@@ -139,8 +139,54 @@ object Embeddings {
     rows.toSeq.toDF("component", "eigenvalue", "cum_ratio")
   }
 
+  // ---------------------------------------------------------------- q148
+  /** Per-label embedding drift: cosine of each label's centroid against
+    * the corpus centroid — the embedding-space twin of q147's word-level
+    * KL (a label whose centroid swings away from the corpus signals a
+    * shifted source or a bad embedding batch). Centroids are element-wise
+    * means built from ONE posexplode pass partially aggregated on
+    * (label, pos) — the per-(label,pos) relation is |labels|·dim rows, so
+    * the corpus-sized shuffle happens exactly once and everything after is
+    * broadcast-sized. The global centroid is re-aggregated from the same
+    * relation (no second scan of the vectors). Rounding uses the q89
+    * floor-spelling contract. */
+  def embeddingDrift(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val byLabel = ev.groupBy("label", "pos")
+      .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+      .withColumn("m", col("sv") / col("n"))
+    val global = byLabel.groupBy("pos")
+      .agg((sum("sv") / sum("n")).as("g"))
+    byLabel.join(broadcast(global), "pos")
+      .groupBy("label")
+      .agg(max("n").as("n_vecs"),
+           (floor(sum(col("m") * col("g"))
+               / (sqrt(sum(col("m") * col("m"))) * sqrt(sum(col("g") * col("g"))))
+             * 10000 + 0.5) / 10000.0).as("cosine_to_corpus"))
+      .select("label", "n_vecs", "cosine_to_corpus")
+  }
+
+  private val embeddingDriftSql =
+    """WITH ev AS (
+      |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+      |         generate_subscripts(embedding, 1) AS pos
+      |  FROM embeddings
+      |), bl AS (
+      |  SELECT label, pos, sum(v) AS sv, count(*) AS n FROM ev GROUP BY 1, 2
+      |), blm AS (SELECT label, pos, sv / n AS m, n FROM bl),
+      |g AS (SELECT pos, sum(sv) / sum(n) AS g FROM bl GROUP BY 1)
+      |SELECT blm.label, CAST(max(blm.n) AS BIGINT) AS n_vecs,
+      |       floor(sum(m * g.g)
+      |             / (sqrt(sum(m * m)) * sqrt(sum(g.g * g.g)))
+      |             * 10000 + 0.5) / 10000.0 AS cosine_to_corpus
+      |FROM blm JOIN g USING (pos)
+      |GROUP BY blm.label""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
-    GraftQuery("q117_pca_variance", pcaVariance _, pcaVarianceGolden))
+    GraftQuery("q117_pca_variance", pcaVariance _, pcaVarianceGolden),
+    GraftQuery("q148_embedding_drift", embeddingDrift _, Some(embeddingDriftSql)))
 
   /** Pinned sf0.01 golden (see pcaVariance determinism note; identical
     * output measured at 4/8/32-thread layouts). */

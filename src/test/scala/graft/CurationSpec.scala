@@ -159,4 +159,27 @@ class CurationSpec extends AnyFunSuite {
         r.getLong(4), r.getLong(5))).toSet
     assert(got == expected, "span-corruption stats diverge from the replay")
   }
+
+  test("q147: per-source KL matches a plain-Scala recompute") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val sw = docs.flatMap { case (s, t) =>
+      t.toLowerCase.split(" ").filter(_.nonEmpty).map(w => (s, w)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val corpus = sw.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val totals = sw.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nAll = corpus.values.sum.toDouble
+    val expected = totals.map { case (src, nSrc) =>
+      val kl = sw.collect { case ((s, w), c) if s == src =>
+        val p = c.toDouble / nSrc
+        p * math.log(p / (corpus(w) / nAll))
+      }.sum
+      (src, nSrc, sw.keys.count(_._1 == src).toLong,
+        math.floor(kl * 10000 + 0.5) / 10000.0)
+    }.toSet
+    val got = Curation.corpusDrift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expected, "KL drift diverges from the plain-Scala recompute")
+  }
 }

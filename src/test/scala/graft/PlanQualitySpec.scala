@@ -355,6 +355,35 @@ class PlanQualitySpec extends AnyFunSuite {
       s"data card scans the corpus more than once:\n$p")
   }
 
+  test("q147: drift folds out of ONE (source,word) aggregation — reused exchange, broadcast side tables") {
+    // exchange reuse is an AQE runtime decision: execute, assert final plan
+    val df = SparkEntry.queries("q147_corpus_drift")(spark, sf)
+    df.collect()
+    val whole = df.queryExecution.executedPlan.toString
+    val cut = whole.indexOf("== Initial Plan ==")
+    val p = if (cut >= 0) whole.substring(0, cut) else whole
+    assert(p.contains("ReusedExchange"),
+      s"q147 lost exchange reuse — the corpus is tokenized per consumer:\n$p")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"q147 must scan documents exactly once in the final plan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q147 side tables must broadcast, not sort-merge:\n$p")
+  }
+
+  test("q148: centroid drift shuffles the exploded vectors once — reused exchange, one Generate") {
+    val df = SparkEntry.queries("q148_embedding_drift")(spark, sf)
+    df.collect()
+    val whole = df.queryExecution.executedPlan.toString
+    val cut = whole.indexOf("== Initial Plan ==")
+    val p = if (cut >= 0) whole.substring(0, cut) else whole
+    assert(p.contains("ReusedExchange"),
+      s"q148 lost exchange reuse — the vectors are re-exploded per consumer:\n$p")
+    assert(p.linesIterator.count(_.contains("Generate")) == 1,
+      s"q148 must posexplode exactly once in the final plan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q148 centroid join must broadcast, not sort-merge:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-to-aggregate pipeline of q02") {
     // AQE finalizes the plan lazily — execute, then inspect the final plan
     val df = SparkEntry.queries("q02_agg_pricing")(spark, sf)

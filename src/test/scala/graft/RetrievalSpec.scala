@@ -240,4 +240,25 @@ class RetrievalSpec extends AnyFunSuite {
       assert(r.getBoolean(6) == keepRef)
     }
   }
+
+  test("q148: embedding drift matches a plain-Scala centroid recompute") {
+    val vecs = graft.core.Tables.embeddings(spark, sf)
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val dim = vecs.head._2.length
+    def centroid(vs: Array[Array[Double]]): Array[Double] =
+      Array.tabulate(dim)(i => vs.map(_(i)).sum / vs.length)
+    val global = centroid(vecs.map(_._2))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = (a, b).zipped.map(_ * _).sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = vecs.groupBy(_._1).map { case (lbl, g) =>
+      (lbl, g.length.toLong,
+        math.floor(cos(centroid(g.map(_._2)), global) * 10000 + 0.5) / 10000.0)
+    }.toSet
+    val got = graft.llm.Embeddings.embeddingDrift(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected, "embedding drift diverges from the centroid recompute")
+  }
 }
