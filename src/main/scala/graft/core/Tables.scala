@@ -7,10 +7,13 @@ import org.apache.spark.sql.functions._
   *
   * All tables are plain parquet scans — Catalyst pushes filters/pruning into
   * the scan, so loaders stay dumb on purpose. The one normalization we own:
-  * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-  * vectorized reader rejects; we read it as a long (legacy flag) and floor it
-  * to microseconds, which matches DuckDB's `CAST(ts AS TIMESTAMP)` truncation
-  * so oracle comparisons line up.
+  * `events.ts` must surface as session-zone TIMESTAMP regardless of how the
+  * generator wrote it. Generators have produced both TIMESTAMP(NANOS) (which
+  * Spark's vectorized reader rejects — read as long via the legacy flag and
+  * floor ns→µs, matching DuckDB's `CAST(ts AS TIMESTAMP)` truncation) and
+  * TIMESTAMP(MICROS) (reads natively as TIMESTAMP_NTZ with the legacy flag
+  * on — cast to TIMESTAMP, a wall-clock-preserving no-op under the UTC
+  * session zone). We sniff the materialized dtype and normalize either way.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -21,10 +24,16 @@ object Tables {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      // integer `div` (not `/`): double division loses ulps at 1.7e18 ns
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") {
+      import org.apache.spark.sql.types.{LongType, TimestampType}
+      df.schema("ts").dataType match {
+        // integer `div` (not `/`): double division loses ulps at 1.7e18 ns
+        case LongType      => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampType => df
+        // TIMESTAMP_NTZ (µs-precision generator): same wall-clock instant in UTC
+        case _             => df.withColumn("ts", col("ts").cast(TimestampType))
+      }
+    } else df
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
