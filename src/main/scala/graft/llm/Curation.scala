@@ -210,25 +210,31 @@ object Curation {
     * should down-weight even when no single pair crosses a dedup threshold;
     * the corpus-level mean is the diversity number on a data card.
     *
-    * Plan shape: the same inverted-index discipline as q55/q112 — shingles
-    * explode map-side, document frequency is a partial-aggregated
-    * groupBy(shingle), and the df joins back to the exploded stream on the
-    * shingle value (hash-partitioned equi-join, both sides already
-    * clustered by the first shuffle). Nothing is ever broadcast at corpus
-    * scale and no pair join exists — cost is O(corpus shingles), not
-    * O(docs²). Shares `Dedup.shingledN` so the trigram contract can't
-    * drift from the dedup family's. */
+    * Plan shape: ONE wide shuffle over the corpus-token-sized stream.
+    * Because shingles are per-doc DISTINCT (shingledN dedups within each
+    * document), df == 1 implies exactly one owning document — so
+    * `min(doc_id)` ridden on the same df aggregation recovers the owner for
+    * free, and novelty counts come straight off the shingle aggregation: no
+    * join of the exploded stream back to dfreq (the old shape re-shuffled
+    * the same corpus-sized stream twice). Everything after the shingle
+    * groupBy is proportional to the number of unique-once shingles, then to
+    * the document count. Nothing is ever broadcast at corpus scale and no
+    * pair join exists — cost is O(corpus shingles), not O(docs²). Shares
+    * `Dedup.shingledN` so the trigram contract can't drift from the dedup
+    * family's. */
   def ngramNovelty(s: SparkSession, d: String): DataFrame = {
     val sh = Dedup.shingledN(Tables.documents(s, d), 3)
+    // per-doc frame is document-count-sized — cheap to join at the end
+    val perDoc = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
     // explode_outer: plain explode's inferred non-null constraint re-runs
     // the whole shingling expression in a pushed filter (see contamination)
-    val ex = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
-      explode_outer(col("sh")).as("shingle"))
-    val dfreq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
-    ex.join(dfreq, "shingle")
-      .groupBy("doc_id")
-      .agg(first(col("n_sh")).as("n_sh"),
-        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+    val ex = sh.select(col("doc_id"), explode_outer(col("sh")).as("shingle"))
+    val novel = ex.groupBy("shingle")
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("doc_id"))
+      .filter(col("df") === 1)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, Seq("doc_id"), "left")
+      .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
       // floor-spelled rounding — see wordEntropy (Retrieval.scala)
       .withColumn("novelty_frac",
         floor(col("n_novel").cast("double") / col("n_sh") * 10000 + 0.5) / 10000.0)

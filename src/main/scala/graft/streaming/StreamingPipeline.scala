@@ -271,6 +271,32 @@ object StreamingPipeline {
       .select(col("user_id"), col("n_events"),
               col("session_window.start").as("session_start"))
 
+  /** Streaming scan of the events table with the SAME ts normalization
+    * contract as `Tables.events`: the generator has produced both
+    * TIMESTAMP(NANOS) (legacy flag reads it as long ns — floor-div to µs)
+    * and TIMESTAMP(MICROS) (reads as TIMESTAMP_NTZ — cast, wall-clock
+    * no-op under the UTC session). The batch loader sniffs the dtype; a
+    * streaming twin that assumed one encoding broke the moment the
+    * generator switched (the r04 driver-artifact gap for q20b/q51b). One
+    * driver-side footer probe supplies the schema — the file source never
+    * re-infers. */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val raw = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      // the file source requires a DIRECTORY; select just the events table
+      // out of the sf dir with the glob (same listing, no extra copy)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+    schema("ts").dataType match {
+      case LongType      => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _             => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
+
   /** q20b — the q20 tumbling-bucket aggregation run THROUGH Structured
     * Streaming on the same events table: AvailableNow file-source
     * micro-batches → complete-mode windowed aggregate → memory sink,
@@ -279,18 +305,10 @@ object StreamingPipeline {
     * state-store aggregation, sink commit) under the driver's hash gate —
     * the batch/stream parity the "one definition, two execution modes"
     * claim rests on. Complete mode needs no watermark and re-emits the
-    * full state on the final trigger; ts normalization matches
-    * `Tables.events` (ns floor-div to µs). */
+    * full state on the final trigger; ts normalization is shared with
+    * `Tables.events` via [[eventsStream]]. */
   def q20StreamBucket(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$d/events.parquet").schema
-    val buckets = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      // the file source requires a DIRECTORY; select just the events table
-      // out of the sf dir with the glob (same listing, no extra copy)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val buckets = eventsStream(s, d)
       .groupBy(window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       .select(col("window.start").as("bucket_start"), col("n"), col("sum_value"))
@@ -366,16 +384,12 @@ object StreamingPipeline {
     * q20b's window aggregate and q35b's dropDuplicates ledger) under the
     * driver's hash gate. */
   def q51StreamSessionize(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$d/events.parquet").schema
     val sessions = sessionWindowCore(
-      s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(d)
-        .select(col("user_id"),
-                timestamp_micros(expr("ts div 1000")).as("ts"),
-                timestamp_seconds(expr("ts div 1000000000")).as("ts_sec")))
+      eventsStream(s, d)
+        .select(col("user_id"), col("ts"),
+                // floor-to-second off the normalized µs timestamp — same
+                // truncation as batch q51's unix_timestamp
+                timestamp_seconds(unix_timestamp(col("ts"))).as("ts_sec")))
     val sink = s"q51b_mem_${java.util.UUID.randomUUID().toString.take(8)}"
     val q = sessions.writeStream.format("memory").queryName(sink)
       .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()

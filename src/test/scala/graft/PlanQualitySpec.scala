@@ -339,11 +339,16 @@ class PlanQualitySpec extends AnyFunSuite {
       s"inference must not join or window:\n$p")
   }
 
-  test("q136: novelty join is the inverted-index equi-join — no pair join, no broadcast corpus") {
+  test("q136: novelty is ONE wide shuffle — exploded stream exchanged on shingle exactly once") {
     val p = plan("q136_ngram_novelty")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"q136 grew a pair join:\n$p")
     assert(p.contains("partial_"), s"df aggregation has no map-side combine:\n$p")
+    // df==1 shingles carry their unique owner via min(doc_id): novelty counts
+    // come off the shingle aggregation directly — the corpus-token-sized
+    // stream must cross the wire exactly once
+    assert("hashpartitioning\\(shingle#\\d+".r.findAllIn(p).size == 1,
+      s"q136 shuffles the exploded shingle stream more than once:\n$p")
   }
 
   test("q137: data card is one scan through Expand — no self-join for subtotals") {
