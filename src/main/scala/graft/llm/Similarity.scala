@@ -401,12 +401,11 @@ object Similarity {
         .agg(min_by(col("code"), struct(col("score"), col("code"))).as("code"),
           first(col("sv")).as("sv"), first(col("norm")).as("norm"))
     for (_ <- 1 to PqIters) {
+      // codebook update: one shuffle row per (partition, sub_id, code) —
+      // the VecMean aggregator, not a per-element posexplode (see VecMean)
       cb = withCvn(assignCodes(cb)
-        .select(col("sub_id"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
-        .groupBy("sub_id", "code", "pos").agg(avg("x").as("m"))
         .groupBy("sub_id", "code")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          c => c.getField("m")).as("cv"))
+        .agg(graft.functions.VecMean.vec_mean(col("sv")).as("cv"))
         .localCheckpoint(true))
     }
     val codes = assignCodes(cb)
@@ -445,13 +444,15 @@ object Similarity {
     *   1. assignment — corpus ⋈ broadcast(centroids), argmin over squared
     *      L2 via `min_by` partial aggregation (|v|² is constant per row, so
     *      the score folds one dot product per pair: |c|² − 2·v·c);
-    *   2. update — per-dimension mean via posexplode + (cent_id, pos)
-    *      aggregation, reassembled with array_sort∘collect_list.
+    *   2. update — elementwise vector mean via the typed VecMean
+    *      aggregator: partial sums accumulate whole fixed-width double
+    *      arrays in-place inside each map task, so the exchange carries one
+    *      (sum[dim], count) row per partition per centroid — rows ∝
+    *      partitions·k, never n·dim (the posexplode shape this replaced
+    *      shuffled one row per vector ELEMENT; at dim 1024 that is the
+    *      difference between a 64 GB and a 64 TB shuffle per iteration).
     *
-    * The update shuffles n·dim rows; at 100 TB the upgrade is a typed
-    * Aggregator summing fixed-width double arrays in-place (one shuffle row
-    * per partition per centroid instead of per element) — same plan shape,
-    * denser payload. Iterations localCheckpoint: lineage would otherwise
+    * Iterations localCheckpoint: lineage would otherwise
     * double per round and replay every prior join on each action.
     * Deterministic end-to-end: stride-seeded init, cent_id tiebreak on
     * argmin ties, and per-dimension means — no RNG, no partition-order
@@ -462,17 +463,17 @@ object Similarity {
       .orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
     for (_ <- 1 to iters) {
-      val assigned = assign(e, cents)
-      cents = assigned
-        .select(col("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cent_id", "pos").agg(avg("x").as("m"))
-        .groupBy("cent_id")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          c => c.getField("m")).as("cv"))
-        .localCheckpoint(true)
+      cents = centroidUpdate(assign(e, cents)).localCheckpoint(true)
     }
     cents
   }
+
+  /** One Lloyd's update step over an assigned (cent_id, v) frame — split out
+    * (lazy, no checkpoint) so the spec can assert the plan: ObjectHashAggregate
+    * with a map-side partial, zero Generate. */
+  private[graft] def centroidUpdate(assigned: DataFrame): DataFrame =
+    assigned.groupBy("cent_id")
+      .agg(graft.functions.VecMean.vec_mean(col("v")).as("cv"))
 
   /** Nearest-centroid assignment: (vec_id, v, cent_id). */
   private[graft] def assign(e: DataFrame, cents: DataFrame): DataFrame =

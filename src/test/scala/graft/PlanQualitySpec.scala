@@ -351,6 +351,19 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q136 shuffles the exploded shingle stream more than once:\n$p")
   }
 
+  test("kmeans/PQ centroid update shuffles whole vectors — typed-agg partial, no posexplode") {
+    import spark.implicits._
+    val assigned = Seq((0L, Seq(1.0, 2.0)), (1L, Seq(3.0, 4.0)), (0L, Seq(5.0, 6.0)))
+      .toDF("cent_id", "v")
+    val p = planOf(graft.llm.Similarity.centroidUpdate(assigned))
+    // the update must aggregate whole arrays (one buffer row per partition
+    // per centroid), never explode to per-element rows: rows ∝ partitions·k,
+    // not n·dim
+    assert(!p.contains("Generate"), s"centroid update explodes per element:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"typed aggregator not planned:\n$p")
+    assert(p.toLowerCase.contains("partial"), s"no map-side partial sum:\n$p")
+  }
+
   test("q137: data card is one scan through Expand — no self-join for subtotals") {
     val p = plan("q137_data_card")
     assert(p.contains("Expand"), s"rollup did not expand in the aggregation:\n$p")
