@@ -595,6 +595,59 @@ object Similarity {
       |      FROM scored)
       |WHERE rank <= $NegK""".stripMargin
 
+  // ---------------------------------------------------------------- q139b
+  /** ANN-probe-fed hard-negative mining — the 100 TB form of q139, now as
+    * code rather than a comment: candidates per query come from the LSH
+    * bucket probes (the q56 hyperplane tables), NOT a full corpus scan.
+    * Each corpus vector's bucket signatures are pure map-side codegen'd
+    * dot products; the query batch's (table, bucket, label) probe set is
+    * broadcast, so candidate generation touches each corpus row once with
+    * zero corpus shuffle. Multi-table collisions collapse in the per-
+    * (query, candidate) aggregation, then the SAME exact-cosine rank stage
+    * as q139 runs over the pruned candidate set — the window input is
+    * ~L·n/2^B rows per query instead of the corpus. Approximate by
+    * construction (recall vs the brute q139 asserted in LlmSpec, the
+    * q40/q56/q130 contract); deterministic end-to-end (fixed planes,
+    * round-4 cosines, vec_id tiebreak) → pinned sf0.01 golden. */
+  def hardNegativesLsh(s: SparkSession, d: String): DataFrame = {
+    val (top, cached) = hardNegativesLshPlan(s, d)
+    try eagerTopK(s, top) finally cached.foreach(_.unpersist(false))
+  }
+
+  /** Lazy plan + the cached frames it reads (see knnIvfPlan). */
+  private[graft] def hardNegativesLshPlan(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+    val e = vecs(s, d).withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val dim = Tables.embeddings(s, d).select(size(col("embedding"))).head.getInt(0)
+    val planes = hyperplanes(dim, LshTables, LshBits)
+    val withBuckets = e.select(col("vec_id"), col("label"), col("v"), col("norm"),
+      posexplode(array((0 until LshTables).map(t =>
+        signature(planes, LshBits, t)): _*)).as(Seq("tbl", "bucket")))
+      .cache()
+    val qb = withBuckets.filter(col("vec_id") < NegQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("tbl").as("q_tbl"), col("bucket").as("q_bucket"),
+        col("v").as("qv"), col("norm").as("qnorm"))
+    // bucket-collision candidates, wrong-label only; a candidate colliding
+    // in several tables reduces to one row before scoring
+    val cand = withBuckets
+      .join(broadcast(qb),
+        col("tbl") === col("q_tbl") && col("bucket") === col("q_bucket") &&
+          col("label") =!= col("q_label"))
+      .groupBy("query_id", "vec_id")
+      .agg(first(col("v")).as("v"), first(col("norm")).as("norm"),
+        first(col("qv")).as("qv"), first(col("qnorm")).as("qnorm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val top = cand
+      .withColumn("cosine",
+        round(dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= NegK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cosine"))
+    (top, Seq(withBuckets))
+  }
+
   // ---------------------------------------------------------------- q141
   /** Embedding-level eval-set decontamination — the semantic complement of
     * q112's n-gram overlap check: flag corpus vectors whose max cosine
@@ -737,6 +790,8 @@ object Similarity {
       Some(graft.core.Goldens.load("q130_knn_pq"))),
     GraftQuery("q98_ivf_train", ivfTrain _, ivfTrainGoldenSql),
     GraftQuery("q139_hard_negatives", hardNegatives _, Some(hardNegativesSql)),
+    GraftQuery("q139b_hard_negatives_lsh", hardNegativesLsh _,
+      Some(graft.core.Goldens.load("q139b_hard_negatives_lsh"))),
     GraftQuery("q141_semantic_decontam", semanticDecontam _, Some(semanticDecontamSql)),
     GraftQuery("q143_bitext_mine", bitextMine _, Some(bitextMineSql)),
     GraftQuery("q125_semdedup", semDedup _,

@@ -293,6 +293,18 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"LSH recall $recall too low (lsh=$lsh brute=$brute)")
   }
 
+  test("LSH-probed hard negatives recover most of the brute-force set (q139b)") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val brute = pairs(Similarity.hardNegatives(spark, sf))
+    val lsh = pairs(Similarity.hardNegativesLsh(spark, sf))
+    assert(lsh.map(_._1) == brute.map(_._1),
+      s"every query must emit negatives: lsh queries ${lsh.map(_._1)}")
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.6,
+      s"probe-fed hard-negative recall $recall too low (lsh=$lsh brute=$brute)")
+  }
+
   test("quantized knn recovers the exact brute-force top-5 after rerank") {
     val brute = Similarity.knnBrute(spark, sf)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq

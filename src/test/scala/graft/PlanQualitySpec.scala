@@ -137,6 +137,13 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"q56 top-k fell back to a global sort:\n$p")
   }
 
+  test("q139b: probe-fed hard negatives never scan-join the corpus — broadcast bucket probe only") {
+    val p = lazyPlan(graft.llm.Similarity.hardNegativesLshPlan)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q139b fell back to an all-pairs corpus join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"probe set is not broadcast:\n$p")
+  }
+
   test("q57: array scalar family runs map-side — zero exchanges") {
     val p = plan("q57_array_extra")
     assert(!p.contains("Exchange"), s"pure per-row projection must not shuffle:\n$p")
