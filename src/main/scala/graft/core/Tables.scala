@@ -25,13 +25,26 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") {
-      import org.apache.spark.sql.types.{LongType, TimestampType}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
       df.schema("ts").dataType match {
         // integer `div` (not `/`): double division loses ulps at 1.7e18 ns
         case LongType      => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         case TimestampType => df
-        // TIMESTAMP_NTZ (µs-precision generator): same wall-clock instant in UTC
-        case _             => df.withColumn("ts", col("ts").cast(TimestampType))
+        // TIMESTAMP_NTZ (µs-precision generator): the cast re-interprets the
+        // wall-clock fields in the SESSION zone, so it is only the identity
+        // the oracle comparison needs under UTC — assert that precondition
+        // instead of silently producing shifted instants elsewhere.
+        case TimestampNTZType =>
+          val tz = spark.conf.get("spark.sql.session.timeZone")
+          require(tz == "UTC",
+            s"events.ts NTZ→TIMESTAMP normalization requires session timeZone=UTC, got $tz")
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        // Anything else is generator schema drift — fail loudly rather than
+        // cast-and-corrupt the oracle comparison (the r05 q20b/q51b micros
+        // break was exactly this class of silent coercion).
+        case other =>
+          throw new IllegalStateException(
+            s"events.ts has unexpected dtype $other; expected ns-long, TIMESTAMP or TIMESTAMP_NTZ")
       }
     } else df
   }

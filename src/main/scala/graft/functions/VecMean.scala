@@ -38,6 +38,8 @@ object VecMean {
       else if (b.n == 0L) { b.sum = v.toArray; b.n = 1L; b }
       else {
         val s = b.sum
+        require(v.length == s.length,
+          s"vec_mean: ragged input — got width ${v.length}, expected ${s.length}")
         var i = 0
         while (i < s.length) { s(i) += v(i); i += 1 }
         b.n += 1
@@ -50,6 +52,8 @@ object VecMean {
       else {
         val s = a.sum
         val t = c.sum
+        require(t.length == s.length,
+          s"vec_mean: ragged input — got width ${t.length}, expected ${s.length}")
         var i = 0
         while (i < s.length) { s(i) += t(i); i += 1 }
         a.n += c.n
@@ -67,6 +71,8 @@ object VecMean {
 
   /** `vec_mean(v)` — aggregate an `array<double>` column to its elementwise
     * mean. All input vectors in a group must share one width (the fixed-dim
-    * embedding contract; ragged input throws from the while-loop bounds). */
+    * embedding contract; ragged input fails loudly via the explicit length
+    * checks in reduce/merge — both shorter AND longer vectors throw, never
+    * silently truncate). */
   val vec_mean: UserDefinedFunction = udaf(Agg)
 }

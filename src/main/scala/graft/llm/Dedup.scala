@@ -15,8 +15,14 @@ object Dedup {
 
   /** Word n-gram shingle set per document — the ONE shingling contract for
     * the whole llm package (q36/q55/q69/q112 and their DuckDB oracles must
-    * all agree on it; don't fork copies). */
-  private[llm] def shingledN(docs: DataFrame, n: Int): DataFrame =
+    * all agree on it; don't fork copies).
+    *
+    * Contract (pinned by CurationSpec "shingledN contract"): `sh` is
+    * per-document DISTINCT (array_distinct) and docs with fewer than n
+    * tokens are dropped. Curation.ngramNovelty's df==1 → min(doc_id)
+    * owner-recovery depends on the distinctness half — a doc repeating a
+    * shingle would otherwise count df==2 for its own boilerplate. */
+  private[graft] def shingledN(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= n)
       .select(col("doc_id"), array_distinct(

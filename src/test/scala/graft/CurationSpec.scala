@@ -107,6 +107,27 @@ class CurationSpec extends AnyFunSuite {
     assert(got == expected, "distributed novelty diverges from brute force")
   }
 
+  test("shingledN contract: per-doc distinct + <n-token docs dropped (q136 precondition)") {
+    // q136's single-shuffle rewrite recovers a df==1 shingle's owner via
+    // min(doc_id), which is only sound if a document can never contribute
+    // the same shingle twice. Pin that here against a doc that repeats its
+    // trigrams, plus a doc too short to shingle at all.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c a b c"), // every trigram occurs ≥2 times pre-dedup
+      (2L, "x y"),               // < 3 tokens: must be dropped entirely
+      (3L, "p q r s")
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shingledN(docs, 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(!sh.contains(2L), "shingledN kept a doc shorter than n tokens")
+    assert(sh.keySet == Set(1L, 3L))
+    for ((id, arr) <- sh)
+      assert(arr.distinct == arr, s"doc $id shingle array has duplicates: $arr")
+    assert(sh(1L).toSet == Set("a b c", "b c a", "c a b"))
+    assert(sh(3L).toSet == Set("p q r", "q r s"))
+  }
+
   test("q137: rollup subtotals reconcile with the grand total") {
     val rows = Curation.dataCard(spark, sf).collect()
     def level(gs: Int, gl: Int) =
