@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up generator for local scale testing above the driver-provided
+  * sf0.1 (TESTDATA.md caps there; `/root/testdata` is read-only).
+  *
+  * `runMain graft.GenData <srcSfDir> <outDir> <R>` replicates every table
+  * R× with key offsets so the star-schema join graph stays consistent
+  * (replica i's lineitem rows reference replica i's orders/part/supplier),
+  * while perturbing the two content tables so scale-up does NOT fabricate a
+  * degenerate duplicate structure:
+  *
+  *  - documents: replica i>0 rewrites text through a replica-seeded
+  *    permutation of the (31-word) corpus vocabulary. Token counts, doc
+  *    lengths-in-words and shingle-set sizes are preserved exactly, but
+  *    replica shingle sets are disjoint from the original's, so near-dup
+  *    density (MinHash/SimHash/Jaccard/novelty workloads) scales like a
+  *    genuinely larger corpus instead of every doc acquiring R−1 clones.
+  *    Exact-dup RATE is preserved (each replica keeps sf0.1's internal
+  *    duplicates). n_chars is recomputed to keep the n_chars==len(text)
+  *    invariant.
+  *  - embeddings: replica i>0 adds xxhash64-seeded elementwise noise at
+  *    ~1.0× vector norm and re-normalizes to unit length (the corpus
+  *    contract): replica↔original cosine lands ≈ 0.71 — same-cluster-ish,
+  *    but safely below the ≥0.8 near-dup band, so ANN/near-dup workloads
+  *    see 10× organic-looking vectors, not 10-cliques of planted dups.
+  *  - events keeps its raw ns-long `ts` column untouched (same dtype path
+  *    the driver files exercise through Tables.events); 10× density in the
+  *    same 30-day window.
+  *
+  * region/nation are fixed dimensions and copy through unchanged, so
+  * nationkey/regionkey foreign keys stay valid without offsets.
+  *
+  * Deterministic: vocab permutations come from scala.util.Random(42+i),
+  * embedding noise from xxhash64(vec_id, i, element-index). No wall-clock
+  * anywhere, so reruns are byte-stable modulo parquet part layout.
+  */
+object GenData {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val out = args(1)
+    val r = args(2).toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+    def write(name: String, df: DataFrame, parts: Int): Unit =
+      df.repartition(parts).write.mode("overwrite").parquet(s"$out/$name.parquet")
+
+    // fixed dims: copy through (FK values unchanged everywhere)
+    write("region", read("region"), 1)
+    write("nation", read("nation"), 1)
+
+    /** Union R replicas of `df`, applying `f(df, i)` per replica. */
+    def rep(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until r).map(i => f(df, i)).reduce(_ unionAll _)
+
+    val nCust = read("customer").count()
+    val nOrd  = read("orders").count()
+    val nPart = read("part").count()
+    val nSupp = read("supplier").count()
+    val nEv   = read("events").count()
+    val nUser = 1500L * (nEv / 100000L).max(1L) // sf0.1 has user_id 0..1499
+    val nDoc  = read("documents").count()
+    val nVec  = read("embeddings").count()
+
+    write("customer", rep(read("customer")) { (df, i) =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(i * nCust))
+    }, math.max(1, r / 2))
+
+    write("supplier", rep(read("supplier")) { (df, i) =>
+      df.withColumn("s_suppkey", col("s_suppkey") + lit(i * nSupp))
+    }, 1)
+
+    write("part", rep(read("part")) { (df, i) =>
+      df.withColumn("p_partkey", col("p_partkey") + lit(i * nPart))
+    }, math.max(1, r / 2))
+
+    write("orders", rep(read("orders")) { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * nOrd))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * nCust))
+    }, r)
+
+    write("lineitem", rep(read("lineitem")) { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * nOrd))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * nPart))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * nSupp))
+    }, 2 * r)
+
+    write("events", rep(read("events")) { (df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i * nEv))
+        .withColumn("user_id", col("user_id") + lit(i * 1500L))
+    }, r)
+    val _ = nUser // sf0.1-derived; documented above
+
+    // documents: per-replica vocabulary permutation
+    val vocab = read("documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .distinct().collect().map(_.getString(0)).sorted
+    write("documents", rep(read("documents")) { (df, i) =>
+      if (i == 0) df
+      else {
+        val rng = new scala.util.Random(42 + i)
+        val perm = rng.shuffle(vocab.toSeq)
+        val m = map(vocab.zip(perm).flatMap { case (a, b) => Seq(lit(a), lit(b)) }: _*)
+        df.withColumn("doc_id", col("doc_id") + lit(i * nDoc))
+          .withColumn("text",
+            array_join(transform(split(col("text"), " "), w => element_at(m, w)), " "))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      }
+    }, r)
+
+    // embeddings: seeded noise + re-normalize (unit-norm corpus contract)
+    write("embeddings", rep(read("embeddings")) { (df, i) =>
+      if (i == 0) df
+      else {
+        // uniform [-eps, eps] per element from xxhash64(vec_id, replica, k);
+        // eps = sqrt(3)·rms(elem) ≈ 0.2165 for unit vectors at dim 64 gives
+        // ||noise|| ≈ ||v|| → cos(v, v') ≈ 1/√2
+        val eps = math.sqrt(3.0) * 0.125
+        val noisy = transform(col("embedding"), (x, k) =>
+          x + lit(eps) * ((pmod(xxhash64(col("vec_id"), lit(i), k), lit(2000001L)) -
+            lit(1000000L)).cast("double") / lit(1000000.0)))
+        df.withColumn("vec_id", col("vec_id") + lit(i * nVec))
+          .withColumn("nv", noisy)
+          .withColumn("nrm", sqrt(aggregate(col("nv"), lit(0.0d), (a, x) => a + x * x)))
+          .withColumn("embedding",
+            transform(col("nv"), x => (x / col("nrm")).cast("float")))
+          .drop("nv", "nrm")
+      }
+    }, math.max(1, r / 2))
+
+    println(s"""{"gen":"$out","r":$r,"src":"$src"}""")
+    spark.stop()
+  }
+}
