@@ -105,8 +105,10 @@ object Bench {
     // bias the artifact downward — ADVICE r05. Both-signals queries rerun
     // once and keep the min; every sample (both walls, both cpu deltas,
     // probe ms) lands in BENCH_local.json so the decision is auditable.
+    // floors are sf0.1 measurements — at any other scale factor the table
+    // would mark every query suspect and double the suite, so skip it
     val floors: Map[String, Double] = {
-      val in = getClass.getResourceAsStream("/graft/bench_floors.txt")
+      val in = if (sfDir.contains("sf0.1")) getClass.getResourceAsStream("/graft/bench_floors.txt") else null
       if (in == null) Map.empty
       else try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
         .filterNot(l => l.startsWith("#") || l.isEmpty)

@@ -366,23 +366,39 @@ object Similarity {
     * tiebreak on argmin ties, per-dimension means, localCheckpoint per
     * round. The assignment ranks by |c|² − 2·v_m·c (|v_m|² constant per
     * row), one codegen'd dot per candidate. */
+  // Defaults for the registered q130 (pinned sf0.01 golden). These are the
+  // CAPACITY levers a deployment tunes to its corpus, so the methods take
+  // them as parameters; the scaling rules:
+  //   PqM    — subspaces: dim/PqM = subvector width; recall climbs with M,
+  //            code size is M·log2(K) bits/vector (8 × 4 bits = 4 B here).
+  //   PqK    — codes per subspace: K ∝ sqrt(n_vectors) is the classic IVF-PQ
+  //            rule of thumb (256 = 8-bit codes at web scale); training cost
+  //            per iteration is one broadcast of M·K centroids.
+  //   PqIters— Lloyd's rounds; distortion improvement is steeply
+  //            diminishing after ~5 on unit-norm corpora.
   private val PqM = 8       // subspaces
   private val PqK = 16      // codes per subspace (4-bit codes)
   private val PqIters = 2
   private val PqShort = 64  // ADC shortlist size fed to the exact rerank
 
-  def knnPq(s: SparkSession, d: String): DataFrame = {
-    val (top, cached) = knnPqPlan(s, d)
+  def knnPq(s: SparkSession, d: String,
+            m: Int = PqM, kCodes: Int = PqK, iters: Int = PqIters,
+            shortlistN: Int = PqShort): DataFrame = {
+    val (top, cached) = knnPqPlan(s, d, m, kCodes, iters, shortlistN)
     try eagerTopK(s, top) finally cached.foreach(_.unpersist(false))
   }
 
-  private[graft] def knnPqPlan(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+  private[graft] def knnPqPlan(s: SparkSession, d: String,
+                               pqM: Int = PqM, pqK: Int = PqK,
+                               pqIters: Int = PqIters,
+                               pqShort: Int = PqShort): (DataFrame, Seq[DataFrame]) = {
     val e = vecs(s, d).withColumn("norm", sqrt(dot(col("v"), col("v")))).cache()
     val dim = e.select(size(col("v"))).head.getInt(0)
-    val subDim = dim / PqM
+    require(dim % pqM == 0, s"PQ subspace count $pqM must divide dim $dim")
+    val subDim = dim / pqM
     // (vec_id, norm, sub_id, sv): one row per subvector, map-side
     val subs = e.select(col("vec_id"), col("norm"), posexplode(expr(
-        s"transform(sequence(0, ${PqM - 1}), m -> slice(v, m * $subDim + 1, $subDim))"
+        s"transform(sequence(0, ${pqM - 1}), m -> slice(v, m * $subDim + 1, $subDim))"
       )).as(Seq("sub_id", "sv")))
       .cache()
     def withCvn(cb: DataFrame): DataFrame =
@@ -391,7 +407,7 @@ object Similarity {
     var cb = withCvn(subs.filter(pmod(col("vec_id"), lit(29)) === 0)
       .withColumn("rk", row_number().over(
         Window.partitionBy("sub_id").orderBy("vec_id")))
-      .filter(col("rk") <= PqK)
+      .filter(col("rk") <= pqK)
       .select(col("sub_id"), (col("rk") - 1).cast("int").as("code"),
         col("sv").as("cv")))
     def assignCodes(codebook: DataFrame): DataFrame =
@@ -400,7 +416,7 @@ object Similarity {
         .groupBy("vec_id", "sub_id")
         .agg(min_by(col("code"), struct(col("score"), col("code"))).as("code"),
           first(col("sv")).as("sv"), first(col("norm")).as("norm"))
-    for (_ <- 1 to PqIters) {
+    for (_ <- 1 to pqIters) {
       // codebook update: one shuffle row per (partition, sub_id, code) —
       // the VecMean aggregator, not a per-element posexplode (see VecMean)
       cb = withCvn(assignCodes(cb)
@@ -423,8 +439,8 @@ object Similarity {
       .agg(sum("pdot").as("adot"), first("norm").as("norm"))
       .crossJoin(broadcast(qv))
       .withColumn("approx_cos", col("adot") / (col("norm") * col("qnorm")))
-      .orderBy(col("approx_cos").desc, col("vec_id").asc).limit(PqShort)
-    // exact rerank: the shortlist is PqShort rows — broadcast it against the
+      .orderBy(col("approx_cos").desc, col("vec_id").asc).limit(pqShort)
+    // exact rerank: the shortlist is pqShort rows — broadcast it against the
     // full-precision column (at 100 TB: a point-lookup of PqShort vectors)
     val top = e.select(col("vec_id"), col("v"))
       .join(broadcast(shortlist.select("vec_id", "norm", "qv", "qnorm")), "vec_id")
@@ -521,19 +537,28 @@ object Similarity {
     * same contract as q98; the semantic checks live in LlmSpec. */
   private val SemDedupThreshold = 0.35
 
-  def semDedup(s: SparkSession, d: String): DataFrame = {
+  /** `k`/`iters` are the capacity levers, parameters rather than constants:
+    * SemDeDup's own protocol sets k ∝ n/⟨target cluster size⟩ so the
+    * within-cluster pair space stays bounded as the corpus grows (the paper
+    * uses ~50k clusters for LAION-scale; here the registered q125 keeps the
+    * golden-pinned default k=8 at test sf). `threshold` is the semantic
+    * dup cosine bar (paper sweeps 0.3–0.9; the default matches the q38
+    * oracle band on this corpus). */
+  def semDedup(s: SparkSession, d: String, k: Int = 8, iters: Int = 3,
+               threshold: Double = SemDedupThreshold): DataFrame = {
     val e = vecs(s, d).select("vec_id", "v")
-    val cents = kmeans(e, 8, 3)
+    val cents = kmeans(e, k, iters)
     val assigned = assign(e, cents).localCheckpoint(true)
-    semDedupFromAssigned(assigned)
+    semDedupFromAssigned(assigned, threshold)
   }
 
   /** The pruning stage alone, over an already-assigned (vec_id, cent_id, v)
     * frame — split out so LlmSpec can drive it with a planted clustering. */
-  private[graft] def semDedupFromAssigned(assigned: DataFrame): DataFrame = {
+  private[graft] def semDedupFromAssigned(
+      assigned: DataFrame, threshold: Double = SemDedupThreshold): DataFrame = {
     val pairs = cosineNearDupPairs(
       assigned.select(col("vec_id"), col("cent_id").as("label"), col("v")),
-      SemDedupThreshold)
+      threshold)
     val pruned = pairs
       .select(col("label").as("cent_id"), col("b_id").as("vec_id"))
       .distinct()
@@ -786,7 +811,7 @@ object Similarity {
     GraftQuery("q40_knn_ivf", knnIvf _, Some(annGoldenSql)),
     GraftQuery("q56_knn_lsh", knnLsh _, Some(annGoldenSql)),
     GraftQuery("q70_knn_quantized", knnQuantized _, Some(annGoldenSql)),
-    GraftQuery("q130_knn_pq", knnPq _,
+    GraftQuery("q130_knn_pq", (s: SparkSession, d: String) => knnPq(s, d),
       Some(graft.core.Goldens.load("q130_knn_pq"))),
     GraftQuery("q98_ivf_train", ivfTrain _, ivfTrainGoldenSql),
     GraftQuery("q139_hard_negatives", hardNegatives _, Some(hardNegativesSql)),
@@ -794,6 +819,6 @@ object Similarity {
       Some(graft.core.Goldens.load("q139b_hard_negatives_lsh"))),
     GraftQuery("q141_semantic_decontam", semanticDecontam _, Some(semanticDecontamSql)),
     GraftQuery("q143_bitext_mine", bitextMine _, Some(bitextMineSql)),
-    GraftQuery("q125_semdedup", semDedup _,
+    GraftQuery("q125_semdedup", (s: SparkSession, d: String) => semDedup(s, d),
       Some(graft.core.Goldens.load("q125_semdedup"))))
 }

@@ -315,6 +315,29 @@ class LlmSpec extends AnyFunSuite {
     assert(quant == brute, s"quantized path diverged: quant=$quant brute=$brute")
   }
 
+  test("semDedup capacity levers: non-default k partitions the corpus and conserves counts") {
+    // the k ∝ n/⟨cluster size⟩ scaling rule only exists if k is actually a
+    // parameter — run end-to-end at k=4 (default is 8) and check the
+    // accounting invariants hold under the coarser clustering
+    val total = graft.core.Tables.embeddings(spark, sf).count()
+    val out = Similarity.semDedup(spark, sf, k = 4, iters = 2).collect()
+    assert(out.nonEmpty && out.length <= 4, s"expected ≤4 clusters, got ${out.length}")
+    assert(out.map(_.getLong(1)).sum == total, "cluster membership must cover the corpus")
+    for (r <- out) {
+      assert(r.getLong(3) == r.getLong(1) - r.getLong(2), "kept + pruned != members")
+      assert(r.getLong(3) >= 1, "every cluster keeps at least one representative")
+    }
+  }
+
+  test("PQ capacity levers: non-default (m, kCodes, iters) still yields a ranked top-5") {
+    val rows = Similarity.knnPq(spark, sf, m = 4, kCodes = 8, iters = 1)
+      .orderBy("rank").collect()
+    assert(rows.length == 5, s"expected 5 neighbors, got ${rows.length}")
+    assert(rows.map(_.getInt(2)).toSeq == Seq(1, 2, 3, 4, 5))
+    val cosines = rows.map(_.getDouble(1)).toSeq
+    assert(cosines == cosines.sorted.reverse, s"cosines not descending: $cosines")
+  }
+
   test("PQ knn finds most of the brute-force top-5 (q130)") {
     // PQ at 64× compression is genuinely lossy and this corpus's top-5
     // margins are a few thousandths of cosine — the recall contract is the
