@@ -177,9 +177,13 @@ object Bench {
       .map(r => "\"" + r.name + s"""\":[${r3(r.w1)},${r3(r.c1)},${r.floorStale.get.round},${r3(floors.getOrElse(r.name, -1.0))}]""")
       .mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},$calib,"queries":$fullQs,"rerun_detail":$rerunQs,"floor_stale":$staleQs,"sf":"$sfDir"}"""
-    // never let a filtered run overwrite the committed full-suite artifact
-    if (only.isEmpty) try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_local.json"),
+    // SPARK_GRAFT_OUT redirects the full-detail artifact (e.g. a scale run
+    // at sf1 → BENCH_sf1.json); without it, never let a filtered run
+    // overwrite the committed full-suite sf0.1 artifact
+    val outPath = sys.env.get("SPARK_GRAFT_OUT")
+    if (outPath.isDefined || only.isEmpty) try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outPath.getOrElse("BENCH_local.json")),
         (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},$calib,"queries":$qs,"sf":"$sfDir"}""")

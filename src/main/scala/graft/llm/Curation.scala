@@ -424,6 +424,180 @@ object Curation {
       |JOIN corpus USING (word) JOIN tot USING (source) CROSS JOIN grand
       |GROUP BY sw.source""".stripMargin
 
+  // ---------------------------------------------------------------- q149
+  /** The END-TO-END curation composition — quality gate → near-dup dedup →
+    * leakage-safe split → mixture rebalance → token packing, as ONE
+    * operator. q134/q114/q135/q129/q115 are its stages; this is the
+    * pipeline a corpus owner actually runs, and the funnel it returns
+    * (stage, n_docs, n_tokens) is the accounting a data card cites.
+    * Conservation invariants (CurationSpec): quality ≤ ingest; dedup ≤
+    * quality; train + heldout == dedup exactly; rebalanced ≤ train; packed
+    * tokens == rebalanced tokens exactly (packing may not lose a token).
+    *
+    * Stage semantics, each inherited verbatim from its standalone query so
+    * the oracles stay one source of truth:
+    *  1. quality — q134's frozen logistic, keep iff score ≥ 0.5;
+    *  2. dedup — q114: exact-trigram-Jaccard pairs (t = 0.4) on the
+    *     SURVIVORS of stage 1, connected components, keep the longest
+    *     member per group (doc_id tiebreak). Running dedup after the
+    *     quality gate is the standard order (why pay the pair join for
+    *     docs the gate drops?);
+    *  3. split — q135's md5 group draw. After the group collapse every
+    *     surviving doc is its own duplicate-group representative, so the
+    *     group-level draw REDUCES to the per-doc draw — the composition
+    *     is leakage-safe by construction, not by a second grouping pass;
+    *  4. rebalance — q129's exact-integer language equalization, computed
+    *     on the TRAIN side only (heldout is never resampled);
+    *  5. pack — q115's two-pass shard-prefix packing of the rebalanced
+    *     train set (no window, no global funnel).
+    *
+    * Plan shape: qual/train/reb are localCheckpoint'ed because each feeds
+    * 2–3 downstream stages (shingling + rep join + funnel; without
+    * materialization the whole upstream pipeline replays per consumer —
+    * same rationale as q114's pair checkpoint). Funnel rows are six tiny
+    * aggregates unioned — each a partial-agg count over an
+    * already-materialized frame. */
+  def curate(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    // 1. quality gate
+    val qual = base
+      .join(qualityLogit(s, d).filter(col("keep")).select("doc_id"), "doc_id")
+      .localCheckpoint(true)
+    // 2. near-dup dedup on the survivors
+    val pairs = Dedup.ngramJaccardOf(qual.select("doc_id", "text"))
+      .select("a_id", "b_id").localCheckpoint(true)
+    val groups = Dedup.dedupGroupsFromPairs(pairs)
+    val reps = groups.join(qual.select("doc_id", "n_chars"), "doc_id")
+      .groupBy("group_id")
+      .agg(max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id"))).as("doc_id"))
+    // a grouped doc survives iff it is its group's representative
+    val nonReps = groups.join(reps.select("doc_id"), Seq("doc_id"), "left_anti")
+    val dedup = qual.join(nonReps.select("doc_id"), Seq("doc_id"), "left_anti")
+    // 3. leakage-safe split (md5 draw; docs are their own group reps here)
+    val splitDf = dedup.withColumn("split",
+      when(substring(md5(concat_ws("|", lit("split"), col("doc_id"))), 1, 1)
+        .isin("0", "1", "2", "3"), "heldout").otherwise("train"))
+    val train = splitDf.filter(col("split") === "train")
+      .select("doc_id", "lang", "n_tok").localCheckpoint(true)
+    // 4. mixture rebalance (q129 exact-integer acceptance) on train
+    val perLang = train.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val totals = train.agg(count(lit(1)).as("t_total"),
+      countDistinct(col("lang")).as("k_langs"))
+    val reb = train
+      .join(broadcast(perLang), "lang")
+      .crossJoin(broadcast(totals))
+      .withColumn("u", pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)))
+      .filter(col("u") * col("k_langs") * col("n_docs") <
+        col("t_total") * lit(4294967296L))
+      .select("doc_id", "n_tok").localCheckpoint(true)
+    // 5. token packing of the rebalanced train set
+    val packed = Retrieval.packAssignmentsOf(s,
+        reb.withColumn("payload", lit("")))
+      .groupBy("batch_raw").agg(sum("n_tok").as("n_tok"))
+    def row(stage: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+             coalesce(sum("n_tok"), lit(0L)).as("n_tokens"))
+        .select(lit(stage).as("stage"), col("n_docs"), col("n_tokens"))
+    row("00_ingest", base)
+      .unionAll(row("01_quality", qual))
+      .unionAll(row("02_dedup", dedup))
+      .unionAll(splitDf.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .select(concat(lit("03_"), col("split")).as("stage"),
+          col("n_docs"), col("n_tokens")))
+      .unionAll(row("04_rebalanced", reb))
+      // for the packed row n_docs counts BATCHES (the packing output unit)
+      .unionAll(row("05_packed", packed))
+  }
+
+  /** Composed oracle: each stage's fragment is the standalone query's
+    * oracle with `documents` rebased onto the previous stage's CTE. */
+  val curateSql: String =
+    """WITH RECURSIVE base AS (
+      |  SELECT doc_id, text, lang, n_chars,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |-- stage 1: q134 quality gate
+      |toksq AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      |          FROM documents),
+      |tfq AS (SELECT doc_id, word, count(*) AS tf FROM toksq
+      |        WHERE word <> '' GROUP BY 1, 2),
+      |feat AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |                count(*) AS n_unique, max(tf) AS top_tf
+      |         FROM tfq GROUP BY doc_id),
+      |qkeep AS (SELECT doc_id FROM (
+      |    SELECT doc_id,
+      |           -1.2 + 3.0 * (CAST(n_unique AS DOUBLE) / n_tokens)
+      |               + 0.8 * ln(CAST(n_tokens AS DOUBLE))
+      |               - 2.5 * (CAST(top_tf AS DOUBLE) / n_tokens) AS z
+      |    FROM feat)
+      |  WHERE floor(1.0 / (1.0 + exp(-z)) * 10000 + 0.5) / 10000.0 >= 0.5),
+      |qual AS (SELECT b.* FROM base b JOIN qkeep USING (doc_id)),
+      |-- stage 2: q114 near-dup pipeline on the survivors
+      |tokss AS (SELECT doc_id, string_split(text, ' ') t FROM qual
+      |          WHERE len(string_split(text, ' ')) >= 3),
+      |shq AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |                                      for i in range(1, len(t) - 1)]) s
+      |        FROM tokss),
+      |exq AS (SELECT doc_id, unnest(s) shingle FROM shq),
+      |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) n
+      |          FROM exq a JOIN exq b
+      |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (SELECT a_id, b_id FROM (
+      |    SELECT i.a_id, i.b_id,
+      |           round(i.n::DOUBLE / (len(sa.s) + len(sb.s) - i.n), 4) AS jaccard
+      |    FROM inter i
+      |    JOIN shq sa ON i.a_id = sa.doc_id
+      |    JOIN shq sb ON i.b_id = sb.doc_id)
+      |  WHERE jaccard >= 0.4),
+      |edges AS (SELECT a_id u, b_id v FROM pairs
+      |          UNION ALL SELECT b_id, a_id FROM pairs),
+      |walk(node, label) AS (
+      |  SELECT DISTINCT u, u FROM edges
+      |  UNION
+      |  SELECT e.v, w.label FROM walk w JOIN edges e ON w.node = e.u),
+      |grp AS (SELECT node AS doc_id, min(label) AS group_id FROM walk GROUP BY node),
+      |reps AS (SELECT doc_id FROM (
+      |    SELECT g.doc_id,
+      |           row_number() OVER (PARTITION BY g.group_id
+      |                              ORDER BY q.n_chars DESC, g.doc_id ASC) AS rk
+      |    FROM grp g JOIN qual q USING (doc_id))
+      |  WHERE rk = 1),
+      |dedup AS (SELECT * FROM qual
+      |          WHERE doc_id NOT IN (SELECT doc_id FROM grp)
+      |             OR doc_id IN (SELECT doc_id FROM reps)),
+      |-- stage 3: q135 md5 split draw
+      |spl AS (SELECT *,
+      |               CASE WHEN substring(md5('split|' || doc_id), 1, 1)
+      |                         IN ('0','1','2','3')
+      |                    THEN 'heldout' ELSE 'train' END AS split
+      |        FROM dedup),
+      |train AS (SELECT doc_id, lang, n_tok FROM spl WHERE split = 'train'),
+      |-- stage 4: q129 exact-integer rebalance on train
+      |pl AS (SELECT lang, count(*) AS n_docs FROM train GROUP BY lang),
+      |tt AS (SELECT count(*) AS t_total, count(DISTINCT lang) AS k_langs FROM train),
+      |reb AS (SELECT t.doc_id, t.n_tok
+      |        FROM train t JOIN pl USING (lang) CROSS JOIN tt
+      |        WHERE ((t.doc_id * 2654435761) % 4294967296) * tt.k_langs * pl.n_docs
+      |              < tt.t_total * 4294967296),
+      |-- stage 5: q115 packing of the rebalanced set
+      |pk AS (SELECT CAST(floor((sum(n_tok) OVER (ORDER BY doc_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |               - n_tok) / 512) AS BIGINT) AS batch, n_tok
+      |       FROM reb),
+      |pkb AS (SELECT batch, CAST(sum(n_tok) AS BIGINT) AS n_tok FROM pk GROUP BY batch)
+      |SELECT '00_ingest' AS stage, count(*) AS n_docs,
+      |       CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM base
+      |UNION ALL SELECT '01_quality', count(*), CAST(sum(n_tok) AS BIGINT) FROM qual
+      |UNION ALL SELECT '02_dedup', count(*), CAST(sum(n_tok) AS BIGINT) FROM dedup
+      |UNION ALL SELECT '03_' || split, count(*), CAST(sum(n_tok) AS BIGINT)
+      |          FROM spl GROUP BY split
+      |UNION ALL SELECT '04_rebalanced', count(*), CAST(sum(n_tok) AS BIGINT) FROM reb
+      |UNION ALL SELECT '05_packed', count(*), CAST(sum(n_tok) AS BIGINT) FROM pkb""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q132_epoch_shard", epochShard _, Some(epochShardSql)),
     GraftQuery("q133_length_buckets", lengthBuckets _, Some(lengthBucketsSql)),
@@ -432,5 +606,6 @@ object Curation {
     GraftQuery("q136_ngram_novelty", ngramNovelty _, Some(ngramNoveltySql)),
     GraftQuery("q137_data_card", dataCard _, Some(dataCardSql)),
     GraftQuery("q142_span_corruption", spanCorruption _, Some(spanCorruptionSql)),
-    GraftQuery("q147_corpus_drift", corpusDrift _, Some(corpusDriftSql)))
+    GraftQuery("q147_corpus_drift", corpusDrift _, Some(corpusDriftSql)),
+    GraftQuery("q149_curate", curate _, Some(curateSql)))
 }

@@ -175,8 +175,15 @@ object Dedup {
     * df-ordered prefix filtering (lossless) and a df cap on stop-shingles
     * (lossy) — both left out here where the oracle states exact Jaccard on
     * a corpus the exact join handles. */
-  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = shingledN(Tables.documents(s, d), 3)
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    ngramJaccardOf(Tables.documents(s, d))
+
+  /** Frame variant of q55 — the same shingle/hash/counting-join pipeline
+    * over any (doc_id, text) frame, so compositions (Curation.curate) can
+    * run the dedup stage on an already-filtered corpus instead of the raw
+    * table. */
+  private[graft] def ngramJaccardOf(docs: DataFrame, t: Double = 0.4): DataFrame = {
+    val sh = shingledN(docs, 3)
     // explode_outer, deliberately: plain explode's inferred non-empty/
     // non-null constraints get pushed below the projection, where the alias
     // substitution re-computes the whole shingling expression 2 extra times
@@ -193,7 +200,7 @@ object Dedup {
     val ex = sh.select(col("doc_id"), size(col("sh")).as("n_sh"),
                        explode_outer(col("sh")).as("shingle"))
       .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("shk"))
-    jaccardCountingJoin(ex, 0.4)
+    jaccardCountingJoin(ex, t)
   }
 
   /** The ONE exact-Jaccard counting join, shared by q55 and the

@@ -446,13 +446,22 @@ object Retrieval {
     * lit("") for the stats-only q115 (zero-width), the document text for
     * the q144 assembly. */
   private def packAssignments(s: SparkSession, d: String,
-      payload: org.apache.spark.sql.Column): DataFrame = {
+      payload: org.apache.spark.sql.Column): DataFrame =
+    packAssignmentsOf(s, Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        payload.cast("string").as("payload")))
+
+  /** Frame variant: the same two-pass shard-prefix scheme over any
+    * (doc_id, n_tok, payload) frame — compositions (Curation.curate) pack
+    * a curated subset, not the raw table. */
+  private[llm] def packAssignmentsOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     val shards = s.sparkContext.defaultParallelism
-    val sorted = Tables.documents(s, d)
+    val sorted = docs
       .select(col("doc_id").cast("long").as("_1"),
-        size(split(col("text"), " ")).cast("long").as("_2"),
-        payload.cast("string").as("_3"))
+        col("n_tok").cast("long").as("_2"),
+        col("payload").cast("string").as("_3"))
       .as[(Long, Long, String)]
       .repartitionByRange(shards, col("_1"))
       .sortWithinPartitions("_1")
