@@ -182,7 +182,18 @@ object Similarity {
     * can assert the physical shape (the public entry is eager). */
   private[graft] def knnIvfPlan(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     val e = vecs(s, d).withColumn("norm", sqrt(dot(col("v"), col("v")))).cache()
-    val cents = e.filter(col("vec_id") % 25 === 0)
+    // Centroid count scales as √n, not n: the fixed every-25th stride made
+    // k = n/25, so the broadcast-assignment stage did n·k = n²/25 dot
+    // products — measured superlinear at sf1 (7.4× wall for 10× vectors)
+    // and a genuine scale-killer beyond that. k ≈ √n/2 keeps assignment at
+    // n^1.5 (the classic IVF balance point: probe cost ∝ k + n/k minimizes
+    // near √n) while the stride n/k keeps selection deterministic; at the
+    // sf0.01 gate (n=200) this yields the same k=8/stride=25 set the
+    // pinned golden was generated with.
+    val nVecs = e.count()
+    val kCents = math.max(8L, math.ceil(math.sqrt(nVecs.toDouble) / 2).toLong)
+    val stride = math.max(1L, nVecs / kCents)
+    val cents = e.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cnorm"))
     // nearest-centroid assignment via min_by aggregation: one partial-agg
     // pass, no per-vector sort (a row_number window would shuffle + sort the
