@@ -12,15 +12,19 @@ import org.apache.spark.sql.functions._
   * while perturbing the two content tables so scale-up does NOT fabricate a
   * degenerate duplicate structure:
   *
-  *  - documents: replica i>0 rewrites text through a replica-seeded
-  *    permutation of the (31-word) corpus vocabulary. Token counts, doc
-  *    lengths-in-words and shingle-set sizes are preserved exactly, but
-  *    replica shingle sets are disjoint from the original's, so near-dup
-  *    density (MinHash/SimHash/Jaccard/novelty workloads) scales like a
-  *    genuinely larger corpus instead of every doc acquiring R−1 clones.
-  *    Exact-dup RATE is preserved (each replica keeps sf0.1's internal
-  *    duplicates). n_chars is recomputed to keep the n_chars==len(text)
-  *    invariant.
+  *  - documents: replica i>0 suffixes every token with `_i`, so each
+  *    replica's vocabulary — and therefore its shingle space — is DISJOINT
+  *    from every other's. This models how a real corpus grows (vocabulary
+  *    ∝ size, per-shingle document frequency roughly stable): per-replica
+  *    shingle df equals sf0.1's, near-dup density scales like a genuinely
+  *    larger corpus, and exact-dup RATE is preserved (each replica keeps
+  *    sf0.1's internal duplicates). The first attempt permuted the 31-word
+  *    vocabulary instead — but permuted trigrams still live in the same
+  *    31³ trigram universe, so df grew ∝ R and the exact-Jaccard pair
+  *    joins (Σ df² work) went quadratic in sf: a data artifact, not an
+  *    engine property (at R=50 the q114 join intermediate overflowed local
+  *    disk). Token counts and lengths-in-words are preserved; n_chars is
+  *    recomputed to keep the n_chars==len(text) invariant.
   *  - embeddings: replica i>0 adds xxhash64-seeded elementwise noise at
   *    ~1.0× vector norm and re-normalizes to unit length (the corpus
   *    contract): replica↔original cosine lands ≈ 0.71 — same-cluster-ish,
@@ -102,19 +106,15 @@ object GenData {
     }, r)
     val _ = nUser // sf0.1-derived; documented above
 
-    // documents: per-replica vocabulary permutation
-    val vocab = read("documents")
-      .select(explode(split(col("text"), " ")).as("w"))
-      .distinct().collect().map(_.getString(0)).sorted
+    // documents: per-replica token suffix → disjoint vocabularies/shingle
+    // spaces (see scaladoc for why a vocab permutation is NOT enough)
     write("documents", rep(read("documents")) { (df, i) =>
       if (i == 0) df
       else {
-        val rng = new scala.util.Random(42 + i)
-        val perm = rng.shuffle(vocab.toSeq)
-        val m = map(vocab.zip(perm).flatMap { case (a, b) => Seq(lit(a), lit(b)) }: _*)
         df.withColumn("doc_id", col("doc_id") + lit(i * nDoc))
           .withColumn("text",
-            array_join(transform(split(col("text"), " "), w => element_at(m, w)), " "))
+            array_join(transform(split(col("text"), " "),
+              w => concat(w, lit(s"_$i"))), " "))
           .withColumn("n_chars", length(col("text")).cast("long"))
       }
     }, r)
