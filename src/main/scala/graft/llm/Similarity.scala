@@ -268,22 +268,29 @@ object Similarity {
     *
     * P(bit agrees) = 1 − θ/π; recall for the top-5 (cosine ≳ 0.5 on this
     * corpus) ≈ 1 − (1 − p^B)^L — LlmSpec asserts it against knnBrute. */
-  def knnLsh(s: SparkSession, d: String): DataFrame = {
-    val (top, cached) = knnLshPlan(s, d)
+  /** `bits`/`tables` are the LSH capacity levers (parameters for the same
+    * reason as semDedup's k): candidate fraction ≈ L/2^B of the corpus, so
+    * as n grows a deployment raises B (and L to hold recall ≈
+    * 1 − (1 − p^B)^L). Defaults reproduce the registered q56 golden on the
+    * shallow synthetic corpus. */
+  def knnLsh(s: SparkSession, d: String,
+             bits: Int = LshBits, tables: Int = LshTables): DataFrame = {
+    val (top, cached) = knnLshPlan(s, d, bits, tables)
     // see knnIvf: eager bounded result + unpersist, no cache outliving the call
     try eagerTopK(s, top) finally cached.foreach(_.unpersist(false))
   }
 
   /** Lazy plan + the cached frames it reads (see knnIvfPlan). */
-  private[graft] def knnLshPlan(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+  private[graft] def knnLshPlan(s: SparkSession, d: String,
+      bits: Int = LshBits, tables: Int = LshTables): (DataFrame, Seq[DataFrame]) = {
     val e = vecs(s, d).withColumn("norm", sqrt(dot(col("v"), col("v"))))
     val dim = Tables.embeddings(s, d).select(size(col("embedding"))).head.getInt(0)
-    val planes = hyperplanes(dim, LshTables, LshBits)
+    val planes = hyperplanes(dim, tables, bits)
     // materialize the signatures once — the frame feeds both the query-
     // bucket lookup and the corpus side of the candidate join
     val withBuckets = e.select(col("vec_id"), col("v"), col("norm"),
-      posexplode(array((0 until LshTables).map(t =>
-        signature(planes, LshBits, t)): _*)).as(Seq("tbl", "bucket")))
+      posexplode(array((0 until tables).map(t =>
+        signature(planes, bits, t)): _*)).as(Seq("tbl", "bucket")))
       .cache()
     val qb = withBuckets.filter(col("vec_id") === 0)
       .select(col("tbl").as("q_tbl"), col("bucket").as("q_bucket"),
@@ -820,7 +827,7 @@ object Similarity {
     GraftQuery("q38_cosine_neardup", cosineNearDup _, Some(cosineNearDupSql)),
     GraftQuery("q39_knn_brute", knnBrute _, Some(knnBruteSql)),
     GraftQuery("q40_knn_ivf", knnIvf _, Some(annGoldenSql)),
-    GraftQuery("q56_knn_lsh", knnLsh _, Some(annGoldenSql)),
+    GraftQuery("q56_knn_lsh", (s: SparkSession, d: String) => knnLsh(s, d), Some(annGoldenSql)),
     GraftQuery("q70_knn_quantized", knnQuantized _, Some(annGoldenSql)),
     GraftQuery("q130_knn_pq", (s: SparkSession, d: String) => knnPq(s, d),
       Some(graft.core.Goldens.load("q130_knn_pq"))),

@@ -132,7 +132,7 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("q56: LSH candidate generation is a broadcast equi-join + TakeOrdered top-k") {
-    val p = lazyPlan(graft.llm.Similarity.knnLshPlan)
+    val p = lazyPlan((s, d) => graft.llm.Similarity.knnLshPlan(s, d))
     assert(!p.contains("CartesianProduct"), s"q56 has a cartesian product:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"q56 top-k fell back to a global sort:\n$p")
   }
