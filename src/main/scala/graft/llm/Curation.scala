@@ -457,7 +457,15 @@ object Curation {
     * same rationale as q114's pair checkpoint). Funnel rows are six tiny
     * aggregates unioned — each a partial-agg count over an
     * already-materialized frame. */
-  def curate(s: SparkSession, d: String): DataFrame = {
+  /** `candidates` picks the pair-generation strategy for stage 2:
+    * "exact" (default, the oracle shape — full inverted-index Jaccard
+    * join) or "minhash" — banded-LSH candidates + exact confirm at the
+    * same 0.4 threshold, the form a 100 TB run uses (pair work ∝ LSH
+    * collisions instead of Σ df²). On a bimodal near-dup corpus the two
+    * funnels are identical (recall ≈ 1 at J ≥ 0.4 with 16×2 banding);
+    * CurationSpec pins that equivalence. */
+  def curate(s: SparkSession, d: String,
+             candidates: String = "exact"): DataFrame = {
     val base = Tables.documents(s, d)
       .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
@@ -466,8 +474,13 @@ object Curation {
       .join(qualityLogit(s, d).filter(col("keep")).select("doc_id"), "doc_id")
       .localCheckpoint(true)
     // 2. near-dup dedup on the survivors
-    val pairs = Dedup.ngramJaccardOf(qual.select("doc_id", "text"))
-      .select("a_id", "b_id").localCheckpoint(true)
+    val rawPairs = candidates match {
+      case "minhash" => Dedup.minhashNearDupOf(qual.select("doc_id", "text"), 0.4)
+      case "exact"   => Dedup.ngramJaccardOf(qual.select("doc_id", "text"))
+      case other     => throw new IllegalArgumentException(
+        s"unknown candidates strategy '$other' (expected exact|minhash)")
+    }
+    val pairs = rawPairs.select("a_id", "b_id").localCheckpoint(true)
     val groups = Dedup.dedupGroupsFromPairs(pairs)
     val reps = groups.join(qual.select("doc_id", "n_chars"), "doc_id")
       .groupBy("group_id")
@@ -607,5 +620,5 @@ object Curation {
     GraftQuery("q137_data_card", dataCard _, Some(dataCardSql)),
     GraftQuery("q142_span_corruption", spanCorruption _, Some(spanCorruptionSql)),
     GraftQuery("q147_corpus_drift", corpusDrift _, Some(corpusDriftSql)),
-    GraftQuery("q149_curate", curate _, Some(curateSql)))
+    GraftQuery("q149_curate", (s: SparkSession, d: String) => curate(s, d), Some(curateSql)))
 }

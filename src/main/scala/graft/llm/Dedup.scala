@@ -96,10 +96,22 @@ object Dedup {
     try pairs.localCheckpoint(true) finally cached.foreach(_.unpersist(false))
   }
 
+  /** Eager frame variant at an explicit confirm threshold — the at-scale
+    * candidate generator for compositions (Curation.curate's "minhash"
+    * strategy): same banded-LSH candidates + exact confirm, over any
+    * (doc_id, text) frame. */
+  private[graft] def minhashNearDupOf(docs: DataFrame, t: Double): DataFrame = {
+    val (pairs, cached) = minhashPlanOf(docs, t)
+    try pairs.localCheckpoint(true) finally cached.foreach(_.unpersist(false))
+  }
+
   /** Lazy plan + the cached frames it reads — split out so PlanQualitySpec
     * can assert the physical shape (the public entry is eager). */
-  private[graft] def minhashNearDupPlan(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
-    val sh = shingled(Tables.documents(s, d)).cache()
+  private[graft] def minhashNearDupPlan(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) =
+    minhashPlanOf(Tables.documents(s, d), 0.5)
+
+  private def minhashPlanOf(docs: DataFrame, t: Double): (DataFrame, Seq[DataFrame]) = {
+    val sh = shingled(docs).cache()
     val sig = minhashSignature(sh)
     val numBands = NumHashes / BandRows
     // cache the (doc_id, band, bv) triples: the band SELF-join otherwise
@@ -133,7 +145,7 @@ object Dedup {
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard",
         round(col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= t)
       .select("a_id", "b_id", "jaccard")
     (pairs, Seq(sh, bands))
   }

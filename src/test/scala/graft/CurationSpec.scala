@@ -157,6 +157,18 @@ class CurationSpec extends AnyFunSuite {
       "no stage dropped anything — the funnel is a no-op on this corpus")
   }
 
+  test("q149: minhash candidate strategy produces the identical funnel") {
+    // the at-scale form (banded-LSH candidates + exact confirm) must agree
+    // with the oracle-shaped exact inverted-index join on a bimodal
+    // near-dup corpus — LSH recall ≈ 1 at J ≥ 0.4 with 16×2 banding, and
+    // the confirm threshold is shared, so any divergence is a bug
+    val exact = Curation.curate(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val mh = Curation.curate(spark, sf, candidates = "minhash").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(mh == exact, s"strategy divergence:\n exact=$exact\n minhash=$mh")
+  }
+
   test("q137: rollup subtotals reconcile with the grand total") {
     val rows = Curation.dataCard(spark, sf).collect()
     def level(gs: Int, gl: Int) =
