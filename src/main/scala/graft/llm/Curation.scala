@@ -620,5 +620,12 @@ object Curation {
     GraftQuery("q137_data_card", dataCard _, Some(dataCardSql)),
     GraftQuery("q142_span_corruption", spanCorruption _, Some(spanCorruptionSql)),
     GraftQuery("q147_corpus_drift", corpusDrift _, Some(corpusDriftSql)),
-    GraftQuery("q149_curate", (s: SparkSession, d: String) => curate(s, d), Some(curateSql)))
+    GraftQuery("q149_curate", (s: SparkSession, d: String) => curate(s, d), Some(curateSql)),
+    // the at-scale strategy, gated against the SAME oracle: LSH recall ≈ 1
+    // at J ≥ 0.4 under 16×2 banding makes the funnels provably identical
+    // (CurationSpec pins it); a hash mismatch here means the minhash path
+    // dropped or invented a duplicate group
+    GraftQuery("q149b_curate_minhash",
+      (s: SparkSession, d: String) => curate(s, d, candidates = "minhash"),
+      Some(curateSql)))
 }
