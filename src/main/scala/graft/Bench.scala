@@ -179,9 +179,21 @@ object Bench {
     val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},$calib,"queries":$fullQs,"rerun_detail":$rerunQs,"floor_stale":$staleQs,"sf":"$sfDir"}"""
     // SPARK_GRAFT_OUT redirects the full-detail artifact (e.g. a scale run
     // at sf1 → BENCH_sf1.json); without it, never let a filtered run
-    // overwrite the committed full-suite sf0.1 artifact
+    // overwrite the committed full-suite sf0.1 artifact. A filtered run
+    // must not reach a committed full-suite artifact even via the
+    // redirect: SPARK_GRAFT_ONLY + SPARK_GRAFT_OUT=BENCH_local.json (or a
+    // driver-round BENCH_rN name) would silently replace a 165-query
+    // artifact with a partial one. BENCH_sf* stays writable — the sf5
+    // heavy subset is BY DESIGN a filtered run redirected there.
     val outPath = sys.env.get("SPARK_GRAFT_OUT")
-    if (outPath.isDefined || only.isEmpty) try {
+    val protectedName = outPath.exists { p =>
+      val f = java.nio.file.Paths.get(p).getFileName.toString
+      f == "BENCH_local.json" || f.matches("BENCH_r\\d+\\.json")
+    }
+    if (only.nonEmpty && protectedName)
+      System.err.println(s"REFUSING to write filtered run (${results.size} queries) to " +
+        s"committed artifact name ${outPath.get}; choose a different SPARK_GRAFT_OUT")
+    else if (outPath.isDefined || only.isEmpty) try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outPath.getOrElse("BENCH_local.json")),
         (full + "\n").getBytes("UTF-8"))

@@ -30,22 +30,34 @@ import org.apache.spark.sql.functions._
   *    contract): replica↔original cosine lands ≈ 0.71 — same-cluster-ish,
   *    but safely below the ≥0.8 near-dup band, so ANN/near-dup workloads
   *    see 10× organic-looking vectors, not 10-cliques of planted dups.
-  *  - events keeps its raw ns-long `ts` column untouched (same dtype path
-  *    the driver files exercise through Tables.events); 10× density in the
-  *    same 30-day window.
+  *  - events: two modes via the optional 4th arg. Default ("dense") keeps
+  *    `ts` untouched (whatever dtype the driver generated — ns-long or
+  *    timestamp[µs]; Tables.events normalizes both) — R× density in the
+  *    same ~30-day window, which makes time-band joins (q09, ±1h) grow
+  *    ∝ R² in OUTPUT pairs: a corpus artifact, useful for stress but not
+  *    for measuring the join. "spread" shifts replica i's timestamps by
+  *    i·(span+2h), so events/hour stays constant (the window extends ∝ R,
+  *    replicas are separated by more than the ±1h join band → zero
+  *    cross-replica pairs) and q09's scale curve measures the banded join
+  *    itself.
   *
   * region/nation are fixed dimensions and copy through unchanged, so
   * nationkey/regionkey foreign keys stay valid without offsets.
   *
-  * Deterministic: vocab permutations come from scala.util.Random(42+i),
-  * embedding noise from xxhash64(vec_id, i, element-index). No wall-clock
-  * anywhere, so reruns are byte-stable modulo parquet part layout.
+  * Deterministic: document perturbation is a per-replica token SUFFIX
+  * (`word_i` — no randomness), embedding noise comes from
+  * xxhash64(vec_id, i, element-index), and key/user/timestamp offsets are
+  * measured from src. No wall-clock anywhere, so reruns are byte-stable
+  * modulo parquet part layout.
   */
 object GenData {
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val out = args(1)
     val r = args(2).toInt
+    val eventsMode = if (args.length > 3) args(3) else "dense"
+    require(eventsMode == "dense" || eventsMode == "spread",
+      s"events mode must be dense|spread: $eventsMode")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -73,7 +85,6 @@ object GenData {
     val nPart = read("part").count()
     val nSupp = read("supplier").count()
     val nEv   = read("events").count()
-    val nUser = 1500L * (nEv / 100000L).max(1L) // sf0.1 has user_id 0..1499
     val nDoc  = read("documents").count()
     val nVec  = read("embeddings").count()
 
@@ -100,11 +111,40 @@ object GenData {
         .withColumn("l_suppkey", col("l_suppkey") + lit(i * nSupp))
     }, 2 * r)
 
-    write("events", rep(read("events")) { (df, i) =>
-      df.withColumn("event_id", col("event_id") + lit(i * nEv))
-        .withColumn("user_id", col("user_id") + lit(i * 1500L))
+    // offsets measured from src (not assumed-sf0.1 constants) so chaining
+    // GenData output as src never collides replica user_ids / timestamps
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val ev = read("events")
+    val tsType = ev.schema("ts").dataType
+    // normalize ts to a long for span measurement / shifting: raw ns for
+    // the LongType generator variant, epoch µs for the timestamp variants
+    // (NTZ reinterprets under the session zone — GenData pins UTC, same
+    // contract Tables.events asserts)
+    def tsLong(c: org.apache.spark.sql.Column) = tsType match {
+      case LongType => c
+      case _        => unix_micros(c.cast(TimestampType))
+    }
+    val evStats = ev.agg(max(col("user_id").cast("long")).as("mu"),
+        min(tsLong(col("ts"))).as("t0"), max(tsLong(col("ts"))).as("t1"))
+      .collect()(0)
+    val nUserSrc = evStats.getAs[Long]("mu") + 1L
+    // shift stride = span + 2h (> the ±1h q09 band, so replicas can never
+    // form cross-replica pairs under "spread")
+    val twoHours = if (tsType == LongType) 2L * 3600L * 1000000000L else 2L * 3600L * 1000000L
+    val tsStride = (evStats.getAs[Long]("t1") - evStats.getAs[Long]("t0")) + twoHours
+    def tsShift(c: org.apache.spark.sql.Column, delta: Long) = tsType match {
+      case LongType         => c + lit(delta)
+      case TimestampNTZType => timestamp_micros(unix_micros(c.cast(TimestampType)) + lit(delta))
+        .cast(TimestampNTZType)
+      case _                => timestamp_micros(unix_micros(c) + lit(delta))
+    }
+
+    write("events", rep(ev) { (df, i) =>
+      val base = df.withColumn("event_id", col("event_id") + lit(i * nEv))
+        .withColumn("user_id", col("user_id") + lit(i * nUserSrc))
+      if (eventsMode == "spread" && i > 0) base.withColumn("ts", tsShift(col("ts"), i * tsStride))
+      else base
     }, r)
-    val _ = nUser // sf0.1-derived; documented above
 
     // documents: per-replica token suffix → disjoint vocabularies/shingle
     // spaces (see scaladoc for why a vocab permutation is NOT enough)

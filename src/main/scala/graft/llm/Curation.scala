@@ -461,9 +461,10 @@ object Curation {
     * "exact" (default, the oracle shape — full inverted-index Jaccard
     * join) or "minhash" — banded-LSH candidates + exact confirm at the
     * same 0.4 threshold, the form a 100 TB run uses (pair work ∝ LSH
-    * collisions instead of Σ df²). On a bimodal near-dup corpus the two
-    * funnels are identical (recall ≈ 1 at J ≥ 0.4 with 16×2 banding);
-    * CurationSpec pins that equivalence. */
+    * collisions instead of Σ df²). minhashNearDupOf widens to 32×2 banding
+    * below t=0.5, so candidate recall is ≥ 0.996 at the J=0.4 margin
+    * itself — the exact-funnel equivalence no longer leans on the corpus
+    * being bimodal; CurationSpec pins it. */
   def curate(s: SparkSession, d: String,
              candidates: String = "exact"): DataFrame = {
     val base = Tables.documents(s, d)

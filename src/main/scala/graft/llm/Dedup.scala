@@ -63,18 +63,19 @@ object Dedup {
     * and allocate per row, while min-aggregates collapse map-side inside
     * WholeStageCodegen. Any LSH quality loss from double hashing is
     * irrelevant: candidates are confirmed with exact Jaccard afterwards. */
-  def minhashSignature(sh: DataFrame): DataFrame = {
+  def minhashSignature(sh: DataFrame, nHashes: Int = NumHashes): DataFrame = {
+    require(nHashes >= 1 && nHashes <= 64, s"nHashes must be in [1,64]: $nHashes")
     def rot(h: Column, i: Int): Column =
       if (i == 0) h
       else shiftleft(h, i).bitwiseOR(shiftrightunsigned(h, 64 - i))
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"),
         xxhash64(col("s")).as("h1"), xxhash64(lit("km2"), col("s")).as("h2"))
-    val mins = (0 until NumHashes).map(i =>
+    val mins = (0 until nHashes).map(i =>
       min(col("h1").bitwiseXOR(rot(col("h2"), i))).as(s"m$i"))
     ex.groupBy("doc_id").agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
-        array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
+        array((0 until nHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
 
   /** Near-dup pairs via MinHash + LSH banding + exact-Jaccard confirmation.
@@ -99,9 +100,18 @@ object Dedup {
   /** Eager frame variant at an explicit confirm threshold — the at-scale
     * candidate generator for compositions (Curation.curate's "minhash"
     * strategy): same banded-LSH candidates + exact confirm, over any
-    * (doc_id, text) frame. */
+    * (doc_id, text) frame.
+    *
+    * Banding scales with the confirm threshold so recall ≈ 1 holds AT THE
+    * MARGIN, not just for a bimodal corpus: with B bands of 2 rows the
+    * candidate probability at Jaccard exactly t is 1-(1-t²)^B. The default
+    * 16 bands give 0.94 at t=0.4 (fine at t=0.5: 0.99); for t < 0.5 we
+    * double to 32 bands (64-hash signature) → 1-(0.84)³² ≈ 0.996 at the
+    * t=0.4 margin, rising steeply above it. Cost is 2× min-aggregates in
+    * the signature pass — map-side, linear in corpus size. */
   private[graft] def minhashNearDupOf(docs: DataFrame, t: Double): DataFrame = {
-    val (pairs, cached) = minhashPlanOf(docs, t)
+    val numBands = if (t < 0.5) 32 else NumHashes / BandRows
+    val (pairs, cached) = minhashPlanOf(docs, t, numBands)
     try pairs.localCheckpoint(true) finally cached.foreach(_.unpersist(false))
   }
 
@@ -110,10 +120,10 @@ object Dedup {
   private[graft] def minhashNearDupPlan(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) =
     minhashPlanOf(Tables.documents(s, d), 0.5)
 
-  private def minhashPlanOf(docs: DataFrame, t: Double): (DataFrame, Seq[DataFrame]) = {
+  private def minhashPlanOf(docs: DataFrame, t: Double,
+                            numBands: Int = NumHashes / BandRows): (DataFrame, Seq[DataFrame]) = {
     val sh = shingled(docs).cache()
-    val sig = minhashSignature(sh)
-    val numBands = NumHashes / BandRows
+    val sig = minhashSignature(sh, numBands * BandRows)
     // cache the (doc_id, band, bv) triples: the band SELF-join otherwise
     // computes the whole signature pipeline (explode + 32 min-aggs +
     // shuffle) once per side — the two subtrees get distinct attribute ids

@@ -190,7 +190,14 @@ object Similarity {
     // near √n) while the stride n/k keeps selection deterministic; at the
     // sf0.01 gate (n=200) this yields the same k=8/stride=25 set the
     // pinned golden was generated with.
-    val nVecs = e.count()
+    //
+    // Counted from a SEPARATE bare parquet read, not e.count(): a count on
+    // the raw scan collapses to footer row-counts (no column IO, nothing
+    // cached), whereas e.count() would materialize the cached+normalized
+    // corpus during PLAN CONSTRUCTION — breaking the lazy-plan contract
+    // Explain/PlanQualitySpec rely on. The eager knnIvf path re-reads the
+    // footers once (~ms) — cheaper than an early cache materialization.
+    val nVecs = s.read.parquet(s"$d/embeddings.parquet").count()
     val kCents = math.max(8L, math.ceil(math.sqrt(nVecs.toDouble) / 2).toLong)
     val stride = math.max(1L, nVecs / kCents)
     val cents = e.filter(col("vec_id") % stride === 0)
