@@ -409,6 +409,123 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q148 centroid join must broadcast, not sort-merge:\n$p")
   }
 
+  /** Blanket sweep: the targeted gates above pin ~40 named plans; this
+    * loop closes the induction gap for the REST of the registry (and for
+    * every future registration) — no plan anywhere may contain an
+    * unpartitioned WindowExec (moves the whole input to one task) or a
+    * CartesianProduct / BroadcastNestedLoopJoin (quadratic pair work)
+    * unless the site is whitelisted below with a boundedness argument.
+    *
+    * Eager queries (localCheckpoint/eagerTopK entries) are swept on their
+    * lazy `…Plan` builders via Explain.lazyPlans where one exists — the
+    * registered form's plan is a bare scan of the materialized result.
+    * Compositions (q114, q149*) replay constituent plans that the sweep
+    * already covers standalone; subtrees hidden behind cache/checkpoint
+    * boundaries (InMemoryRelation) are covered the same way. The walk is
+    * the pre-AQE physical plan including expression subqueries. */
+  test("blanket sweep: no unpartitioned window / cartesian / nested-loop in any registered plan") {
+    import org.apache.spark.sql.catalyst.expressions.PlanExpression
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // Whitelisted (query, operator) sites — each bounded by construction
+    // (audited at the named source line; a NEW query hitting these
+    // operators fails the sweep until its own bounded-ness is argued here):
+    val allow: Set[(String, String)] = Set(
+      // ANN family (Similarity.scala): the nested-loop is
+      // crossJoin(broadcast(q)) — a single query-vector row — or the
+      // centroid assignment crossJoin(broadcast(cents)) with k ≈ √n
+      // centroids (the documented IVF n^1.5 balance; q98 k-means uses the
+      // same shape with constant k). The global windows rank the bounded
+      // post-shortlist candidate set (≤ tables·2^bits buckets / top-N
+      // limit upstream), never the corpus.
+      ("q39_knn_brute", "global-window"), ("q39_knn_brute", "nested-loop"),
+      ("q40_knn_ivf", "global-window"), ("q40_knn_ivf", "nested-loop"),
+      ("q56_knn_lsh", "global-window"),
+      ("q70_knn_quantized", "global-window"), ("q70_knn_quantized", "nested-loop"),
+      ("q130_knn_pq", "global-window"), ("q130_knn_pq", "nested-loop"),
+      ("q98_ivf_train", "nested-loop"),
+      ("q139_hard_negatives", "nested-loop"),
+      // Bitext/decontam (Similarity.scala:726,775): query/heldout side is
+      // a label-bounded tiny frame, broadcast by hint.
+      ("q141_semantic_decontam", "nested-loop"), ("q143_bitext_mine", "nested-loop"),
+      // Single-row grand-total / corpus-stats broadcasts:
+      // TextAnalysis.scala:218 (vocab total), Retrieval.scala:54,101
+      // (tfidf/bm25 N+avgdl), Retrieval.scala:613 (ppl cuts),
+      // Curation.scala:400,504 (mixture totals), Relational6 q65 /
+      // Relational7 q72 (sketch-vs-exact compare row).
+      ("q100_vocab", "nested-loop"), ("q86_tfidf", "nested-loop"),
+      ("q87_bm25", "nested-loop"), ("q138_ppl_buckets", "nested-loop"),
+      ("q129_mixture_rebalance", "nested-loop"), ("q65_heavy_hitters", "nested-loop"),
+      ("q72_hll_sketch", "nested-loop"), ("q147_corpus_drift", "nested-loop"),
+      // Post-limit / sketch-output rank windows — input is ≤ 20 rows by
+      // construction: TextAnalysis.scala:217 (top-20 via
+      // TakeOrderedAndProject FIRST), Relational11 q116 (≤ 5 sketch rows),
+      // Retrieval.scala:346 (q122 fuses two bounded top-k lists).
+      ("q100_vocab", "global-window"), ("q116_approx_top_k", "global-window"),
+      ("q122_hybrid_rrf", "global-window"), ("q122_hybrid_rrf", "nested-loop"))
+    def offenders(df: DataFrame): Seq[String] = {
+      // manual subquery recursion: collectWithSubqueries casts every
+      // PlanExpression plan to SparkPlan, but at the sparkPlan stage
+      // scalar subqueries may still hold LOGICAL plans (they are planned
+      // in prepareForExecution) — plan those standalone and keep walking
+      def walk(p: SparkPlan): Seq[String] = {
+        val here = p.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => "global-window"
+          case _: CartesianProductExec                  => "cartesian"
+          case _: BroadcastNestedLoopJoinExec           => "nested-loop"
+        }
+        val subPlans = p.collect { case n =>
+          n.expressions.flatMap(_.collect { case pe: PlanExpression[_] => pe.plan })
+        }.flatten
+        here ++ subPlans.flatMap {
+          case sp: SparkPlan   => walk(sp)
+          case lp: LogicalPlan => walk(spark.sessionState.executePlan(lp).sparkPlan)
+          case _               => Nil
+        }
+      }
+      walk(df.queryExecution.sparkPlan).distinct
+    }
+    val found: Seq[(String, String)] = SparkEntry.registry.sortBy(_.name).flatMap { q =>
+      val ops =
+        try Explain.lazyPlans.get(q.name) match {
+          case Some(build) =>
+            val (df, cached) = build(spark, sf)
+            try offenders(df) finally cached.foreach(_.unpersist(false))
+          case None => offenders(q.run(spark, sf))
+        } catch { case e: Throwable => Seq(s"BUILD FAILED: ${e.getMessage}") }
+      ops.map(q.name -> _)
+    }
+    val bad = found.filterNot(allow).map { case (q, op) => s"$q: $op" }
+    assert(bad.isEmpty, s"unwhitelisted scale-hostile operators:\n${bad.mkString("\n")}")
+    // a whitelist entry that no plan exercises is a latent hole: it would
+    // silently admit a FUTURE regression at that (query, operator) — prune
+    val stale = allow.diff(found.toSet)
+    assert(stale.isEmpty, s"stale whitelist entries (prune them): ${stale.mkString(", ")}")
+  }
+
+  /** Registry/floor-table consistency: the starvation protocol's FLOOR
+    * signal only protects queries with a floor row, and a row for an
+    * unregistered name is dead weight that hides a rename. Regenerate with
+    * tools/update_floors.py after registering a query (it appends the new
+    * query's first clean BENCH_local.json wall as its initial floor). */
+  test("every registered query has a bench floor row, and every floor row is registered") {
+    val in = getClass.getResourceAsStream("/graft/bench_floors.txt")
+    assert(in != null, "bench_floors.txt resource missing")
+    val floors = try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+      .map(_.split(" ")(0)).toSet
+    finally in.close()
+    val registered = SparkEntry.registry.map(_.name).toSet
+    val missing = registered.diff(floors)
+    val orphaned = floors.diff(registered)
+    assert(missing.isEmpty,
+      s"registered queries without a bench floor (run tools/update_floors.py): ${missing.toSeq.sorted.mkString(", ")}")
+    assert(orphaned.isEmpty,
+      s"floor rows for unregistered queries (stale rename?): ${orphaned.toSeq.sorted.mkString(", ")}")
+  }
+
   test("whole-stage codegen covers the scan-to-aggregate pipeline of q02") {
     // AQE finalizes the plan lazily — execute, then inspect the final plan
     val df = SparkEntry.queries("q02_agg_pricing")(spark, sf)
