@@ -290,6 +290,22 @@ object Similarity {
   /** Lazy plan + the cached frames it reads (see knnIvfPlan). */
   private[graft] def knnLshPlan(s: SparkSession, d: String,
       bits: Int = LshBits, tables: Int = LshTables): (DataFrame, Seq[DataFrame]) = {
+    val (cand, withBuckets) = knnLshParts(s, d, bits, tables)
+    val top = cand
+      .withColumn("cosine", round(dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 4))
+      .orderBy(col("cosine").desc, col("vec_id").asc).limit(5)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col("vec_id").asc)))
+      .select(col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
+    (top, Seq(withBuckets))
+  }
+
+  /** Candidate stage of the LSH probe, exposed so LshStudy can measure the
+    * CANDIDATE FRACTION (|cand| / (n−1)) directly — the quantity the
+    * bits/tables capacity rule controls (≈ min(1, L/2^B) on uniform
+    * buckets). Returns (candidates, the cached bucket frame to unpersist). */
+  private[graft] def knnLshParts(s: SparkSession, d: String,
+      bits: Int, tables: Int): (DataFrame, DataFrame) = {
     val e = vecs(s, d).withColumn("norm", sqrt(dot(col("v"), col("v"))))
     val dim = Tables.embeddings(s, d).select(size(col("embedding"))).head.getInt(0)
     val planes = hyperplanes(dim, tables, bits)
@@ -308,13 +324,7 @@ object Similarity {
       .groupBy("vec_id")
       .agg(first(col("v")).as("v"), first(col("norm")).as("norm"),
            first(col("qv")).as("qv"), first(col("qnorm")).as("qnorm"))
-    val top = cand
-      .withColumn("cosine", round(dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 4))
-      .orderBy(col("cosine").desc, col("vec_id").asc).limit(5)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("cosine").desc, col("vec_id").asc)))
-      .select(col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
-    (top, Seq(withBuckets))
+    (cand, withBuckets)
   }
 
   // ---------------------------------------------------------------- knn quantized
@@ -659,19 +669,42 @@ object Similarity {
     * construction (recall vs the brute q139 asserted in LlmSpec, the
     * q40/q56/q130 contract); deterministic end-to-end (fixed planes,
     * round-4 cosines, vec_id tiebreak) → pinned sf0.01 golden. */
-  def hardNegativesLsh(s: SparkSession, d: String): DataFrame = {
-    val (top, cached) = hardNegativesLshPlan(s, d)
+  /** `bits`/`tables` are the same capacity levers as knnLsh's — candidate
+    * PAIRS grow ≈ queries·L·n/2^B at fixed parameters, the steepest
+    * measured growth curve in the sf5 run, so a deployment raises B with n
+    * here first. Defaults reproduce the registered q139b golden. */
+  def hardNegativesLsh(s: SparkSession, d: String,
+      bits: Int = LshBits, tables: Int = LshTables): DataFrame = {
+    val (top, cached) = hardNegativesLshPlan(s, d, bits, tables)
     try eagerTopK(s, top) finally cached.foreach(_.unpersist(false))
   }
 
   /** Lazy plan + the cached frames it reads (see knnIvfPlan). */
-  private[graft] def hardNegativesLshPlan(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+  private[graft] def hardNegativesLshPlan(s: SparkSession, d: String,
+      bits: Int = LshBits, tables: Int = LshTables): (DataFrame, Seq[DataFrame]) = {
+    val (cand, withBuckets) = hardNegativesLshParts(s, d, bits, tables)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val top = cand
+      .withColumn("cosine",
+        round(dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= NegK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cosine"))
+    (top, Seq(withBuckets))
+  }
+
+  /** Candidate-pair stage (see knnLshParts): LshStudy measures
+    * |cand| / (queries·(n−1)) against the L/2^B rule. */
+  private[graft] def hardNegativesLshParts(s: SparkSession, d: String,
+      bits: Int, tables: Int): (DataFrame, DataFrame) = {
     val e = vecs(s, d).withColumn("norm", sqrt(dot(col("v"), col("v"))))
     val dim = Tables.embeddings(s, d).select(size(col("embedding"))).head.getInt(0)
-    val planes = hyperplanes(dim, LshTables, LshBits)
+    val planes = hyperplanes(dim, tables, bits)
     val withBuckets = e.select(col("vec_id"), col("label"), col("v"), col("norm"),
-      posexplode(array((0 until LshTables).map(t =>
-        signature(planes, LshBits, t)): _*)).as(Seq("tbl", "bucket")))
+      posexplode(array((0 until tables).map(t =>
+        signature(planes, bits, t)): _*)).as(Seq("tbl", "bucket")))
       .cache()
     val qb = withBuckets.filter(col("vec_id") < NegQueries)
       .select(col("vec_id").as("query_id"), col("label").as("q_label"),
@@ -686,16 +719,7 @@ object Similarity {
       .groupBy("query_id", "vec_id")
       .agg(first(col("v")).as("v"), first(col("norm")).as("norm"),
         first(col("qv")).as("qv"), first(col("qnorm")).as("qnorm"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-    val top = cand
-      .withColumn("cosine",
-        round(dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 4))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= NegK)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        col("cosine"))
-    (top, Seq(withBuckets))
+    (cand, withBuckets)
   }
 
   // ---------------------------------------------------------------- q141
@@ -840,7 +864,8 @@ object Similarity {
       Some(graft.core.Goldens.load("q130_knn_pq"))),
     GraftQuery("q98_ivf_train", ivfTrain _, ivfTrainGoldenSql),
     GraftQuery("q139_hard_negatives", hardNegatives _, Some(hardNegativesSql)),
-    GraftQuery("q139b_hard_negatives_lsh", hardNegativesLsh _,
+    GraftQuery("q139b_hard_negatives_lsh",
+      (s: SparkSession, d: String) => hardNegativesLsh(s, d),
       Some(graft.core.Goldens.load("q139b_hard_negatives_lsh"))),
     GraftQuery("q141_semantic_decontam", semanticDecontam _, Some(semanticDecontamSql)),
     GraftQuery("q143_bitext_mine", bitextMine _, Some(bitextMineSql)),

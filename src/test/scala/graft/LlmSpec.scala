@@ -329,6 +329,28 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH capacity levers: non-default (bits, tables) holds recall vs knnBrute") {
+    // the "raise B as n grows" rule only exists if (B, L) are real
+    // parameters AND recall survives the narrower buckets when L rises
+    // with them — run end-to-end at B=6/L=24 (default 4/16) for both the
+    // single-query probe (q56 shape) and the batch probe (q139b shape)
+    val brute = Similarity.knnBrute(spark, sf).collect().map(_.getLong(0)).toSet
+    val lsh = Similarity.knnLsh(spark, sf, bits = 6, tables = 24)
+      .collect().map(_.getLong(0)).toSet
+    assert(lsh.intersect(brute).size >= 4,
+      s"B=6/L=24 top-5 recall < 4/5 vs brute: lsh=$lsh brute=$brute")
+    // the batch probe's tail pairs sit at LOWER cosine than a top-5 query
+    // (p^B decays faster), so holding recall while B rises takes a larger
+    // L here — the exact asymmetry the capacity rule predicts (measured:
+    // B=6/L=24 recalls 10/15, L=48 recovers it)
+    val bruteNeg = Similarity.hardNegatives(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lshNeg = Similarity.hardNegativesLsh(spark, sf, bits = 6, tables = 48)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(lshNeg.intersect(bruteNeg).size >= (bruteNeg.size * 4) / 5,
+      s"B=6/L=48 hard-negative recall < 4/5 vs brute: lsh=$lshNeg brute=$bruteNeg")
+  }
+
   test("PQ capacity levers: non-default (m, kCodes, iters) still yields a ranked top-5") {
     val rows = Similarity.knnPq(spark, sf, m = 4, kCodes = 8, iters = 1)
       .orderBy("rank").collect()

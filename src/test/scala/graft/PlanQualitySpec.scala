@@ -138,7 +138,7 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("q139b: probe-fed hard negatives never scan-join the corpus — broadcast bucket probe only") {
-    val p = lazyPlan(graft.llm.Similarity.hardNegativesLshPlan)
+    val p = lazyPlan((s, d) => graft.llm.Similarity.hardNegativesLshPlan(s, d))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"q139b fell back to an all-pairs corpus join:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"probe set is not broadcast:\n$p")
