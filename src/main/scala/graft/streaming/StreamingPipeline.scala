@@ -280,16 +280,33 @@ object StreamingPipeline {
     * generator switched (the r04 driver-artifact gap for q20b/q51b). One
     * driver-side footer probe supplies the schema — the file source never
     * re-infers. */
+  /** Streaming file-source scan of one sf table, layout-agnostic. The
+    * driver's testdata ships each table as a SINGLE parquet file
+    * (`$d/events.parquet` is a file), while Spark-written corpora
+    * (GenData scale-up output) make it a DIRECTORY of part files. The
+    * file source wants a directory to list, so: directory table → stream
+    * the table path itself; single-file table → stream the sf dir with a
+    * leaf-name glob. The glob CANNOT cover both cases — `pathGlobFilter`
+    * matches leaf FILE names only, so against a directory-layout corpus
+    * it matches nothing and the stream silently drains 0 rows (caught by
+    * the round-7 sf1 oracle run: all three streaming twins empty at 10×
+    * while every batch query passed). */
+  private def tableStream(s: SparkSession, d: String, table: String)
+                         (schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val path = s"$d/$table.parquet"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val isDir = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(p).isDirectory
+    val src = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+    if (isDir) src.parquet(path)
+    else src.option("pathGlobFilter", s"$table.parquet").parquet(d)
+  }
+
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$d/events.parquet").schema
-    val raw = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      // the file source requires a DIRECTORY; select just the events table
-      // out of the sf dir with the glob (same listing, no extra copy)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
+    val raw = tableStream(s, d, "events")(schema)
     schema("ts").dataType match {
       case LongType      => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampType => raw
@@ -333,10 +350,7 @@ object StreamingPipeline {
     * bounding state. */
   def q35StreamDedup(s: SparkSession, d: String): DataFrame = {
     val schema = s.read.parquet(s"$d/documents.parquet").schema
-    def src = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(d)
+    def src = tableStream(s, d, "documents")(schema)
       .withColumn("h", sha2(col("text"), 256))
     val runId = java.util.UUID.randomUUID().toString.take(8)
     val totals = src.groupBy("source").agg(count(lit(1)).as("n_docs"))
