@@ -295,9 +295,20 @@ object StreamingPipeline {
                          (schema: org.apache.spark.sql.types.StructType): DataFrame = {
     val path = s"$d/$table.parquet"
     val p = new org.apache.hadoop.fs.Path(path)
-    val isDir = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      .getFileStatus(p).isDirectory
-    val src = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val isDir = fs.getFileStatus(p).isDirectory
+    // bound the TRIGGER COUNT, not the files per trigger: with
+    // maxFilesPerTrigger=1 the number of micro-batches grows with the
+    // part-file count, and a complete-mode sink re-emits its full state
+    // every trigger — at a 100× corpus (100 part files, state ∝ data)
+    // that's a quadratic drain. ceil(n/4) files per trigger keeps the
+    // multi-batch slicing under test (≥2 triggers whenever the table has
+    // ≥2 files) while the drain stays ≤ ~5 triggers at any scale.
+    val nFiles = if (isDir) fs.listStatus(p).count(f =>
+      f.isFile && f.getPath.getName.endsWith(".parquet")) else 1
+    val perTrigger = math.max(1L, (nFiles + 3L) / 4L)
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", perTrigger.toString)
     if (isDir) src.parquet(path)
     else src.option("pathGlobFilter", s"$table.parquet").parquet(d)
   }
