@@ -412,4 +412,39 @@ class StreamingSpec extends AnyFunSuite {
       s"$tmp/lake", s"$tmp/ckpt")
     assert(spark.read.parquet(s"$tmp/lake/messages").count() == batch.count())
   }
+
+  test("streaming twins read directory-layout tables (sf1 0-row regression)") {
+    // The driver's testdata ships each table as a single parquet FILE; a
+    // GenData scale corpus makes it a DIRECTORY of part files. The twins'
+    // source once selected the table with pathGlobFilter (leaf-file-name
+    // match only) and silently drained 0 rows against the directory
+    // layout — caught by the round-7 sf1 oracle run, invisible to every
+    // single-file test. This pins the fix: the same corpus rewritten as
+    // multi-part directories must yield the identical result, through
+    // >= 2 real micro-batches.
+    val src = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dirlayout").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Seq("events", "documents").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet").repartition(3)
+        .write.mode("overwrite").parquet(s"$tmp/$t.parquet")
+    }
+    // q20b: compare (bucket, n) exactly; sums under tolerance (double
+    // addition order differs across layouts, round(,2) can straddle)
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.get(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val one = asMap(StreamingPipeline.q20StreamBucket(spark, src).collect())
+    val dir = asMap(StreamingPipeline.q20StreamBucket(spark, tmp).collect())
+    assert(dir.nonEmpty && dir.keySet == one.keySet)
+    one.foreach { case (k, (n, s)) =>
+      assert(dir(k)._1 == n, s"bucket $k count")
+      assert(math.abs(dir(k)._2 - s) <= 0.011, s"bucket $k sum")
+    }
+    val one35 = StreamingPipeline.q35StreamDedup(spark, src).collect().toSet
+    val dir35 = StreamingPipeline.q35StreamDedup(spark, tmp).collect().toSet
+    assert(dir35.nonEmpty && dir35 == one35)
+    val one51 = StreamingPipeline.q51StreamSessionize(spark, src).collect().toSet
+    val dir51 = StreamingPipeline.q51StreamSessionize(spark, tmp).collect().toSet
+    assert(dir51.nonEmpty && dir51 == one51)
+  }
 }
