@@ -92,6 +92,7 @@ object SparkEntry {
     graft.llm.Curation.queries ++
     graft.llm.Tokenizer.queries ++
     graft.operators.AsOf.queries ++
+    graft.operators.SaltedJoin.queries ++
     graft.streaming.StreamingPipeline.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
