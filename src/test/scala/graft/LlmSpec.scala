@@ -125,6 +125,46 @@ class LlmSpec extends AnyFunSuite {
     assert(expected.exists(_._3 > 0), "no duplicated spans in corpus — weak test")
   }
 
+  test("spanExcision merges flagged windows into maximal spans and rebuilds (q151)") {
+    // brute-force reference: flag every 8-token window occurring ≥2 times
+    // corpus-wide, merge a doc's flagged window positions into maximal
+    // islands (p joins the open island iff p ≤ lastPos + 8), excise every
+    // covered token, rebuild the survivors in order
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+      .filter(_._2.length >= 8)
+    val spans = docs.flatMap { case (id, t) =>
+      (0 to t.length - 8).map(i => (id, i, t.slice(i, i + 8).mkString(" ")))
+    }
+    val freq = spans.groupBy(_._3).map { case (s, xs) => (s, xs.length) }
+    val expected = docs.map { case (id, t) =>
+      val flagged = (0 to t.length - 8)
+        .filter(i => freq(t.slice(i, i + 8).mkString(" ")) >= 2)
+      val islands = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      flagged.foreach { p =>
+        if (islands.nonEmpty && p <= islands.last._2 + 8)
+          islands(islands.length - 1) = (islands.last._1, p)
+        else islands += ((p, p))
+      }
+      val covered = islands.flatMap { case (a, b) => a to (b + 7) }.toSet
+      val removed = covered.size.toLong
+      val clean = t.indices.filterNot(covered).map(t).mkString(" ")
+      (id, t.length.toLong, islands.length.toLong, removed,
+        math.floor((t.length - removed).toDouble / t.length * 10000 + 0.5) / 10000.0,
+        clean)
+    }.toSet
+    val got = Dedup.spanExcision(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getString(5))).toSet
+    assert(got == expected, s"missing=${expected -- got}\n  extra=${got -- expected}")
+    // the corpus must exercise the interesting branches: excised docs, a
+    // MERGED island (> 1 window), and at least one untouched doc
+    assert(expected.exists(e => e._3 > 0 && e._4 != e._3 * 8),
+      "no multi-window island merged — weak test")
+    assert(expected.exists(_._4 == 0), "every doc excised — weak test")
+  }
+
   test("segmentDedup keeps exactly the first global occurrence of each segment (q127)") {
     // brute-force reference in plain Scala: split every document into
     // consecutive 8-token segments, keep a segment iff its (doc_id, seg_idx)
