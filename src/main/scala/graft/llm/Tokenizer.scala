@@ -131,9 +131,156 @@ object Tokenizer {
       .select("source", "n_words", "n_chars", "n_bpe_tokens", "chars_per_token")
   }
 
+  // ---------------------------------------------------------------- unigram LM
+  /** Unigram-LM tokenizer induction (the SentencePiece counterpart to the
+    * BPE trainer above; Kudo 2018) via Viterbi hard-EM — the OTHER standard
+    * subword algorithm a tokenizer-training pipeline offers. Seed the
+    * vocabulary with every ≤ `UniMaxLen`-char substring of the distinct-word
+    * table (weighted by word frequency; all single chars + the top
+    * `UniTopK` multi-char pieces — the vocab-capacity lever, 10^5–10^6 in a
+    * real deployment, scaled down to this corpus), initialize piece
+    * probabilities ∝ seed frequency, then alternate: E — per-word Viterbi
+    * segmentation under broadcast log-probs; M — re-estimate probabilities
+    * from weighted piece usage (single chars keep an add-one floor so
+    * coverage never breaks; unused multi-char pieces are pruned, which is
+    * the EM-side analogue of SentencePiece's shrinking step).
+    *
+    * Scale shape mirrors `train`: the corpus is scanned once into the
+    * distinct-word table (localCheckpoint'd — every later pass is
+    * O(|vocab words|), not O(corpus)); each round is one map-side typed
+    * Viterbi pass (per-word DP is genuinely imperative — the documented
+    * Dataset-map exception, like kmeans' assignment) + one partial-agg
+    * shuffle of (piece, weight) + a vocab-sized driver collect (the same
+    * bounded-collect class as the BPE argmax and k-means centroids; a 10^6
+    * vocab broadcasts at ~tens of MB). Viterbi-EM rather than full
+    * forward-backward: hard-EM is the standard simplification and keeps
+    * every statistic an exact integer sum, so the learned table is
+    * partition-independent (TokenizerSpec re-derives it in plain Scala and
+    * under a different layout).
+    *
+    * Determinism: seed counts and usage counts are exact longs; probability
+    * ratios and per-word DP depend only on those — never on partition
+    * layout. Viterbi ties break toward the LONGEST piece (candidate starts
+    * scan ascending, strict > replacement), a total order. */
+  val UniMaxLen = 4
+  val UniTopK = 80
+  val UniRounds = 2
+
+  /** Viterbi best segmentation of `w` under piece log-probs; single chars
+    * are always in vocab, so every word is segmentable. */
+  private[llm] def viterbi(w: String, logp: collection.Map[String, Double],
+                           maxLen: Int): Seq[String] = {
+    val n = w.length
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val back = Array.fill(n + 1)(-1)
+    best(0) = 0.0
+    var end = 1
+    while (end <= n) {
+      var start = math.max(0, end - maxLen)
+      while (start < end) {
+        logp.get(w.substring(start, end)) match {
+          case Some(lp) if best(start) + lp > best(end) =>
+            best(end) = best(start) + lp
+            back(end) = start
+          case _ => ()
+        }
+        start += 1
+      }
+      end += 1
+    }
+    val rev = scala.collection.mutable.ListBuffer.empty[String]
+    var e = n
+    while (e > 0) { val st = back(e); w.substring(st, e) +=: rev; e = st }
+    rev.toList
+  }
+
+  /** Learn the unigram vocabulary from a (word, wc) frequency table;
+    * returns final piece probabilities and the final per-word segmentation
+    * (word, wc, pieces). */
+  def unigramTrain(s: SparkSession, wordCounts: DataFrame,
+                   maxLen: Int = UniMaxLen, topK: Int = UniTopK,
+                   rounds: Int = UniRounds)
+      : (Map[String, Double], DataFrame) = {
+    import s.implicits._
+    val words = wordCounts.select(col("word"), col("wc"))
+      .as[(String, Long)].localCheckpoint()
+    val seeds = words.flatMap { case (w, c) =>
+      for { i <- 0 until w.length
+            l <- 1 to math.min(maxLen, w.length - i) }
+        yield (w.substring(i, i + l), c)
+    }.toDF("piece", "c").groupBy("piece").agg(sum("c").as("freq"))
+    val seedRows =
+      seeds.filter(length(col("piece")) === 1).as[(String, Long)].collect() ++
+      seeds.filter(length(col("piece")) > 1)
+        .orderBy(desc("freq"), asc("piece")).limit(topK)
+        .as[(String, Long)].collect()
+    val seedTotal = seedRows.map(_._2).sum.toDouble
+    var probs: Map[String, Double] =
+      seedRows.map { case (p, f) => p -> f / seedTotal }.toMap
+    for (_ <- 1 to rounds) {
+      val logp = probs.map { case (k, v) => k -> math.log(v) }
+      val ml = maxLen
+      val usage = words
+        .flatMap { case (w, c) => viterbi(w, logp, ml).map(p => (p, c)) }
+        .toDF("piece", "c").groupBy("piece").agg(sum("c").as("u"))
+        .as[(String, Long)].collect().toMap
+      val kept = probs.keysIterator.map { p =>
+        val u = usage.getOrElse(p, 0L)
+        p -> (if (p.length == 1) u + 1 else u)
+      }.filter(_._2 > 0).toSeq
+      val tot = kept.map(_._2).sum.toDouble
+      probs = kept.map { case (p, u) => p -> u / tot }.toMap
+    }
+    val logpF = probs.map { case (k, v) => k -> math.log(v) }
+    val ml = maxLen
+    val segmented = words
+      .map { case (w, c) => (w, c, viterbi(w, logpF, ml)) }
+      .toDF("word", "wc", "pieces")
+    (probs, segmented)
+  }
+
+  /** q152 — the learned unigram vocabulary (piece, final probability,
+    * weighted corpus uses under the final Viterbi segmentation) — the
+    * artifact a SentencePiece-style training job ships. */
+  def unigramVocab(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (probs, seg) = unigramTrain(s, wordCounts(Tables.documents(s, d)))
+    val probDf = probs.toSeq.toDF("piece", "p")
+    seg.select(explode(col("pieces")).as("piece"), col("wc"))
+      .groupBy("piece").agg(sum("wc").as("n_uses"))
+      .join(broadcast(probDf), Seq("piece"), "right")
+      .select(col("piece"),
+        coalesce(col("n_uses"), lit(0L)).as("n_uses"),
+        // floor-spelled rounding (wordEntropy contract); 1e6 keeps 3-4
+        // significant digits at these piece probabilities
+        (floor(col("p") * 1000000 + 0.5) / 1000000.0).as("prob"))
+  }
+
+  /** q153 — the apply side: encode the corpus with the learned unigram
+    * vocab and report per-source compression, same join shape as q146
+    * (the encode stays on the distinct-word table). */
+  def unigramEncode(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val (_, seg) = unigramTrain(s, wordCounts(docs))
+    docs.select(col("source"), explode(tokens(col("text"))).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("n"))
+      .join(seg.select("word", "pieces"), "word")
+      .groupBy("source")
+      .agg(sum(col("n")).as("n_words"),
+           sum(col("n") * length(col("word"))).as("n_chars"),
+           sum(col("n") * size(col("pieces"))).as("n_uni_tokens"))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast("double") / col("n_uni_tokens"), 4))
+      .select("source", "n_words", "n_chars", "n_uni_tokens", "chars_per_token")
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q145_bpe_merges", bpeMerges _,
       Some(graft.core.Goldens.load("q145_bpe_merges"))),
     GraftQuery("q146_bpe_encode", bpeEncode _,
-      Some(graft.core.Goldens.load("q146_bpe_encode"))))
+      Some(graft.core.Goldens.load("q146_bpe_encode"))),
+    GraftQuery("q152_unigram_vocab", unigramVocab _,
+      Some(graft.core.Goldens.load("q152_unigram_vocab"))),
+    GraftQuery("q153_unigram_encode", unigramEncode _,
+      Some(graft.core.Goldens.load("q153_unigram_encode"))))
 }

@@ -89,4 +89,87 @@ class TokenizerSpec extends AnyFunSuite {
     assert(merges.isEmpty)
     assert(encoded.select(max(size(col("syms")))).head().getInt(0) == 1)
   }
+
+  /** Reference unigram-LM hard-EM: weighted substring seeds (all single
+    * chars + top-K multi by (freq DESC, piece ASC)), probabilities as exact
+    * long-ratio divisions, Viterbi with ascending-start strict-> tie-break
+    * (longest piece wins ties), add-one floor on chars, prune unused. The
+    * arithmetic mirrors the production operator operation-for-operation so
+    * double equality is exact. */
+  private def refUnigram(words: Map[String, Long], maxLen: Int, topK: Int,
+                         rounds: Int)
+      : (Map[String, Double], Map[String, Seq[String]]) = {
+    val seeds = scala.collection.mutable.Map.empty[String, Long]
+    for { (w, c) <- words; i <- 0 until w.length
+          l <- 1 to math.min(maxLen, w.length - i) } {
+      val p = w.substring(i, i + l)
+      seeds(p) = seeds.getOrElse(p, 0L) + c
+    }
+    val kept0 = seeds.filter(_._1.length == 1).toSeq ++
+      seeds.filter(_._1.length > 1).toSeq.sortBy { case (p, f) => (-f, p) }.take(topK)
+    var probs = {
+      val tot = kept0.map(_._2).sum.toDouble
+      kept0.map { case (p, f) => p -> f / tot }.toMap
+    }
+    def vit(w: String, logp: Map[String, Double]): Seq[String] = {
+      val n = w.length
+      val best = Array.fill(n + 1)(Double.NegativeInfinity); best(0) = 0.0
+      val back = Array.fill(n + 1)(-1)
+      for (end <- 1 to n; start <- math.max(0, end - maxLen) until end)
+        logp.get(w.substring(start, end)) match {
+          case Some(lp) if best(start) + lp > best(end) =>
+            best(end) = best(start) + lp; back(end) = start
+          case _ => ()
+        }
+      var e = n; var out = List.empty[String]
+      while (e > 0) { val s0 = back(e); out = w.substring(s0, e) :: out; e = s0 }
+      out
+    }
+    for (_ <- 1 to rounds) {
+      val logp = probs.map { case (k, v) => k -> math.log(v) }
+      val usage = scala.collection.mutable.Map.empty[String, Long]
+      for ((w, c) <- words; p <- vit(w, logp))
+        usage(p) = usage.getOrElse(p, 0L) + c
+      val k2 = probs.keys.toSeq.map { p =>
+        val u = usage.getOrElse(p, 0L)
+        p -> (if (p.length == 1) u + 1 else u)
+      }.filter(_._2 > 0)
+      val t2 = k2.map(_._2).sum.toDouble
+      probs = k2.map { case (p, u) => p -> u / t2 }.toMap
+    }
+    val logpF = probs.map { case (k, v) => k -> math.log(v) }
+    (probs, words.keys.map(w => w -> vit(w, logpF)).toMap)
+  }
+
+  test("unigram trainer matches the plain-Scala reference, any layout") {
+    import spark.implicits._
+    val corpus = Seq.tabulate(40) { i =>
+      Seq("lower", "lowest", "newer", "newest", "wider", "widest", "low",
+        "new", "renew", "renewed").drop(i % 4).take(6).mkString(" ")
+    }
+    val wordFreq = corpus.flatMap(_.split(" ")).groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }
+    val (expProbs, expSeg) = refUnigram(wordFreq, maxLen = 3, topK = 8, rounds = 2)
+    for (parts <- Seq(1, 7)) {
+      val wc = corpus.toDF("text")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .repartition(parts)
+        .groupBy("word").agg(count(lit(1)).as("wc"))
+      val (probs, seg) = Tokenizer.unigramTrain(spark, wc,
+        maxLen = 3, topK = 8, rounds = 2)
+      assert(probs == expProbs,
+        s"vocab probabilities diverged from reference at $parts partitions")
+      val gotSeg = seg.select("word", "pieces").as[(String, Seq[String])]
+        .collect().toMap
+      assert(gotSeg == expSeg,
+        s"segmentations diverged from reference at $parts partitions")
+      // every word reassembles exactly, and multi-char pieces actually won
+      assert(gotSeg.forall { case (w, ps) => ps.mkString("") == w })
+      assert(gotSeg.exists(_._2.exists(_.length > 1)),
+        "no multi-char piece ever used — weak test")
+    }
+    // probability floor: every single char survives even with zero usage
+    val chars = wordFreq.keys.flatMap(_.toSeq).map(_.toString).toSet
+    assert(chars.forall(expProbs.contains), "a single char was pruned")
+  }
 }
