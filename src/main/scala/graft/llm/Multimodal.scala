@@ -14,10 +14,13 @@ case class MediaRow(
     width: Int,
     height: Int)
 
-/** Stub-decoded features. The decode itself is a deterministic fake (no
-  * image/audio codecs in this environment — see builder brief); the Spark
+/** Stub-decoded features for the GENERIC media table (whose payloads are
+  * stand-in bytes, so its decode is a deterministic fake). The REAL codec
+  * paths live below: q154/q155 decode genuine PNG via the JDK's imageio
+  * and q156 parses genuine RIFF/WAV via javax.sound.sampled — video is the
+  * one kind that stays stubbed (the JDK ships no video codec). The Spark
   * plumbing (binary column, typed Dataset, partition-batched extraction,
-  * schema) is real and tested. */
+  * schema) is identical across stub and real paths. */
 case class MediaFeatures(
     media_id: Long,
     kind: String,
@@ -186,8 +189,206 @@ object Multimodal {
       |       CAST(sum(n_bytes) AS BIGINT) AS total_bytes, max(n_bytes) AS max_bytes
       |FROM m GROUP BY kind""".stripMargin
 
+  // ---------------------------------------------------------------- real codecs
+  /** REAL image and audio decode — the upgrade of this file's stub
+    * boundary, using the codecs the JDK itself ships: `javax.imageio`
+    * (PNG, lossless, headless-safe) and `javax.sound.sampled` (WAV/PCM).
+    * The payloads are genuine compressed PNG / RIFF-WAV bytes synthesized
+    * from closed-form pixel/sample functions of the media id (the corpus
+    * stands in for an image/audio store), flowed through a true `binary`
+    * column, and the features come from genuinely DECODED pixels/samples —
+    * MultimodalCodecSpec proves the decode is real by checking the decoded
+    * values pixel-for-pixel / byte-for-byte against the closed form
+    * (losslessness is what makes the pinned goldens deterministic). Video
+    * remains the one stubbed kind: the JDK ships no video codec, and that
+    * boundary stays documented above (sampleFrames).
+    *
+    * Scale shape: codec work is pure map-side `mapPartitions` (decoder
+    * state per partition, rows streamed) — the same narrow-transformation
+    * contract as extractFeatures; the only shuffle is the final profile
+    * aggregation on a tiny key domain. Integer Rec.601 luma (×1000) and
+    * integer sample sums keep every statistic exact, so results are
+    * partition-independent. */
+  private val LumaR = 299L; private val LumaG = 587L; private val LumaB = 114L
+
+  private[graft] def pixel(id: Long, x: Int, y: Int): Int = {
+    val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+    val g = ((id * 17 + x * 11 + y * 3) % 256).toInt
+    val b = ((id * 23 + x * 5 + y * 19) % 256).toInt
+    (r << 16) | (g << 8) | b
+  }
+
+  /** Deterministic synthetic PNG: (8 + id%8) × (6 + id%7) RGB pixels from
+    * `pixel(id, x, y)`, encoded with the JDK PNG writer — real compressed
+    * image bytes (the byte stream itself varies by writer version; every
+    * DECODED statistic is exact because PNG is lossless). Dim moduli are
+    * coprime to the kind selector's mod 3, so image-kind ids (≡0 mod 3)
+    * still cover every width/height. */
+  def synthPng(id: Long): Array[Byte] = {
+    val w = 8 + (id % 8).toInt; val h = 6 + (id % 7).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, pixel(id, x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** (n_pixels, Σ integer Rec.601 luma ×1000) over a decoded image. */
+  private def lumaStats(img: java.awt.image.BufferedImage): (Long, Long) = {
+    var sum = 0L; var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        sum += LumaR * ((p >> 16) & 0xff) + LumaG * ((p >> 8) & 0xff) +
+          LumaB * (p & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    (img.getWidth.toLong * img.getHeight, sum)
+  }
+
+  /** REAL nearest-neighbor resize on decoded pixels — deterministic integer
+    * source indexing (x·sw/dw, y·sh/dh), no Graphics2D interpolation (whose
+    * rounding could drift across JVM versions). */
+  private[graft] def resizeNearest(src: java.awt.image.BufferedImage,
+                                 w: Int, h: Int): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out.setRGB(x, y,
+          src.getRGB(x * src.getWidth / w, y * src.getHeight / h))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** q154 — REAL image decode profile: image-kind media ids → genuine PNG
+    * payloads (binary column) → `ImageIO.read` decode → per-width luma
+    * accounting on the decoded pixels. Pinned golden (DuckDB has no PNG
+    * codec); the decode's realness is proven in MultimodalCodecSpec. */
+  def imageDecodeProfile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = media(s, d).filter(col("kind") === "image")
+      .select(col("media_id")).as[Long]
+      .map(id => (id, synthPng(id)))
+      .toDF("media_id", "payload")
+    payloads.as[(Long, Array[Byte])].mapPartitions { rows =>
+      rows.map { case (id, png) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+        val (np, luma) = lumaStats(img)
+        (id, img.getWidth, img.getHeight, np, luma)
+      }
+    }.toDF("media_id", "width", "height", "n_pixels", "luma_sum")
+      .groupBy("width")
+      .agg(count(lit(1)).as("n_images"),
+        sum("n_pixels").as("n_pixels"),
+        sum("luma_sum").as("luma_sum"),
+        // mean luma in [0,255]: floor-spelled rounding on the exact sums
+        (floor(sum("luma_sum").cast("double") / sum("n_pixels") / 1000.0
+          * 10000 + 0.5) / 10000.0).as("mean_luma"))
+  }
+
+  /** q155 — REAL decode → nearest-neighbor resize to 8×6 → re-profile the
+    * RESIZED pixels. The resize reads genuinely decoded pixels; the spec
+    * checks the resized output against the closed form at the sampled
+    * coordinates. */
+  def imageResizeProfile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    media(s, d).filter(col("kind") === "image")
+      .select(col("media_id")).as[Long]
+      .map(id => (id, synthPng(id)))
+      .toDF("media_id", "payload")
+      .as[(Long, Array[Byte])].mapPartitions { rows =>
+        rows.map { case (id, png) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+          val (_, luma) = lumaStats(resizeNearest(img, 8, 6))
+          (id, img.getWidth, luma)
+        }
+      }.toDF("media_id", "src_width", "luma_sum")
+      .groupBy("src_width")
+      .agg(count(lit(1)).as("n_images"),
+        sum("luma_sum").as("luma_sum"),
+        (floor(sum("luma_sum").cast("double") / (count(lit(1)) * 48) / 1000.0
+          * 10000 + 0.5) / 10000.0).as("mean_luma"))
+  }
+
+  /** Deterministic synthetic WAV: mono 16-bit PCM, (40 + id%50) samples at
+    * 8/10/12/14/16 kHz (mod 5 — coprime to the kind selector's mod 3, so
+    * audio-kind ids cover every rate), sample i = (id·7919 + i·104729)
+    * mod 65536 − 32768; encoded as a real RIFF/WAVE container by the JDK
+    * audio system. */
+  def synthWav(id: Long): Array[Byte] = {
+    import javax.sound.sampled._
+    val n = 40 + (id % 50).toInt
+    val rate = 8000f + 2000f * (id % 5)
+    val pcm = new Array[Byte](2 * n)
+    var i = 0
+    while (i < n) {
+      val s = (((id * 7919 + i.toLong * 104729) % 65536) - 32768).toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** q156 — REAL audio decode profile: audio-kind ids → genuine WAV bytes →
+    * `AudioSystem` parse (format + frame count from the RIFF header, PCM
+    * payload re-read through the codec) → per-rate sample accounting.
+    * Pinned golden; byte-exactness proven in MultimodalCodecSpec. */
+  def audioDecodeProfile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    media(s, d).filter(col("kind") === "audio")
+      .select(col("media_id")).as[Long]
+      .map(id => (id, synthWav(id)))
+      .toDF("media_id", "payload")
+      .as[(Long, Array[Byte])].mapPartitions { rows =>
+        rows.map { case (id, wav) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(wav))
+          val rate = ais.getFormat.getSampleRate.toInt
+          val frames = ais.getFrameLength
+          val pcm = ais.readAllBytes()
+          var sumAbs = 0L; var i = 0
+          while (i < pcm.length / 2) {
+            val v = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort
+            sumAbs += math.abs(v.toLong); i += 1
+          }
+          (id, rate, frames, sumAbs)
+        }
+      }.toDF("media_id", "sample_rate", "n_frames", "sum_abs")
+      .groupBy("sample_rate")
+      .agg(count(lit(1)).as("n_clips"),
+        sum("n_frames").as("total_frames"),
+        sum("sum_abs").as("sum_abs"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q42_multimodal_features", featureProfile _, Some(featureProfileSql)),
     GraftQuery("q119_frame_sample", frameSampleProfile _, Some(frameSampleProfileSql)),
-    GraftQuery("q120_resize_profile", resizeProfile _, Some(resizeProfileSql)))
+    GraftQuery("q120_resize_profile", resizeProfile _, Some(resizeProfileSql)),
+    GraftQuery("q154_image_decode", imageDecodeProfile _,
+      Some(graft.core.Goldens.load("q154_image_decode"))),
+    GraftQuery("q155_image_resize", imageResizeProfile _,
+      Some(graft.core.Goldens.load("q155_image_resize"))),
+    GraftQuery("q156_audio_decode", audioDecodeProfile _,
+      Some(graft.core.Goldens.load("q156_audio_decode"))))
 }

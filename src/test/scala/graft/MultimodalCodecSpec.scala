@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.Multimodal
+
+/** Proves the q154/q155/q156 codec paths are REAL, not stubs: the payloads
+  * are genuine PNG / RIFF-WAV containers (magic bytes), and the JDK decode
+  * recovers the closed-form pixels/samples exactly — which is also the
+  * property that makes the pinned goldens partition- and JVM-independent
+  * (lossless codecs; every pinned statistic is an exact integer sum). */
+class MultimodalCodecSpec extends AnyFunSuite {
+
+  test("PNG roundtrip is pixel-exact against the closed form (real lossless codec)") {
+    for (id <- Seq(0L, 3L, 42L, 123L, 9999L)) {
+      val png = Multimodal.synthPng(id)
+      // genuine PNG container, not raw bytes
+      assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' &&
+        png(3) == 'G', s"id=$id payload is not a PNG container")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img.getWidth == 8 + (id % 8).toInt)
+      assert(img.getHeight == 6 + (id % 7).toInt)
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        assert((img.getRGB(x, y) & 0xffffff) == Multimodal.pixel(id, x, y),
+          s"id=$id decoded pixel ($x,$y) diverged from the closed form")
+    }
+  }
+
+  test("nearest-neighbor resize samples exactly the decoded source pixels") {
+    val id = 5L
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.synthPng(id)))
+    val out = Multimodal.resizeNearest(img, 8, 6)
+    assert(out.getWidth == 8 && out.getHeight == 6)
+    for (y <- 0 until 6; x <- 0 until 8)
+      assert(out.getRGB(x, y) ==
+        img.getRGB(x * img.getWidth / 8, y * img.getHeight / 6))
+  }
+
+  test("WAV roundtrip is byte-exact with a parsed RIFF header (real audio codec)") {
+    for (id <- Seq(1L, 4L, 100L, 2026L)) {
+      val wav = Multimodal.synthWav(id)
+      assert(wav(0) == 'R' && wav(1) == 'I' && wav(2) == 'F' && wav(3) == 'F',
+        s"id=$id payload is not a RIFF container")
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      assert(ais.getFormat.getSampleRate.toInt == 8000 + 2000 * (id % 5).toInt)
+      assert(ais.getFormat.getChannels == 1)
+      assert(ais.getFrameLength == 40 + (id % 50))
+      val pcm = ais.readAllBytes()
+      val n = 40 + (id % 50).toInt
+      assert(pcm.length == 2 * n)
+      for (i <- 0 until n) {
+        val expect = (((id * 7919 + i.toLong * 104729) % 65536) - 32768).toShort
+        val got = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort
+        assert(got == expect, s"id=$id sample $i diverged from the closed form")
+      }
+    }
+  }
+}
