@@ -131,6 +131,75 @@ object Tokenizer {
       .select("source", "n_words", "n_chars", "n_bpe_tokens", "chars_per_token")
   }
 
+  // ---------------------------------------------------------------- WordPiece
+  /** WordPiece merge induction — the BERT-family trainer, completing the
+    * three standard subword algorithms (BPE q145, unigram q152): identical
+    * round loop to `train`, but the argmax maximizes the likelihood ratio
+    * score(a,b) = count(ab) / (count(a)·count(b)) instead of the raw pair
+    * frequency (Schuster & Nakajima 2012). Counts are exact weighted longs
+    * over the CURRENT segmentation (so a merged token's own count feeds
+    * later rounds); the ratio is evaluated in double with a (score DESC,
+    * l ASC, r ASC) total-order tie-break, so the learned table is
+    * partition-independent like BPE's.
+    *
+    * Scale shape per round: one pair-count shuffle + one symbol-count
+    * shuffle (both O(|word vocab|), partial-aggregated). The symbol table
+    * is vocabulary-bounded, so it comes back to the driver and enters the
+    * score expression as a map literal — the same bounded-collect class as
+    * the BPE argmax (a broadcast join is the equivalent shape if the live
+    * vocab outgrows a literal; an earlier two-broadcast-join form spent
+    * 7.6 s at sf0.1 on per-round join-build jobs vs 3.6 s for this).
+    * Score factors are multiplied as doubles — a long product of two
+    * corpus-scale counts would overflow. Then a TakeOrdered(1) driver
+    * reduction and the same map-only merge fold as BPE. */
+  final case class WpMerge(rank: Int, left: String, right: String,
+                           merged: String, score: Double)
+
+  def trainWordPiece(spark: SparkSession, wordCounts: DataFrame, rounds: Int)
+      : (Seq[WpMerge], DataFrame) = {
+    var cur = wordCounts
+      .withColumn("syms", chars(col("word")))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[WpMerge]
+    for (round <- 1 to rounds) {
+      import spark.implicits._
+      val symMap = cur.select(col("wc"), explode(col("syms")).as("s"))
+        .groupBy("s").agg(sum("wc").as("ws"))
+        .as[(String, Long)].collect().toMap
+      val symLit = typedLit(symMap)
+      val top = cur
+        .filter(size(col("syms")) > 1)
+        .select(col("wc"), explode(adjacentPairs(col("syms"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("wc").as("w"))
+        .withColumn("score",
+          col("w").cast("double") /
+            (element_at(symLit, col("l")).cast("double") *
+             element_at(symLit, col("r")).cast("double")))
+        .orderBy(desc("score"), asc("l"), asc("r"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val row = top(0)
+        val (l, r) = (row.getAs[String]("l"), row.getAs[String]("r"))
+        merges += WpMerge(round, l, r, l + r, row.getAs[Double]("score"))
+        cur = cur
+          .withColumn("syms", mergeAdjacent(col("syms"), l, r))
+          .localCheckpoint()
+      }
+    }
+    (merges.result(), cur)
+  }
+
+  /** q157 — the learned WordPiece merge table (rank, pair, merged token,
+    * likelihood-ratio score at merge time). Score floor-rounded at 1e9 for
+    * cross-engine golden stability. */
+  def wordPieceMerges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (merges, _) = trainWordPiece(s, wordCounts(Tables.documents(s, d)), Rounds)
+    merges.toDF("merge_rank", "lhs", "rhs", "merged", "score")
+      .withColumn("score", floor(col("score") * 1e9 + 0.5) / 1e9)
+  }
+
   // ---------------------------------------------------------------- unigram LM
   /** Unigram-LM tokenizer induction (the SentencePiece counterpart to the
     * BPE trainer above; Kudo 2018) via Viterbi hard-EM — the OTHER standard
@@ -282,5 +351,7 @@ object Tokenizer {
     GraftQuery("q152_unigram_vocab", unigramVocab _,
       Some(graft.core.Goldens.load("q152_unigram_vocab"))),
     GraftQuery("q153_unigram_encode", unigramEncode _,
-      Some(graft.core.Goldens.load("q153_unigram_encode"))))
+      Some(graft.core.Goldens.load("q153_unigram_encode"))),
+    GraftQuery("q157_wordpiece_merges", wordPieceMerges _,
+      Some(graft.core.Goldens.load("q157_wordpiece_merges"))))
 }

@@ -90,6 +90,63 @@ class TokenizerSpec extends AnyFunSuite {
     assert(encoded.select(max(size(col("syms")))).head().getInt(0) == 1)
   }
 
+  /** Reference WordPiece: same loop as refBpe but the argmax maximizes
+    * count(ab)/(count(a)·count(b)) over the current segmentation's exact
+    * weighted symbol counts, tie-break (score DESC, l ASC, r ASC). */
+  private def refWordPiece(words: Map[String, Long], rounds: Int)
+      : Seq[(Int, String, String, Double)] = {
+    var segs: Map[Vector[String], Long] =
+      words.groupMapReduce { case (w, _) => w.map(_.toString).toVector }(_._2)(_ + _)
+    val out = Seq.newBuilder[(Int, String, String, Double)]
+    for (round <- 1 to rounds) {
+      val pair = scala.collection.mutable.Map.empty[(String, String), Long]
+      val sym = scala.collection.mutable.Map.empty[String, Long]
+      for ((syms, c) <- segs) {
+        for (s0 <- syms) sym(s0) = sym.getOrElse(s0, 0L) + c
+        for (i <- 0 until syms.length - 1)
+          pair((syms(i), syms(i + 1))) =
+            pair.getOrElse((syms(i), syms(i + 1)), 0L) + c
+      }
+      if (pair.nonEmpty) {
+        val scored = pair.toSeq.map { case ((l, r), w) =>
+          ((l, r), w.toDouble / (sym(l).toDouble * sym(r).toDouble))
+        }
+        val ((l, r), sc) = scored.minBy { case ((l, r), s0) => (-s0, l, r) }
+        out += ((round, l, r, sc))
+        segs = segs.groupMapReduce { case (syms, _) => applyMerge(syms, l, r) }(_._2)(_ + _)
+      }
+    }
+    out.result()
+  }
+
+  test("WordPiece trainer matches the plain-Scala likelihood-ratio reference, any layout") {
+    import spark.implicits._
+    val corpus = Seq.tabulate(50) { i =>
+      Seq("lower", "lowest", "newer", "newest", "wider", "widest", "low", "new")
+        .drop(i % 3).take(5).mkString(" ")
+    }
+    val wordFreq = corpus.flatMap(_.split(" ")).groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }
+    val expect = refWordPiece(wordFreq, 6)
+    for (parts <- Seq(1, 7)) {
+      val wc = corpus.toDF("text")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .repartition(parts)
+        .groupBy("word").agg(count(lit(1)).as("wc"))
+      val (merges, encoded) = Tokenizer.trainWordPiece(spark, wc, 6)
+      assert(merges.map(m => (m.rank, m.left, m.right, m.score)) == expect,
+        s"WordPiece merge table diverged from reference at $parts partitions")
+      val broken = encoded
+        .filter(concat_ws("", col("syms")) =!= col("word")).count()
+      assert(broken == 0L)
+    }
+    // the likelihood objective must actually diverge from BPE's frequency
+    // objective on this corpus — otherwise the test can't tell them apart
+    val bpe = refBpe(wordFreq, 6).map(m => (m._2, m._3))
+    assert(expect.map(m => (m._2, m._3)) != bpe,
+      "WordPiece chose exactly BPE's merges — weak corpus")
+  }
+
   /** Reference unigram-LM hard-EM: weighted substring seeds (all single
     * chars + top-K multi by (freq DESC, piece ASC)), probabilities as exact
     * long-ratio divisions, Viterbi with ascending-start strict-> tie-break
