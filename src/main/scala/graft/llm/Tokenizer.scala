@@ -200,6 +200,55 @@ object Tokenizer {
       .withColumn("score", floor(col("score") * 1e9 + 0.5) / 1e9)
   }
 
+  /** Greedy longest-match-first WordPiece encode of one word against a
+    * vocabulary set (single chars are always present, so every word is
+    * encodable; the ##-continuation marker is an output convention we skip
+    * — token identity is the same). This is the ACTUAL WordPiece
+    * tokenization algorithm, which differs from BPE's merge-order replay:
+    * it needs only the final vocab, not the merge sequence. */
+  private[graft] def wpEncode(w: String, vocab: Set[String], maxLen: Int): Seq[String] = {
+    val out = List.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      var l = math.min(maxLen, w.length - i)
+      while (l > 1 && !vocab.contains(w.substring(i, i + l))) l -= 1
+      out += w.substring(i, i + l)
+      i += l
+    }
+    out.result()
+  }
+
+  /** q158 — the WordPiece apply side: train the merge table, take the
+    * learned vocabulary (all single chars + merged tokens), encode the
+    * corpus with greedy longest-match-first, and report per-source
+    * compression — same join shape as q146/q153 (the encode stays on the
+    * distinct-word table; the vocab rides a tiny driver set into a
+    * map-side typed pass). */
+  def wordPieceEncode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val wc = wordCounts(docs)
+    val (merges, _) = trainWordPiece(s, wc, Rounds)
+    val merged = merges.map(_.merged)
+    val chars0 = wc.select(explode(chars(col("word"))).as("c"))
+      .distinct().as[String].collect()
+    val vocab = chars0.toSet ++ merged
+    val maxLen = (1 +: merged.map(_.length)).max
+    val encoded = wc.select(col("word")).as[String]
+      .map(w => (w, wpEncode(w, vocab, maxLen).length))
+      .toDF("word", "n_wp")
+    docs.select(col("source"), explode(tokens(col("text"))).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("n"))
+      .join(encoded, "word")
+      .groupBy("source")
+      .agg(sum(col("n")).as("n_words"),
+           sum(col("n") * length(col("word"))).as("n_chars"),
+           sum(col("n") * col("n_wp")).as("n_wp_tokens"))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast("double") / col("n_wp_tokens"), 4))
+      .select("source", "n_words", "n_chars", "n_wp_tokens", "chars_per_token")
+  }
+
   // ---------------------------------------------------------------- unigram LM
   /** Unigram-LM tokenizer induction (the SentencePiece counterpart to the
     * BPE trainer above; Kudo 2018) via Viterbi hard-EM — the OTHER standard
@@ -353,5 +402,7 @@ object Tokenizer {
     GraftQuery("q153_unigram_encode", unigramEncode _,
       Some(graft.core.Goldens.load("q153_unigram_encode"))),
     GraftQuery("q157_wordpiece_merges", wordPieceMerges _,
-      Some(graft.core.Goldens.load("q157_wordpiece_merges"))))
+      Some(graft.core.Goldens.load("q157_wordpiece_merges"))),
+    GraftQuery("q158_wordpiece_encode", wordPieceEncode _,
+      Some(graft.core.Goldens.load("q158_wordpiece_encode"))))
 }

@@ -147,6 +147,21 @@ class TokenizerSpec extends AnyFunSuite {
       "WordPiece chose exactly BPE's merges — weak corpus")
   }
 
+  test("WordPiece encode is greedy longest-match-first and reassembles (q158)") {
+    val vocab = Set("a", "b", "c", "ab", "abc", "bc")
+    assert(Tokenizer.wpEncode("abcabc", vocab, 3) == Seq("abc", "abc"))
+    assert(Tokenizer.wpEncode("abb", vocab, 3) == Seq("ab", "b"))
+    assert(Tokenizer.wpEncode("cba", vocab, 3) == Seq("c", "b", "a"))
+    // greedy takes the longest match at the CURRENT position, not the
+    // globally optimal segmentation
+    assert(Tokenizer.wpEncode("abc", Set("a", "b", "c", "ab", "bc"), 2) ==
+      Seq("ab", "c"))
+    // every word reassembles under an arbitrary vocab (chars always present)
+    for (w <- Seq("zzz", "abcba", "q"))
+      assert(Tokenizer.wpEncode(w, vocab ++ w.map(_.toString), 3)
+        .mkString("") == w)
+  }
+
   /** Reference unigram-LM hard-EM: weighted substring seeds (all single
     * chars + top-K multi by (freq DESC, piece ASC)), probabilities as exact
     * long-ratio divisions, Viterbi with ascending-start strict-> tie-break
