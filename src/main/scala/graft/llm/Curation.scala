@@ -612,7 +612,49 @@ object Curation {
       |UNION ALL SELECT '04_rebalanced', count(*), CAST(sum(n_tok) AS BIGINT) FROM reb
       |UNION ALL SELECT '05_packed', count(*), CAST(sum(n_tok) AS BIGINT) FROM pkb""".stripMargin
 
+  // ---------------------------------------------------------------- weighted sample
+  /** Weighted sampling without replacement, k = 5 per source, weight =
+    * n_chars (longer documents proportionally likelier) — the
+    * Efraimidis–Spirakis A-ES scheme: each row draws key = u^(1/w) for
+    * uniform u and the k largest keys win. One pass, no per-group state
+    * beyond the top-k window; at scale the rank window is partitioned by
+    * source (blanket-sweep safe) and the standard upgrade for huge groups
+    * is a per-partition top-k before the shuffle (what TakeOrderedAndProject
+    * does globally).
+    *
+    * Determinism (and the DuckDB oracle) comes from replacing the RNG with
+    * a Knuth-multiplicative pseudo-uniform of doc_id over a prime modulus —
+    * exact integer arithmetic on both engines, so both compute bit-identical
+    * u and the same sample. pow() may differ in the last ulp across libm
+    * implementations, but keys of distinct (u, w) pairs are separated by
+    * ~1e-3 ≫ 1 ulp, and doc_id breaks exact ties, so the selected rank
+    * order is stable; the key itself is not emitted. */
+  def weightedSample(s: SparkSession, d: String): DataFrame = {
+    val u = (((col("doc_id") * lit(2654435761L)) % 1000003L + 1L).cast("double")
+             / 1000004.0)
+    val key = pow(u, lit(1.0) / col("n_chars"))
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"), key.as("k"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("k").desc, col("doc_id"))).cast("long"))
+      .filter(col("rn") <= 5)
+      .select("source", "doc_id", "n_chars", "rn")
+  }
+
+  val weightedSampleSql: String =
+    """WITH keyed AS (
+      |  SELECT source, doc_id, n_chars,
+      |    pow((((doc_id * 2654435761) % 1000003) + 1)::DOUBLE / 1000004.0,
+      |        1.0 / n_chars) AS k
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT source, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS rn
+      |  FROM keyed)
+      |SELECT source, doc_id, n_chars, rn FROM ranked WHERE rn <= 5""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q163_weighted_sample", weightedSample _, Some(weightedSampleSql)),
     GraftQuery("q132_epoch_shard", epochShard _, Some(epochShardSql)),
     GraftQuery("q133_length_buckets", lengthBuckets _, Some(lengthBucketsSql)),
     GraftQuery("q134_quality_logit", qualityLogit _, Some(qualityLogitSql)),

@@ -287,6 +287,81 @@ object TextAnalysis {
       |FROM by_lang b LEFT JOIN vocab v ON b.word = v.word
       |GROUP BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- gopher rules
+  /** Rule-based quality filtering audit (the Gopher/MassiveText rule family,
+    * Rae et al. 2021 §A1.1, adapted to the corpus): per-source counts of
+    * documents failing each structural rule and the count passing all five.
+    *
+    * Rules: token count in [30, 1000]; mean word length in [3, 10];
+    * distinct-token ratio ≥ 0.2 (repetition guard); top-token share ≤ 0.2
+    * (single-word domination guard); ≥ 2 stopword hits. All but the
+    * top-token share are pure map-side expressions; the share needs one
+    * (doc_id, word) count → per-doc max, a shuffle keyed by doc_id whose
+    * width is the corpus token stream — the same shape as q100 vocab, linear
+    * at scale. Rule thresholds compare bit-identical double divisions of
+    * integer counts on both engines, so no rounding is needed at the
+    * boundary. */
+  def gopherRules(s: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    val base = Tables.documents(s, d).select(
+      col("doc_id"), col("source"),
+      size(t).cast("double").as("n_tok"),
+      size(array_distinct(t)).cast("double").as("n_distinct"),
+      length(regexp_replace(col("text"), " ", "")).cast("double").as("n_letters"),
+      size(filter(t, w => w.isInCollection(stopwords))).as("stop_hits"))
+    val top = Tables.documents(s, d)
+      .select(col("doc_id"), explode(t).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").cast("double").as("top_c"))
+    base.join(top, "doc_id")
+      .withColumn("fail_len", !col("n_tok").between(30.0, 1000.0))
+      .withColumn("fail_wl", !(col("n_letters") / col("n_tok")).between(3.0, 10.0))
+      .withColumn("fail_rep", col("n_distinct") / col("n_tok") < 0.2)
+      .withColumn("fail_top", col("top_c") / col("n_tok") > 0.2)
+      .withColumn("fail_stop", col("stop_hits") < 2)
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        count_if(col("fail_len")).as("n_fail_len"),
+        count_if(col("fail_wl")).as("n_fail_wl"),
+        count_if(col("fail_rep")).as("n_fail_rep"),
+        count_if(col("fail_top")).as("n_fail_top"),
+        count_if(col("fail_stop")).as("n_fail_stop"),
+        count_if(!(col("fail_len") || col("fail_wl") || col("fail_rep") ||
+                   col("fail_top") || col("fail_stop"))).as("n_pass"))
+  }
+
+  val gopherRulesSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, source,
+      |    len(string_split(text, ' '))::DOUBLE AS n_tok,
+      |    len(list_distinct(string_split(text, ' ')))::DOUBLE AS n_distinct,
+      |    length(replace(text, ' ', ''))::DOUBLE AS n_letters,
+      |    len(list_filter(string_split(text, ' '),
+      |        w -> w IN ('the', 'a', 'of', 'and', 'is'))) AS stop_hits
+      |  FROM documents),
+      |tw AS (
+      |  SELECT doc_id, max(c)::DOUBLE AS top_c FROM (
+      |    SELECT doc_id, w, count(*) AS c FROM (
+      |      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |    GROUP BY 1, 2) GROUP BY 1),
+      |f AS (
+      |  SELECT source,
+      |    NOT (n_tok BETWEEN 30.0 AND 1000.0) AS fail_len,
+      |    NOT (n_letters / n_tok BETWEEN 3.0 AND 10.0) AS fail_wl,
+      |    n_distinct / n_tok < 0.2 AS fail_rep,
+      |    top_c / n_tok > 0.2 AS fail_top,
+      |    stop_hits < 2 AS fail_stop
+      |  FROM b JOIN tw USING (doc_id))
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(count(*) FILTER (fail_len) AS BIGINT) AS n_fail_len,
+      |  CAST(count(*) FILTER (fail_wl) AS BIGINT) AS n_fail_wl,
+      |  CAST(count(*) FILTER (fail_rep) AS BIGINT) AS n_fail_rep,
+      |  CAST(count(*) FILTER (fail_top) AS BIGINT) AS n_fail_top,
+      |  CAST(count(*) FILTER (fail_stop) AS BIGINT) AS n_fail_stop,
+      |  CAST(count(*) FILTER (NOT (fail_len OR fail_wl OR fail_rep OR fail_top
+      |                             OR fail_stop)) AS BIGINT) AS n_pass
+      |FROM f GROUP BY source""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q30_text_stats", textStats _, Some(textStatsSql)),
     GraftQuery("q31_token_count", tokenCount _, Some(tokenCountSql)),
@@ -297,5 +372,6 @@ object TextAnalysis {
       Some(graft.core.Goldens.load("q34b_rolling_fingerprint"))),
     GraftQuery("q99_pii_redact", piiRedact _, Some(piiRedactSql)),
     GraftQuery("q100_vocab", vocab _, Some(vocabSql)),
-    GraftQuery("q140_oov_rate", oovRate _, Some(oovRateSql)))
+    GraftQuery("q140_oov_rate", oovRate _, Some(oovRateSql)),
+    GraftQuery("q160_gopher_rules", gopherRules _, Some(gopherRulesSql)))
 }

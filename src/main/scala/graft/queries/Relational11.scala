@@ -276,6 +276,120 @@ object Relational11 {
       |FROM lineitem JOIN stats USING (l_returnflag)
       |GROUP BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q161
+  /** k-anonymity audit (k = 5) over the quasi-identifier triple
+    * (mktsegment, nationkey, account-balance band): a released dataset is
+    * k-anonymous when every quasi-identifier cell holds ≥ k rows. Reports,
+    * per segment, the cell count, cells below k, rows in risky cells, and
+    * the smallest cell — the table a privacy review reads before export.
+    * Two cascading aggregates (cell grain → segment grain); the first
+    * shuffle is keyed by the full quasi-identifier (high cardinality,
+    * partial aggregation does the work map-side), the second is 5 keys.
+    * Scales with cell cardinality, not row count. */
+  private def q161(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.customer(s, d)
+      .groupBy(col("c_mktsegment"),
+        col("c_nationkey"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      .agg(count(lit(1)).as("n"))
+    cells.groupBy("c_mktsegment").agg(
+      count(lit(1)).as("n_cells"),
+      count_if(col("n") < 5).as("n_risky_cells"),
+      sum(when(col("n") < 5, col("n")).otherwise(lit(0L))).as("n_risky_rows"),
+      min("n").as("min_cell"))
+  }
+
+  private val q161Sql =
+    """WITH cells AS (
+      |  SELECT c_mktsegment, c_nationkey,
+      |         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+      |         count(*) AS n
+      |  FROM customer GROUP BY 1, 2, 3)
+      |SELECT c_mktsegment, count(*) AS n_cells,
+      |  CAST(count(*) FILTER (n < 5) AS BIGINT) AS n_risky_cells,
+      |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_risky_rows,
+      |  min(n) AS min_cell
+      |FROM cells GROUP BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q164
+  /** Robust outlier detection via median/MAD (the Iglewicz–Hoaglin
+    * modified z-score: 0.6745·(x − med)/MAD, flag |z| > 3.5) — the
+    * resistant sibling of q108's mean/σ z-score: a single wild value
+    * inflates σ and hides real outliers; the median and MAD don't move.
+    * Exact medians are a per-group sort (q92's note applies — the 100 TB
+    * variant swaps in approx_percentile); two cascaded aggregate+join
+    * passes, each per-type result tiny and AQE-broadcast back onto the
+    * stream. Same ulp-at-the-threshold tolerance as q108 (the flag
+    * compares bit-identical double pipelines on both engines). */
+  private def q164(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).createOrReplaceTempView("ev_mad")
+    val med = s.sql(
+      """SELECT event_type,
+        |  percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+        |FROM ev_mad GROUP BY event_type""".stripMargin)
+    Tables.events(s, d).join(med, "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+      .createOrReplaceTempView("ev_mad_dev")
+    val mad = s.sql(
+      """SELECT event_type,
+        |  percentile_cont(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+        |FROM ev_mad_dev GROUP BY event_type""".stripMargin)
+    s.table("ev_mad_dev").join(mad, "event_type")
+      .withColumn("rz", (col("value") - col("med")) * 0.6745 / col("mad"))
+      .filter(abs(col("rz")) > 3.5)
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 4).as("value"), round(col("rz"), 4).as("robust_z"))
+  }
+
+  private val q164Sql =
+    s"""$EvCte,
+      |med AS (
+      |  SELECT event_type,
+      |    percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+      |  FROM ev GROUP BY 1),
+      |dev AS (
+      |  SELECT event_id, event_type, value, med, abs(value - med) AS adev
+      |  FROM ev JOIN med USING (event_type)),
+      |mad AS (
+      |  SELECT event_type,
+      |    percentile_cont(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+      |  FROM dev GROUP BY 1)
+      |SELECT event_id, event_type, round(value, 4) AS value,
+      |       round((value - med) * 0.6745 / mad, 4) AS robust_z
+      |FROM dev JOIN mad USING (event_type)
+      |WHERE abs((value - med) * 0.6745 / mad) > 3.5""".stripMargin
+
+  // ---------------------------------------------------------------- q165
+  /** Exponentially time-decayed engagement score per user: Σ value ·
+    * 0.5^(age_days/7) (7-day half-life against a fixed as-of date) — the
+    * standard recency-weighted aggregate behind "active user" scores and
+    * decayed feature stores. Whole-day ages keep the decay factor a
+    * deterministic function of the date (identical doubles on both
+    * engines); one grouped pass, pure map-side decay arithmetic, shuffle
+    * keyed by user — linear at any scale. round(3) absorbs sum-order ulp
+    * drift across partitionings (the suite-wide double-sum convention). */
+  private def q165(s: SparkSession, d: String): DataFrame = {
+    val asOf = lit("2024-02-01").cast("date")
+    Tables.events(s, d)
+      .withColumn("age_days", datediff(asOf, col("ts").cast("date")))
+      .withColumn("decay", pow(lit(0.5), col("age_days").cast("double") / 7.0))
+      .groupBy("user_id").agg(
+        round(sum(col("value") * col("decay")), 3).as("decayed_score"),
+        count(lit(1)).as("n_events"),
+        min(col("age_days")).cast("long").as("freshest_days"))  // DuckDB date_diff is BIGINT
+  }
+
+  private val q165Sql =
+    s"""$EvCte
+      |SELECT user_id,
+      |  round(sum(value * pow(0.5, date_diff('day', CAST(ts AS DATE),
+      |                                       DATE '2024-02-01') / 7.0)), 3)
+      |    AS decayed_score,
+      |  count(*) AS n_events,
+      |  min(date_diff('day', CAST(ts AS DATE), DATE '2024-02-01'))
+      |    AS freshest_days
+      |FROM ev GROUP BY user_id""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q108_zscore_outliers", q108, Some(q108Sql)),
     GraftQuery("q109_funnel", q109, Some(q109Sql)),
@@ -284,5 +398,8 @@ object Relational11 {
     GraftQuery("q113_fuzzy_match", q113, Some(q113Sql)),
     GraftQuery("q116_approx_top_k", q116, Some(q116Sql)),
     GraftQuery("q121_dq_audit", q121, Some(q121Sql)),
-    GraftQuery("q123_winsorize", q123, Some(q123Sql)))
+    GraftQuery("q123_winsorize", q123, Some(q123Sql)),
+    GraftQuery("q161_k_anonymity", q161, Some(q161Sql)),
+    GraftQuery("q164_mad_outliers", q164, Some(q164Sql)),
+    GraftQuery("q165_decay_score", q165, Some(q165Sql)))
 }

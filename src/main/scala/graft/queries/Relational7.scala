@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
@@ -250,7 +250,60 @@ object Relational7 {
       |FROM nation JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name""".stripMargin
 
+  // ---------------------------------------------------------------- q162
+  /** Cross-source vocabulary overlap WITHOUT a join — per-source KMV
+    * (bottom-k theta) sketches of the distinct word-bigram sets, then a
+    * 5-row sketch self-join computing distinct-count and Jaccard estimates
+    * from pure array expressions (`graft.functions.KmvSketch` doc has the
+    * estimator math). The corpus is scanned once and shuffled once (the
+    * partial-aggregated sketch merge, ≤ k longs per source per partition);
+    * the S² pair stage touches S·k longs total. This is the at-scale
+    * answer to "overlap matrix across N corpora" — the exact form is N²
+    * distinct-joins over the full token stream.
+    *
+    * Oracle: pinned sf0.01 golden (sketch internals are xxhash64-specific;
+    * DuckDB can't recompute them) + KmvSketchSpec asserts the estimator
+    * error bound against exact distinct counts. */
+  private def q162(s: SparkSession, d: String): DataFrame = {
+    val k = 256
+    val bi = Tables.documents(s, d)
+      .select(col("source"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("source"), explode(
+        expr("transform(sequence(0, size(t)-2), i -> concat_ws(' ', slice(t, i+1, 2)))")
+      ).as("bigram"))
+      // sign-bit flip: signed order of h == unsigned order of xxhash64
+      .select(col("source"),
+        xxhash64(col("bigram")).bitwiseXOR(lit(Long.MinValue)).as("h"))
+    val sk = bi.groupBy("source")
+      .agg(graft.functions.KmvSketch.sketch(col("h"), k).as("sk"))
+    val a = sk.select(col("source").as("source_a"), col("sk").as("ska"))
+    val b = sk.select(col("source").as("source_b"), col("sk").as("skb"))
+    a.join(b, col("source_a") < col("source_b"))
+      .withColumn("u", expr(s"slice(array_sort(array_union(ska, skb)), 1, $k)"))
+      .withColumn("kth_u", element_at(col("u"), size(col("u"))))
+      .withColumn("n_common",
+        expr("size(filter(array_intersect(ska, skb), x -> x <= kth_u))"))
+      .select(
+        col("source_a"), col("source_b"),
+        estDistinct(col("ska"), k).as("est_distinct_a"),
+        estDistinct(col("skb"), k).as("est_distinct_b"),
+        round(col("n_common").cast("double") / size(col("u")), 4).as("est_jaccard"))
+  }
+
+  /** (k-1)/u_k estimator as a column expression; exact when |sketch| < k.
+    * 2⁻⁶⁴-normalization of a sign-flipped long: v/2⁶⁴ + 0.5. */
+  private def estDistinct(sk: Column, k: Int): Column = {
+    val kth = element_at(sk, size(sk))
+    round(
+      when(size(sk) < k, size(sk).cast("double"))
+        .otherwise(lit((k - 1).toDouble) /
+          (kth.cast("double") / lit(1.8446744073709552e19) + 0.5)), 4)
+  }
+
   val all: Seq[GraftQuery] = Seq(
+    GraftQuery("q162_kmv_overlap", q162,
+      Some(graft.core.Goldens.load("q162_kmv_overlap"))),
     GraftQuery("q71_bloom_semi_join", q71, Some(q71Sql)),
     GraftQuery("q72_hll_sketch", q72, Some(q72Sql)),
     GraftQuery("q73_lateral_topk", q73, Some(q73Sql)),

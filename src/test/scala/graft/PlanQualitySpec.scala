@@ -464,7 +464,11 @@ class PlanQualitySpec extends AnyFunSuite {
       // TakeOrderedAndProject FIRST), Relational11 q116 (≤ 5 sketch rows),
       // Retrieval.scala:346 (q122 fuses two bounded top-k lists).
       ("q100_vocab", "global-window"), ("q116_approx_top_k", "global-window"),
-      ("q122_hybrid_rrf", "global-window"), ("q122_hybrid_rrf", "nested-loop"))
+      ("q122_hybrid_rrf", "global-window"), ("q122_hybrid_rrf", "nested-loop"),
+      // KMV overlap matrix (Relational7 q162): the theta pair join runs
+      // over the per-source SKETCH frames — S rows of ≤ k longs each
+      // (S = source cardinality, 5 here), never the corpus.
+      ("q162_kmv_overlap", "nested-loop"))
     def offenders(df: DataFrame): Seq[String] = {
       // manual subquery recursion: collectWithSubqueries casts every
       // PlanExpression plan to SparkPlan, but at the sparkPlan stage
