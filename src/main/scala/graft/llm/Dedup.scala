@@ -767,6 +767,45 @@ object Dedup {
     * point: the incoming side is small, so AQE broadcasts ITS band table
     * against the big stored index, and the confirm join touches only
     * matched existing docs. */
+  /** The ONE (band, bv) key definition for the default 16×2 banding —
+    * shared by q128's stored-index shape and its streaming twin (q128b),
+    * whose candidate parity depends on bit-identical band keys. Input:
+    * a `shingledN` frame; output: (doc_id, band, bv). */
+  private[graft] def bandsOf(sh: DataFrame): DataFrame = {
+    val numBands = NumHashes / BandRows
+    minhashSignature(sh).select(col("doc_id"),
+      posexplode(array((0 until numBands).map(b =>
+        xxhash64(lit(b),
+          element_at(col("sig"), b * BandRows + 1),
+          element_at(col("sig"), b * BandRows + 2))): _*)).as(Seq("band", "bv")))
+  }
+
+  /** Map-side (no aggregation) column forms of the 32-hash signature mins
+    * and the 16 band keys, for STREAMING frames: a streaming plan can't
+    * chain joins after `minhashSignature`'s explode+groupBy, so the twin
+    * computes the same values with array HOFs over the shingle column —
+    * interpreted per row instead of codegen'd min-aggregates (the batch
+    * form's doc explains the tradeoff), but bit-identical results, which
+    * is what candidate parity with the stored index requires. Input col:
+    * the shingle array; output: the 16-element band-key array to
+    * posexplode. */
+  private[graft] def bandKeysExpr: Column = {
+    def rot(i: Int): String =
+      if (i == 0) "y" else s"(shiftleft(y, $i) | shiftrightunsigned(y, ${64 - i}))"
+    def m(i: Int): String =
+      s"array_min(zip_with(hs1, hs2, (x, y) -> x ^ ${rot(i)}))"
+    val numBands = NumHashes / BandRows
+    val bands = (0 until numBands).map(b =>
+      s"xxhash64($b, ${m(b * BandRows)}, ${m(b * BandRows + 1)})").mkString(", ")
+    expr(s"array($bands)") // caller must have hs1/hs2 columns — see bandKeysPrep
+  }
+
+  /** The hs1/hs2 helper columns [[bandKeysExpr]] reads (split out so the
+    * two xxhash64 passes run once, not once per hash function). */
+  private[graft] def bandKeysPrep(shCol: String): Seq[(String, Column)] = Seq(
+    "hs1" -> expr(s"transform($shCol, x -> xxhash64(x))"),
+    "hs2" -> expr(s"transform($shCol, x -> xxhash64('km2', x))"))
+
   def incrementalNearDup(s: SparkSession, d: String): DataFrame = {
     val (pairs, cached) = incrementalNearDupPlan(s, d)
     // eager materialize + release the corpus-sized shingle cache (see
@@ -778,12 +817,7 @@ object Dedup {
   private[graft] def incrementalNearDupPlan(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     val docs = Tables.documents(s, d)
     val sh = shingled(docs).cache()
-    val numBands = NumHashes / BandRows
-    val bands = minhashSignature(sh).select(col("doc_id"),
-      posexplode(array((0 until numBands).map(b =>
-        xxhash64(lit(b),
-          element_at(col("sig"), b * BandRows + 1),
-          element_at(col("sig"), b * BandRows + 2))): _*)).as(Seq("band", "bv")))
+    val bands = bandsOf(sh)
     val existing = bands.filter(pmod(col("doc_id"), lit(10)) < 8)
       .select(col("doc_id").as("ex_id"), col("band"), col("bv"))
     val incoming = bands.filter(pmod(col("doc_id"), lit(10)) >= 8)

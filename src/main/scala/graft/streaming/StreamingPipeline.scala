@@ -427,7 +427,65 @@ object StreamingPipeline {
               col("session_start"), col("session_end"))
   }
 
+  /** Streaming twin of q128 (incremental near-dup vs a stored band index)
+    * — the actual at-scale ingest shape run THROUGH Structured Streaming:
+    * the existing corpus's band index and shingle sets are STATIC frames
+    * (in production, the stored index q128's doc describes); incoming
+    * documents arrive as file-source micro-batches, and each batch flows
+    * map-side shingling → map-side MinHash band keys
+    * (`Dedup.bandKeysExpr`; the batch form's explode+groupBy signature is
+    * not usable mid-stream, the HOF form is bit-identical) → stream-static
+    * equi-join against the index → stateful pair dedup (band collisions
+    * repeat per pair) → stream-static join to the existing shingle sets →
+    * exact-Jaccard confirm, all in APPEND mode. Every incoming doc sees
+    * the full index regardless of batch slicing, so the drained union
+    * equals the batch answer — registered under q128's exact DuckDB
+    * oracle, which puts the streaming join + state machinery under the
+    * hash gate. State: one entry per CANDIDATE pair (near-dup-sized); a
+    * production deployment bounds it with a watermark on arrival time. */
+  def q128StreamNearDup(s: SparkSession, d: String): DataFrame = {
+    import graft.llm.Dedup
+    val existingPred = pmod(col("doc_id"), lit(10)) < 8
+    val shAll = Dedup.shingledN(graft.core.Tables.documents(s, d), 3)
+    // the "stored index": materialized once, not replayed per micro-batch
+    val exBands = Dedup.bandsOf(shAll.filter(existingPred))
+      .select(col("doc_id").as("ex_id"), col("band"), col("bv"))
+      .localCheckpoint(true)
+    val exSets = shAll.filter(existingPred)
+      .select(col("doc_id").as("ex_id"), col("sh").as("sh_e"))
+      .localCheckpoint(true)
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val incoming = tableStream(s, d, "documents")(schema)
+      .filter(pmod(col("doc_id"), lit(10)) >= 8)
+      .select(col("doc_id").as("inc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("inc_id"), array_distinct(expr(
+        "transform(sequence(0, size(t)-3), i -> concat_ws(' ', slice(t, i+1, 3)))"
+      )).as("sh_i"))
+    val withBands = Dedup.bandKeysPrep("sh_i")
+      .foldLeft(incoming) { case (df, (n, c)) => df.withColumn(n, c) }
+      .select(col("inc_id"), col("sh_i"),
+        posexplode(Dedup.bandKeysExpr).as(Seq("band", "bv")))
+    val confirmed = withBands
+      .join(exBands, Seq("band", "bv"))
+      .dropDuplicates("inc_id", "ex_id")
+      .join(exSets, "ex_id")
+      .withColumn("inter",
+        size(array_intersect(col("sh_i"), col("sh_e"))).cast("double"))
+      .withColumn("jaccard", round(
+        col("inter") / (size(col("sh_i")) + size(col("sh_e")) - col("inter")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select("inc_id", "ex_id", "jaccard")
+    val sink = s"q128b_mem_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = confirmed.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(sink).localCheckpoint(true)
+  }
+
   val queries: Seq[graft.queries.GraftQuery] = Seq(
+    graft.queries.GraftQuery("q128b_stream_neardup", q128StreamNearDup _,
+      Some(graft.llm.Dedup.incrementalNearDupSql)),
     graft.queries.GraftQuery("q20b_stream_bucket", q20StreamBucket _,
       Some(graft.queries.Relational.q20Sql)),
     graft.queries.GraftQuery("q35b_stream_dedup", q35StreamDedup _,

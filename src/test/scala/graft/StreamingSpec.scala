@@ -447,4 +447,24 @@ class StreamingSpec extends AnyFunSuite {
     val dir51 = StreamingPipeline.q51StreamSessionize(spark, tmp).collect().toSet
     assert(dir51.nonEmpty && dir51 == one51)
   }
+
+  test("q128b streaming near-dup == batch q128 under multi-batch slicing") {
+    // Batch-slicing invariance is the twin's core claim: every incoming doc
+    // is checked against the full static index independently, so the
+    // drained union must equal the batch answer whether incoming arrives
+    // as 1 file (1 trigger) or 3 part files (>= 2 triggers, cross-batch
+    // pair-dedup state exercised).
+    val src = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q128b").toString
+    spark.read.parquet(s"$src/documents.parquet").repartition(3)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = asSet(graft.llm.Dedup.incrementalNearDup(spark, src))
+    val one = asSet(StreamingPipeline.q128StreamNearDup(spark, src))
+    val dir = asSet(StreamingPipeline.q128StreamNearDup(spark, tmp))
+    assert(batch.nonEmpty, "corpus should contain incremental near-dups")
+    assert(one == batch, s"single-file twin diverged: ${one.diff(batch)} extra")
+    assert(dir == batch, s"multi-batch twin diverged: ${dir.diff(batch)} extra")
+  }
 }
