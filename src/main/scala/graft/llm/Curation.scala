@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
@@ -653,8 +653,60 @@ object Curation {
       |  FROM keyed)
       |SELECT source, doc_id, n_chars, rn FROM ranked WHERE rn <= 5""".stripMargin
 
+  // ---------------------------------------------------------------- padding waste
+  /** Length-grouped batching profile: how much padding does sorting by
+    * length save? Sequence batches pad every member to the batch max, so
+    * per-source we form batches of 32 twice — docs in length order
+    * (the LengthGroupedSampler every training stack ships) and in arrival
+    * (doc_id) order — and compare the padded-slack totals. Waste of a
+    * batch = Σ(batch_max_chars − n_chars). Two rank windows partitioned by
+    * source (sweep-safe) + two (source, batch) aggregates; all-integer
+    * arithmetic until the final ratio, so the oracle compare is exact.
+    * At scale the sort is the shuffle the training data loader pays
+    * anyway to shard; the profile itself is linear. */
+  def paddingWaste(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("source", "doc_id", "n_chars")
+    def wasteBy(ord: Seq[Column], out: String): DataFrame =
+      docs
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy(ord: _*)))
+        .withColumn("batch", ((col("rn") - 1) / lit(32)).cast("long"))
+        .groupBy("source", "batch")
+        .agg((max("n_chars") * count(lit(1)) - sum("n_chars")).as("w"))
+        .groupBy("source")
+        .agg(sum("w").as(out), count(lit(1)).as(s"${out}_batches"))
+    wasteBy(Seq(col("n_chars"), col("doc_id")), "sorted_waste")
+      .join(wasteBy(Seq(col("doc_id")), "arrival_waste"), "source")
+      .select(col("source"), col("sorted_waste"), col("arrival_waste"),
+        col("sorted_waste_batches").as("n_batches"),
+        round(lit(1.0) - col("sorted_waste").cast("double") /
+          col("arrival_waste"), 4).as("savings"))
+  }
+
+  val paddingWasteSql: String =
+    """WITH s AS (
+      |  SELECT source, sum(w) AS sorted_waste, count(*) AS n_batches FROM (
+      |    SELECT source, batch, max(n_chars) * count(*) - sum(n_chars) AS w FROM (
+      |      SELECT source, n_chars,
+      |        (row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+      |         - 1) // 32 AS batch
+      |      FROM documents) GROUP BY 1, 2) GROUP BY 1),
+      |a AS (
+      |  SELECT source, sum(w) AS arrival_waste FROM (
+      |    SELECT source, batch, max(n_chars) * count(*) - sum(n_chars) AS w FROM (
+      |      SELECT source, n_chars,
+      |        (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1) // 32
+      |          AS batch
+      |      FROM documents) GROUP BY 1, 2) GROUP BY 1)
+      |SELECT source, CAST(sorted_waste AS BIGINT) AS sorted_waste,
+      |       CAST(arrival_waste AS BIGINT) AS arrival_waste,
+      |       n_batches,
+      |       round(1.0 - sorted_waste::DOUBLE / arrival_waste, 4) AS savings
+      |FROM s JOIN a USING (source)""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q163_weighted_sample", weightedSample _, Some(weightedSampleSql)),
+    GraftQuery("q166_padding_waste", paddingWaste _, Some(paddingWasteSql)),
     GraftQuery("q132_epoch_shard", epochShard _, Some(epochShardSql)),
     GraftQuery("q133_length_buckets", lengthBuckets _, Some(lengthBucketsSql)),
     GraftQuery("q134_quality_logit", qualityLogit _, Some(qualityLogitSql)),

@@ -394,6 +394,93 @@ object Relational11 {
       |    AS freshest_days
       |FROM ev GROUP BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q167
+  /** Weighted PageRank over the nation-level trade graph (customer nation
+    * → supplier nation, edge weight = revenue share) — the iterative
+    * weighted-join sibling of q69's connected components: each round is
+    * ranks ⋈ edges (shuffled on the source node) → per-destination sum,
+    * the Pregel iteration as relational algebra. Ten damped rounds
+    * (d = 0.85), fixed count so the oracle is a bounded recursive CTE.
+    * The heavy, data-scale part is building the edge list (the q03-style
+    * 4-table join over lineitem); the iteration then runs on the
+    * node-cardinality frame — at 10⁹ nodes the same per-round plan holds,
+    * with the rank frame hash-partitioned instead of driver-held. */
+  private def q167(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
+      (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val su = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val raw = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(sum("rev").as("w"))
+    // row-normalize outgoing weight per source node; tiny from here on
+    val outW = raw.groupBy("src").agg(sum("w").as("out_w"))
+    val edges = raw.join(outW, "src")
+      .select(col("src"), col("dst"), (col("w") / col("out_w")).as("p"))
+      .localCheckpoint(true)
+    // node set = ALL nations (a nation outside the trade graph still holds
+    // teleport rank) — the 25-row dimension table, no distinct over edges
+    val nodes = Tables.nation(s, d).select(col("n_nationkey").as("node"))
+    val n = nodes.count().toDouble
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+    // the loop builds ONE lazy 10-round plan: each round is a tiny join +
+    // aggregate over the node-cardinality frame, so materializing per
+    // round would pay 10 job-scheduling latencies for microseconds of
+    // work (measured 6.2 s eager → 3.1 s lazy+broadcast at sf0.1; what
+    // remains is the edge build plus Catalyst analysis of the nested
+    // plan). At 10⁹ nodes the loop re-adds a checkpoint every few rounds
+    // to cap plan depth — the per-round PLAN is unchanged.
+    for (_ <- 1 to 10) {
+      // broadcast the rank frame (node-cardinality) into the edge join —
+      // on a big graph this is the one hint to drop (ranks co-partition
+      // with edges on src instead); here it keeps each round shuffle-free
+      // except the per-dst aggregate
+      val contrib = broadcast(ranks).join(edges, col("node") === col("src"))
+        .groupBy("dst").agg(sum(col("rank") * col("p")).as("in_rank"))
+      ranks = nodes.join(broadcast(contrib), col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(0.15 / n) + lit(0.85) * coalesce(col("in_rank"), lit(0.0)))
+            .as("rank"))
+    }
+    ranks.select(col("node").cast("long").as("nationkey"),
+      round(col("rank") * 1000, 4).as("rank_x1000"))
+  }
+
+  /** Ten unrolled iteration CTEs (r1..r10), generated by the same loop
+    * count as the Spark side: a recursive CTE may reference its working
+    * table only once, which cannot express "every node gets teleport +
+    * damped in-contributions" when some node has no in-edges — the
+    * unrolled form keeps the semantics bit-for-bit explicit. */
+  private val q167Sql: String = {
+    val iters = (1 to 10).map { i =>
+      s"""r$i AS (
+         |  SELECT x.node, 0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(
+         |    (SELECT sum(p.rank * e.p) FROM r${i - 1} p
+         |     JOIN edges e ON p.node = e.src WHERE e.dst = x.node), 0.0) AS rank
+         |  FROM nodes x)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS (
+      |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+      |         sum(l.l_extendedprice * (1 - l.l_discount)) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY 1, 2),
+      |edges AS (
+      |  SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS p FROM raw),
+      |nodes AS (SELECT n_nationkey AS node FROM nation),
+      |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+      |r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+      |$iters
+      |SELECT CAST(node AS BIGINT) AS nationkey,
+      |       round(rank * 1000, 4) AS rank_x1000
+      |FROM r10""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q108_zscore_outliers", q108, Some(q108Sql)),
     GraftQuery("q109_funnel", q109, Some(q109Sql)),
@@ -405,5 +492,6 @@ object Relational11 {
     GraftQuery("q123_winsorize", q123, Some(q123Sql)),
     GraftQuery("q161_k_anonymity", q161, Some(q161Sql)),
     GraftQuery("q164_mad_outliers", q164, Some(q164Sql)),
-    GraftQuery("q165_decay_score", q165, Some(q165Sql)))
+    GraftQuery("q165_decay_score", q165, Some(q165Sql)),
+    GraftQuery("q167_pagerank", q167, Some(q167Sql)))
 }
