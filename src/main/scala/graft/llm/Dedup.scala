@@ -266,6 +266,60 @@ object Dedup {
       |  JOIN sh sb ON i.b_id = sb.doc_id)
       |WHERE jaccard >= 0.4""".stripMargin
 
+  // ---------------------------------------------------------------- containment
+  /** Directional containment similarity C(a→b) = |A∩B| / |A| at 0.9 —
+    * what Jaccard misses: a short document quoted wholesale inside a long
+    * one scores low Jaccard (union is large) but containment ≈ 1. The
+    * standard operator for quote/subset detection next to near-dup
+    * Jaccard (q55) and span excision (q151). Same shingle inverted-index
+    * counting join as q55 (the scale shape is identical — candidates come
+    * from shared shingles, partitioned by the hashed shingle key); emits
+    * BOTH directions of a pair when both clear the threshold, with the
+    * contained (smaller) side as a_id. */
+  def containment(s: SparkSession, d: String): DataFrame =
+    containmentOf(Tables.documents(s, d).filter(col("doc_id") % 2 === 0))
+
+  /** Frame variant. The q169 registration runs the even-doc_id half slice
+    * (the q159 convention: the counting join is the same Σdf² shape as
+    * q55, and registering a second full-corpus instance would double the
+    * suite's heaviest family for no new evidence — measured 40 s at sf1
+    * full vs ~10 s sliced). At 100 TB the upgrade is the ASYMMETRIC
+    * prefix filter: only the contained side's rarest ⌈(1−t)·|A|⌉+1
+    * shingles need postings in the candidate join (t=0.9 ⇒ ~10% of A's
+    * postings), the full-B side stays as-is — same theorem as
+    * prefixJaccardOf, one-sided. */
+  private[graft] def containmentOf(docs: DataFrame, t: Double = 0.9): DataFrame = {
+    val sh = shingledN(docs, 3)
+    val ex = sh.select(col("doc_id"), size(col("sh")).as("n_sh"),
+        explode_outer(col("sh")).as("shingle"))
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("shk"))
+    val ax = ex.select(col("doc_id").as("a_id"), col("n_sh").as("na"), col("shk"))
+    val bx = ex.select(col("doc_id").as("b_id"), col("n_sh").as("nb"),
+                       col("shk").as("shk_r"))
+    ax.join(bx.hint("shuffle_hash"),
+        col("shk") === col("shk_r") && col("a_id") =!= col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).cast("double").as("n_inter"), first(col("na")).as("na"))
+      .withColumn("containment", round(col("n_inter") / col("na"), 4))
+      .filter(col("containment") >= t)
+      .select("a_id", "b_id", "containment")
+  }
+
+  val containmentSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents
+      |              WHERE doc_id % 2 = 0 AND len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |                                     for i in range(1, len(t) - 1)]) s FROM toks),
+      |ex AS (SELECT doc_id, unnest(s) shingle FROM sh),
+      |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) n
+      |          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT a_id, b_id, containment FROM (
+      |  SELECT i.a_id, i.b_id,
+      |         round(i.n::DOUBLE / len(sa.s), 4) AS containment
+      |  FROM inter i JOIN sh sa ON i.a_id = sa.doc_id)
+      |WHERE containment >= 0.9""".stripMargin
+
   // ---------------------------------------------------------------- dedup groups
   /** Connected components over the exact-Jaccard near-dup graph — the step a
     * real dedup pipeline runs AFTER pair generation: transitively-linked
@@ -926,6 +980,7 @@ object Dedup {
       Some(graft.core.Goldens.load("q37_simhash_neardup"))),
     GraftQuery("q55_ngram_jaccard", ngramJaccard _, Some(ngramJaccardSql)),
     GraftQuery("q159_ppjoin_neardup", ppjoinNearDup _, Some(ppjoinNearDupSql)),
+    GraftQuery("q169_containment", containment _, Some(containmentSql)),
     GraftQuery("q124_dup_spans", dupSpans _, Some(dupSpansSql)),
     GraftQuery("q151_span_excision", spanExcision _, Some(spanExcisionSql)),
     GraftQuery("q127_segment_dedup", segmentDedup _, Some(segmentDedupSql)),

@@ -163,7 +163,67 @@ object Relational10 {
       |  END AS interp
       |FROM idxed""".stripMargin
 
+  // ---------------------------------------------------------------- q168
+  /** Snapshot diff (the change-data-feed a table format would emit,
+    * computed from plain snapshots): full-outer join on the key with
+    * content-hash comparison classifies every row added / removed /
+    * changed / unchanged, rolled up per source. The two "snapshot
+    * versions" are carved deterministically from the documents table —
+    * v1 = doc_id%10 < 8, v2 = doc_id%10 ≥ 2 with doc_id%5 == 2 texts
+    * uppercased (a simulated edit) — so all four classes are exercised
+    * and the oracle can rebuild both sides. One co-partitioned full-outer
+    * join on the key (both sides shuffle-hash on doc_id); at scale this
+    * is THE diff shape — hash first (8-byte compare), never the payload,
+    * and bucketed snapshots co-locate the join entirely. */
+  private def q168(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val v1 = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
+      .select(col("doc_id"), col("source").as("src1"),
+        sha2(col("text"), 256).as("h1"))
+    val v2 = docs.filter(pmod(col("doc_id"), lit(10)) >= 2)
+      .withColumn("text2",
+        when(pmod(col("doc_id"), lit(5)) === 2, upper(col("text")))
+          .otherwise(col("text")))
+      .select(col("doc_id"), col("source").as("src2"),
+        sha2(col("text2"), 256).as("h2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") === col("h2"), "unchanged")
+          .otherwise("changed"))
+      .groupBy(coalesce(col("src1"), col("src2")).as("source"))
+      .agg(
+        count_if(col("status") === "added").as("n_added"),
+        count_if(col("status") === "removed").as("n_removed"),
+        count_if(col("status") === "changed").as("n_changed"),
+        count_if(col("status") === "unchanged").as("n_unchanged"))
+  }
+
+  private val q168Sql =
+    """WITH v1 AS (
+      |  SELECT doc_id, source AS src1, sha256(text) AS h1
+      |  FROM documents WHERE doc_id % 10 < 8),
+      |v2 AS (
+      |  SELECT doc_id, source AS src2,
+      |         sha256(CASE WHEN doc_id % 5 = 2 THEN upper(text) ELSE text END) AS h2
+      |  FROM documents WHERE doc_id % 10 >= 2),
+      |d AS (
+      |  SELECT COALESCE(src1, src2) AS source,
+      |    CASE WHEN h1 IS NULL THEN 'added'
+      |         WHEN h2 IS NULL THEN 'removed'
+      |         WHEN h1 = h2 THEN 'unchanged'
+      |         ELSE 'changed' END AS status
+      |  FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+      |SELECT source,
+      |  CAST(count(*) FILTER (status = 'added') AS BIGINT) AS n_added,
+      |  CAST(count(*) FILTER (status = 'removed') AS BIGINT) AS n_removed,
+      |  CAST(count(*) FILTER (status = 'changed') AS BIGINT) AS n_changed,
+      |  CAST(count(*) FILTER (status = 'unchanged') AS BIGINT) AS n_unchanged
+      |FROM d GROUP BY source""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
+    GraftQuery("q168_snapshot_diff", q168, Some(q168Sql)),
     GraftQuery("q104_cdc_merge", q104, Some(q104Sql)),
     GraftQuery("q105_scd2", q105, Some(q105Sql)),
     GraftQuery("q106_gap_fill", q106, Some(q106Sql)))
