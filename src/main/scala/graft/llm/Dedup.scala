@@ -305,6 +305,46 @@ object Dedup {
       .select("a_id", "b_id", "containment")
   }
 
+  /** The asymmetric prefix-filtered form of [[containmentOf]] — the shape
+    * a 100 TB corpus runs. One-sided prefix theorem: if |A∩B| ≥ t·|A|,
+    * then A misses fewer than (1−t)·|A| of its own shingles in B, so
+    * among ANY ⌊(1−t)·|A|⌋+1 of A's shingles at least one is in B —
+    * in particular among the globally-rarest ones. Hence the candidate
+    * join needs only A's rarest-⌊(1−t)·|A|⌋+1 postings against B's FULL
+    * posting list (at t=0.9, ~10% of the probe side; the df-ascending
+    * order again starves hot shingles of candidates). Verification is
+    * the exact per-pair intersect against the candidate set only.
+    * LlmSpec proves row-identity with the direct counting join on the
+    * full test corpus. */
+  private[graft] def containmentPrefixOf(docs: DataFrame, t: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingledN(docs, 3)
+    val ex = sh.select(col("doc_id"), size(col("sh")).as("n_sh"),
+        explode_outer(col("sh")).as("shingle"))
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("shk"))
+      .localCheckpoint(true)
+    val dfreq = ex.groupBy("shk").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("shk").asc)
+    // floor((1-t)·n)+1 probe shingles — the one-sided prefix
+    val probe = ex.join(dfreq, "shk")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= floor(col("n_sh") * (1 - t)) + 1)
+      .select(col("doc_id").as("a_id"), col("shk"))
+    val cand = probe
+      .join(ex.select(col("doc_id").as("b_id"), col("shk").as("shk_r"))
+              .hint("shuffle_hash"),
+        col("shk") === col("shk_r") && col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val sa = sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
+    val sb = sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
+    cand.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("n_inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("containment", round(col("n_inter") / size(col("sh_a")), 4))
+      .filter(col("containment") >= t)
+      .select("a_id", "b_id", "containment")
+  }
+
   val containmentSql: String =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents
       |              WHERE doc_id % 2 = 0 AND len(string_split(text, ' ')) >= 3),

@@ -430,6 +430,17 @@ class LlmSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "test corpus should contain bigram near-dups")
   }
 
+  test("asymmetric prefix containment is lossless: identical to the direct counting join") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = asSet(Dedup.containmentOf(docs))
+    val prefix = asSet(Dedup.containmentPrefixOf(docs))
+    assert(direct.nonEmpty, "corpus should contain containment pairs")
+    assert(prefix == direct,
+      s"one-sided prefix filter changed the result: ${prefix.diff(direct)} extra, ${direct.diff(prefix)} missing")
+  }
+
   test("prefix-filtered jaccard is lossless: identical pairs to the exact join") {
     val exact = Dedup.ngramJaccard(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
