@@ -552,6 +552,46 @@ object Similarity {
            round(sum("d2"), 2).as("sse"))
   }
 
+  // ---------------------------------------------------------------- incremental ivf
+  /** q170 — incremental IVF index update: assign an INCOMING vector batch
+    * to the STORED centroids (trained on the existing corpus, NOT
+    * retrained) and report per-centroid growth and drift — the ANN-index
+    * analog of q128's stored-band-index ingest, and the monitoring table
+    * that tells an operator when the index needs retraining. Existing =
+    * vec_id%10 < 8 (the q128 convention), incoming = the rest; drift =
+    * mean new-member distance² over mean existing distance² per centroid —
+    * a centroid whose new arrivals sit systematically farther out is
+    * stale. Plan: one k-means on the existing side (the stored index,
+    * q98's deterministic trainer), then two broadcast-assign passes — the
+    * incoming pass is the only per-batch cost at scale (map-side argmin
+    * over k centroids, zero shuffle beyond the per-centroid aggregate).
+    * Deterministic end-to-end → pinned sf0.01 golden (q98 contract);
+    * RetrievalSpec asserts incoming assignments equal a driver-side brute
+    * nearest-centroid recompute. */
+  def incrementalIvf(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d).select("vec_id", "v")
+    val existing = e.filter(pmod(col("vec_id"), lit(10)) < 8)
+    val incoming = e.filter(pmod(col("vec_id"), lit(10)) >= 8)
+    val cents = kmeans(existing, 8, 3)
+    def d2(assigned: DataFrame): DataFrame = assigned
+      .join(broadcast(cents), "cent_id")
+      .withColumn("d2",
+        dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cv")) +
+          dot(col("cv"), col("cv")))
+    val ex = d2(assign(existing, cents)).groupBy("cent_id")
+      .agg(count(lit(1)).as("n_existing"), sum("d2").as("sse_ex"))
+    val inc = d2(assign(incoming, cents)).groupBy("cent_id")
+      .agg(count(lit(1)).as("n_new"), sum("d2").as("sse_new"))
+    ex.join(inc, Seq("cent_id"), "left")
+      .select(col("cent_id"), col("n_existing"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        round(col("sse_ex"), 2).as("sse_existing"),
+        round(coalesce(col("sse_new"), lit(0.0)), 2).as("sse_new"),
+        round(
+          (coalesce(col("sse_new"), lit(0.0)) / coalesce(col("n_new"), lit(1L)))
+            / (col("sse_ex") / col("n_existing")), 4).as("drift"))
+  }
+
   // ---------------------------------------------------------------- semdedup
   /** q125 — SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     * at web-scale through semantic deduplication"): semantic near-duplicate
@@ -863,6 +903,8 @@ object Similarity {
     GraftQuery("q130_knn_pq", (s: SparkSession, d: String) => knnPq(s, d),
       Some(graft.core.Goldens.load("q130_knn_pq"))),
     GraftQuery("q98_ivf_train", ivfTrain _, ivfTrainGoldenSql),
+    GraftQuery("q170_incremental_ivf", incrementalIvf _,
+      Some(graft.core.Goldens.load("q170_incremental_ivf"))),
     GraftQuery("q139_hard_negatives", hardNegatives _, Some(hardNegativesSql)),
     GraftQuery("q139b_hard_negatives_lsh",
       (s: SparkSession, d: String) => hardNegativesLsh(s, d),

@@ -159,6 +159,33 @@ class RetrievalSpec extends AnyFunSuite {
       next.map { case (k, v) => k -> v.toSeq }, "kmeans not deterministic")
   }
 
+  test("q170: incoming counts equal a brute nearest-centroid recompute; drift sane") {
+    import graft.llm.Similarity
+    val e = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val existing = e.filter("vec_id % 10 < 8")
+    val cents = Similarity.kmeans(existing, 8, 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    // driver-side brute assignment of the incoming batch to stored cents
+    val expected = e.filter("vec_id % 10 >= 8").collect()
+      .map { r =>
+        val v = r.getSeq[Double](1).toArray
+        cents.minBy { case (id, c) =>
+          (v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, id)
+        }._1
+      }.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val got = SparkEntry.queries("q170_incremental_ivf")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    expected.foreach { case (cid, n) =>
+      assert(got.getOrElse(cid, 0L) == n, s"centroid $cid: got ${got.get(cid)} want $n")
+    }
+    // drift near 1 on an i.i.d. split: incoming is the same distribution
+    SparkEntry.queries("q170_incremental_ivf")(spark, sf).collect().foreach { r =>
+      val drift = r.getDouble(5)
+      assert(drift > 0.5 && drift < 2.0, s"implausible drift $drift at ${r.getLong(0)}")
+    }
+  }
+
   test("token packing: contiguous batches, bounded overflow, all docs packed") {
     import graft.llm.Retrieval
     val corpus = docs()
