@@ -704,8 +704,87 @@ object Curation {
       |       round(1.0 - sorted_waste::DOUBLE / arrival_waste, 4) AS savings
       |FROM s JOIN a USING (source)""".stripMargin
 
+  // ---------------------------------------------------------------- neyman
+  /** Neyman-allocation stratified sampling: a fixed budget of n = 100
+    * documents split across sources ∝ N_h·S_h (stratum size × stddev of
+    * n_chars — optimal allocation for estimating the corpus mean under a
+    * fixed budget, Neyman 1934), integerized by largest-remainder so the
+    * allocations sum to exactly n, then drawn deterministically per
+    * stratum with the q163 pseudo-uniform key. Output is the per-stratum
+    * design + realized sample stats — what a data-audit sampling plan
+    * looks like. Two stratum-grain aggregates and two rank windows
+    * (one over the 20-row stratum table, one partitioned by source);
+    * nothing data-scale beyond the stats pass. */
+  def neymanSample(s: SparkSession, d: String): DataFrame = {
+    val budget = 100
+    val docs = Tables.documents(s, d)
+    val stats = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"), stddev_pop("n_chars").as("sd"))
+    val totW = stats.agg(sum(col("n_docs") * col("sd")).as("tot_w"))
+    val alloc = stats.crossJoin(broadcast(totW))
+      .withColumn("a", lit(budget) * col("n_docs") * col("sd") / col("tot_w"))
+      .withColumn("fl", floor(col("a")).cast("long"))
+      .withColumn("rem", col("a") - col("fl"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))))
+      .crossJoin(broadcast(
+        stats.crossJoin(broadcast(totW))
+          .agg((lit(budget) - sum(floor(lit(budget) * col("n_docs") * col("sd")
+            / col("tot_w")))).cast("long").as("deficit"))))
+      .withColumn("alloc", col("fl") + when(col("rk") <= col("deficit"), 1L).otherwise(0L))
+      .select(col("source"), col("n_docs"), round(col("sd"), 4).as("sd"), col("alloc"))
+    val u = (((col("doc_id") * lit(2654435761L)) % 1000003L + 1L).cast("double")
+             / 1000004.0)
+    val sampled = docs.select(col("source"), col("doc_id"), col("n_chars"), u.as("k"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("k").desc, col("doc_id"))).cast("long"))
+      .join(alloc.select("source", "alloc"), "source")
+      .filter(col("rn") <= col("alloc"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_sampled"),
+        round(avg("n_chars"), 2).as("sample_mean_chars"))
+    alloc.join(sampled, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("sd"), col("alloc"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        col("sample_mean_chars"))
+  }
+
+  val neymanSampleSql: String =
+    """WITH stats AS (
+      |  SELECT source, count(*) AS n_docs, stddev_pop(n_chars) AS sd
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT sum(n_docs * sd) AS tot_w FROM stats),
+      |alloc0 AS (
+      |  SELECT source, n_docs, sd,
+      |    100 * n_docs * sd / tot_w AS a,
+      |    CAST(floor(100 * n_docs * sd / tot_w) AS BIGINT) AS fl
+      |  FROM stats, tot),
+      |deficit AS (SELECT 100 - CAST(sum(fl) AS BIGINT) AS deficit FROM alloc0),
+      |alloc AS (
+      |  SELECT source, n_docs, round(sd, 4) AS sd,
+      |    fl + CASE WHEN row_number() OVER (ORDER BY a - fl DESC, source)
+      |                   <= (SELECT deficit FROM deficit)
+      |              THEN 1 ELSE 0 END AS alloc
+      |  FROM alloc0),
+      |keyed AS (
+      |  SELECT source, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY
+      |      (((doc_id * 2654435761) % 1000003) + 1)::DOUBLE / 1000004.0 DESC,
+      |      doc_id) AS rn
+      |  FROM documents),
+      |sampled AS (
+      |  SELECT k.source, count(*) AS n_sampled,
+      |         round(avg(n_chars), 2) AS sample_mean_chars
+      |  FROM keyed k JOIN alloc a ON k.source = a.source AND k.rn <= a.alloc
+      |  GROUP BY 1)
+      |SELECT source, n_docs, sd, CAST(alloc AS BIGINT) AS alloc,
+      |       CAST(COALESCE(n_sampled, 0) AS BIGINT) AS n_sampled,
+      |       sample_mean_chars
+      |FROM alloc LEFT JOIN sampled USING (source)""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q163_weighted_sample", weightedSample _, Some(weightedSampleSql)),
+    GraftQuery("q172_neyman_sample", neymanSample _, Some(neymanSampleSql)),
     GraftQuery("q166_padding_waste", paddingWaste _, Some(paddingWasteSql)),
     GraftQuery("q132_epoch_shard", epochShard _, Some(epochShardSql)),
     GraftQuery("q133_length_buckets", lengthBuckets _, Some(lengthBucketsSql)),

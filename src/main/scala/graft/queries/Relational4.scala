@@ -74,8 +74,59 @@ object Relational4 {
       |SELECT user_id, event_type, event_id AS first_event_id, first_ts, n_total
       |FROM ranked WHERE rn = 1""".stripMargin
 
+  // ---------------------------------------------------------------- q171
+  /** Interval-overlap join: user sessions (q51's intervals, reused by
+    * construction) against a campaign-window dimension, overlap predicate
+    * s.start < c.end AND c.start < s.end, with clipped overlap seconds —
+    * per-campaign exposure accounting (sessions touched, distinct users,
+    * total overlapped time). The 4-row campaign side broadcasts (a
+    * BroadcastNestedLoopJoin, bounded by the dimension — whitelisted);
+    * when BOTH sides are large the q09 banding applies: slice intervals
+    * to a time grid, equi-join on the band, dedup pairs. Endpoints are
+    * floor-second on both engines (unix_timestamp / floor(epoch)) so the
+    * overlap arithmetic is integer-exact. */
+  private def q171(s: SparkSession, d: String): DataFrame = {
+    val campaigns = s.sql(
+      """SELECT * FROM VALUES
+        |  ('c1', TIMESTAMP'2024-01-03 00:00:00', TIMESTAMP'2024-01-07 00:00:00'),
+        |  ('c2', TIMESTAMP'2024-01-10 12:00:00', TIMESTAMP'2024-01-15 12:00:00'),
+        |  ('c3', TIMESTAMP'2024-01-18 00:00:00', TIMESTAMP'2024-01-19 00:00:00'),
+        |  ('c4', TIMESTAMP'2024-01-25 06:00:00', TIMESTAMP'2024-01-31 00:00:00')
+        |  AS t(campaign, c_start, c_end)""".stripMargin)
+    q51(s, d)
+      .join(broadcast(campaigns),
+        col("session_start") < col("c_end") && col("c_start") < col("session_end"))
+      .withColumn("overlap_sec",
+        unix_timestamp(least(col("session_end"), col("c_end"))) -
+          unix_timestamp(greatest(col("session_start"), col("c_start"))))
+      .groupBy("campaign")
+      .agg(count(lit(1)).as("n_sessions"),
+           countDistinct("user_id").as("n_users"),
+           sum("overlap_sec").as("total_overlap_sec"))
+  }
+
+  /** Nests q51's full oracle (its own WITH chain) as the `sess` CTE body —
+    * any change to session semantics propagates to both oracles. */
+  private val q171Sql: String = {
+    s"""WITH sess AS ($q51Sql),
+      |campaigns(campaign, c_start, c_end) AS (VALUES
+      |  ('c1', TIMESTAMP '2024-01-03 00:00:00', TIMESTAMP '2024-01-07 00:00:00'),
+      |  ('c2', TIMESTAMP '2024-01-10 12:00:00', TIMESTAMP '2024-01-15 12:00:00'),
+      |  ('c3', TIMESTAMP '2024-01-18 00:00:00', TIMESTAMP '2024-01-19 00:00:00'),
+      |  ('c4', TIMESTAMP '2024-01-25 06:00:00', TIMESTAMP '2024-01-31 00:00:00'))
+      |SELECT campaign, count(*) AS n_sessions,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(sum(CAST(floor(epoch(least(session_end, c_end))) AS BIGINT)
+      |         - CAST(floor(epoch(greatest(session_start, c_start))) AS BIGINT))
+      |       AS BIGINT) AS total_overlap_sec
+      |FROM sess JOIN campaigns
+      |  ON session_start < c_end AND c_start < session_end
+      |GROUP BY campaign""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q51_sessionize", q51, Some(q51Sql)),
     GraftQuery("q52_dedup_keep_first", q52, Some(q52Sql)),
+    GraftQuery("q171_campaign_overlap", q171, Some(q171Sql)),
   )
 }

@@ -468,7 +468,16 @@ class PlanQualitySpec extends AnyFunSuite {
       // KMV overlap matrix (Relational7 q162): the theta pair join runs
       // over the per-source SKETCH frames — S rows of ≤ k longs each
       // (S = source cardinality, 5 here), never the corpus.
-      ("q162_kmv_overlap", "nested-loop"))
+      ("q162_kmv_overlap", "nested-loop"),
+      // Campaign interval-overlap join (Relational4 q171): the broadcast
+      // side is the 4-row campaign dimension; at scale the q09 banding
+      // replaces the theta join (documented at the site).
+      ("q171_campaign_overlap", "nested-loop"),
+      // Neyman allocation (Curation q172): the largest-remainder rank
+      // window runs over the STRATUM table (source cardinality, 20 rows);
+      // the nested-loops are single-row grand-total broadcasts.
+      ("q172_neyman_sample", "global-window"),
+      ("q172_neyman_sample", "nested-loop"))
     def offenders(df: DataFrame): Seq[String] = {
       // manual subquery recursion: collectWithSubqueries casts every
       // PlanExpression plan to SparkPlan, but at the sparkPlan stage
