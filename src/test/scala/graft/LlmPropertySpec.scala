@@ -146,4 +146,27 @@ class LlmPropertySpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getAs[Long]("n_unique")).toMap
     assert(once == twice, "n_unique must be idempotent under duplication")
   }
+
+  test("KMV sketch merge algebra: commutative, associative, duplicate-blind, order-blind") {
+    import graft.functions.KmvSketch
+    val sk = new KmvSketch(16)
+    def fold(xs: Seq[Long]): Array[Long] = xs.foldLeft(sk.zero)(sk.reduce)
+    val longs: Gen[List[Long]] =
+      Gen.chooseNum(0, 60).flatMap(n => Gen.listOfN(n, Gen.chooseNum(-1000L, 1000L)))
+    sample(Gen.zip(longs, longs), 200).foreach { case (a, b) =>
+      val (fa, fb) = (fold(a), fold(b))
+      // merge == sketch of the union stream, both orders
+      val direct = fold(a ++ b)
+      assert(sk.merge(fa, fb).toSeq == direct.toSeq, s"merge != union fold: $a $b")
+      assert(sk.merge(fb, fa).toSeq == direct.toSeq, s"merge not commutative: $a $b")
+      // duplicate- and order-blindness of the underlying set semantics
+      assert(fold(scala.util.Random.shuffle(a ++ a)).toSeq ==
+        KmvSketch.reference(a, 16), s"fold not set-semantics: $a")
+    }
+    sample(Gen.zip(longs, longs, longs), 100).foreach { case (a, b, c) =>
+      val l = sk.merge(sk.merge(fold(a), fold(b)), fold(c)).toSeq
+      val r = sk.merge(fold(a), sk.merge(fold(b), fold(c))).toSeq
+      assert(l == r, s"merge not associative: $a $b $c")
+    }
+  }
 }

@@ -446,6 +446,8 @@ class PlanQualitySpec extends AnyFunSuite {
       ("q70_knn_quantized", "global-window"), ("q70_knn_quantized", "nested-loop"),
       ("q130_knn_pq", "global-window"), ("q130_knn_pq", "nested-loop"),
       ("q98_ivf_train", "nested-loop"),
+      ("q170_incremental_ivf", "nested-loop"), // same k-centroid broadcast as q98
+
       ("q139_hard_negatives", "nested-loop"),
       // Bitext/decontam (Similarity.scala:726,775): query/heldout side is
       // a label-bounded tiny frame, broadcast by hint.
