@@ -362,6 +362,49 @@ object TextAnalysis {
       |                             OR fail_stop)) AS BIGINT) AS n_pass
       |FROM f GROUP BY source""".stripMargin
 
+  // ---------------------------------------------------------------- vocab coverage
+  /** Vocabulary coverage curve: what share of the corpus token stream do
+    * the top-K words cover, for K ∈ {10, 20, 40, 80} — the curve that
+    * sizes a tokenizer vocabulary (or an OOV budget, q140's fixed-K
+    * complement). Scale shape: the corpus-sized work is one word count
+    * (the q100 shuffle); everything after runs on the TOP-max(K) rows via
+    * TakeOrderedAndProject — the global rank/cumulative windows are
+    * post-limit (≤ 80 rows, q100's whitelisted pattern), and the grand
+    * total is a single-row broadcast. Never a global window over the full
+    * vocabulary. */
+  def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val ks = Seq(10, 20, 40, 80)
+    val words = Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = words.agg(sum("c").as("total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("w"))
+    words.orderBy(col("c").desc, col("w")).limit(ks.max)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum", sum("c").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .filter(col("rk").isin(ks.map(_.toLong): _*))
+      .crossJoin(broadcast(tot))
+      .select(col("rk").as("k"),
+        round(col("cum").cast("double") / col("total"), 4).as("coverage"))
+  }
+
+  val vocabCoverageSql: String =
+    """WITH wc AS (
+      |  SELECT w, count(*) AS c FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY 1),
+      |tot AS (SELECT sum(c) AS total FROM wc),
+      |top AS (SELECT w, c FROM wc ORDER BY c DESC, w LIMIT 80),
+      |ranked AS (
+      |  SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rk,
+      |         sum(c) OVER (ORDER BY c DESC, w
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM top)
+      |SELECT rk AS k, round(cum::DOUBLE / total, 4) AS coverage
+      |FROM ranked, tot WHERE rk IN (10, 20, 40, 80)""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q30_text_stats", textStats _, Some(textStatsSql)),
     GraftQuery("q31_token_count", tokenCount _, Some(tokenCountSql)),
@@ -373,5 +416,6 @@ object TextAnalysis {
     GraftQuery("q99_pii_redact", piiRedact _, Some(piiRedactSql)),
     GraftQuery("q100_vocab", vocab _, Some(vocabSql)),
     GraftQuery("q140_oov_rate", oovRate _, Some(oovRateSql)),
-    GraftQuery("q160_gopher_rules", gopherRules _, Some(gopherRulesSql)))
+    GraftQuery("q160_gopher_rules", gopherRules _, Some(gopherRulesSql)),
+    GraftQuery("q173_vocab_coverage", vocabCoverage _, Some(vocabCoverageSql)))
 }

@@ -479,7 +479,12 @@ class PlanQualitySpec extends AnyFunSuite {
       // window runs over the STRATUM table (source cardinality, 20 rows);
       // the nested-loops are single-row grand-total broadcasts.
       ("q172_neyman_sample", "global-window"),
-      ("q172_neyman_sample", "nested-loop"))
+      ("q172_neyman_sample", "nested-loop"),
+      // Vocab coverage (TextAnalysis q173): rank/cumulative windows run
+      // post-TakeOrderedAndProject (<= 80 rows); grand total is a
+      // single-row broadcast — the q100 pattern.
+      ("q173_vocab_coverage", "global-window"),
+      ("q173_vocab_coverage", "nested-loop"))
     def offenders(df: DataFrame): Seq[String] = {
       // manual subquery recursion: collectWithSubqueries casts every
       // PlanExpression plan to SparkPlan, but at the sparkPlan stage
