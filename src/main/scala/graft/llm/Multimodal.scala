@@ -16,11 +16,13 @@ case class MediaRow(
 
 /** Stub-decoded features for the GENERIC media table (whose payloads are
   * stand-in bytes, so its decode is a deterministic fake). The REAL codec
-  * paths live below: q154/q155 decode genuine PNG via the JDK's imageio
-  * and q156 parses genuine RIFF/WAV via javax.sound.sampled — video is the
-  * one kind that stays stubbed (the JDK ships no video codec). The Spark
-  * plumbing (binary column, typed Dataset, partition-batched extraction,
-  * schema) is identical across stub and real paths. */
+  * paths live below: q154/q155 decode genuine PNG via the JDK's imageio,
+  * q156 parses genuine RIFF/WAV via javax.sound.sampled, and q174 walks a
+  * genuine multi-frame animated-GIF container (LZW streams + frame
+  * directory) as the video kind — every media kind now has a real codec
+  * path; only long-GOP codecs (H.264 etc.) remain out of JDK reach. The
+  * Spark plumbing (binary column, typed Dataset, partition-batched
+  * extraction, schema) is identical across stub and real paths. */
 case class MediaFeatures(
     media_id: Long,
     kind: String,
@@ -381,6 +383,85 @@ object Multimodal {
         sum("sum_abs").as("sum_abs"))
   }
 
+  /** Deterministic synthetic "video": an animated GIF of 4 + id%5 full
+    * RGB frames, (8 + id%5) × (6 + id%4), frame f's pixels from
+    * `pixel(id * 131 + f, x, y)`, written with the JDK GIF writer in
+    * sequence mode. GIF's 256-entry color table is LOSSLESS here — each
+    * frame holds ≤ 12·9 = 108 distinct colors — so decoded RGB is
+    * bit-exact against the closed form (MultimodalCodecSpec proves it).
+    * This upgrades the video kind from stub to a real multi-frame
+    * temporal container: a genuine compressed stream (LZW), a frame
+    * directory the reader must walk, and per-frame decode. */
+  private[graft] def synthGif(id: Long): Array[Byte] = {
+    val w = 8 + (id % 5).toInt; val h = 6 + (id % 4).toInt
+    val nFrames = 4 + (id % 5).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, pixel(id * 131 + f, x, y)); x += 1 }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  /** q174 — REAL video decode + frame sampling: video-kind ids → animated
+    * GIF payloads → ImageIO GIF reader (frame count from the container
+    * directory, every 2nd frame decoded) → per-frame-count luma
+    * accounting. The sampled-stride decode is the real shape of video
+    * feature extraction (decode cost scales with frames READ, not frames
+    * present). Pinned golden; frame-exactness proven in
+    * MultimodalCodecSpec. Same mapPartitions batch contract as
+    * q154-q156 — pure map-side codec work, no shuffle grows with data. */
+  def videoFramesProfile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stride = 2
+    media(s, d).filter(col("kind") === "video")
+      .select(col("media_id")).as[Long]
+      .map(id => (id, synthGif(id)))
+      .toDF("media_id", "payload")
+      .as[(Long, Array[Byte])].mapPartitions { rows =>
+        rows.map { case (id, gif) =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(gif))
+          val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+          reader.setInput(iis, false)
+          val n = reader.getNumImages(true)
+          var idx = 0; var sampled = 0; var np = 0L; var luma = 0L
+          while (idx < n) {
+            if (idx % stride == 0) {
+              val (p, l) = lumaStats(reader.read(idx))
+              np += p; luma += l; sampled += 1
+            }
+            idx += 1
+          }
+          reader.dispose(); iis.close()
+          (id, n, sampled, np, luma)
+        }
+      }.toDF("media_id", "n_frames", "n_sampled", "n_pixels", "luma_sum")
+      .groupBy("n_frames")
+      .agg(count(lit(1)).as("n_videos"),
+        sum("n_sampled").as("n_sampled"),
+        sum("n_pixels").as("n_pixels"),
+        sum("luma_sum").as("luma_sum"),
+        (floor(sum("luma_sum").cast("double") / sum("n_pixels") / 1000.0
+          * 10000 + 0.5) / 10000.0).as("mean_luma"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q42_multimodal_features", featureProfile _, Some(featureProfileSql)),
     GraftQuery("q119_frame_sample", frameSampleProfile _, Some(frameSampleProfileSql)),
@@ -390,5 +471,7 @@ object Multimodal {
     GraftQuery("q155_image_resize", imageResizeProfile _,
       Some(graft.core.Goldens.load("q155_image_resize"))),
     GraftQuery("q156_audio_decode", audioDecodeProfile _,
-      Some(graft.core.Goldens.load("q156_audio_decode"))))
+      Some(graft.core.Goldens.load("q156_audio_decode"))),
+    GraftQuery("q174_video_frames", videoFramesProfile _,
+      Some(graft.core.Goldens.load("q174_video_frames"))))
 }

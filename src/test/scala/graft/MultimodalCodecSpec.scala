@@ -25,6 +25,27 @@ class MultimodalCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("animated GIF roundtrip: frame count and every frame pixel-exact (real video container)") {
+    for (id <- Seq(0L, 3L, 42L, 123L, 9999L)) {
+      val gif = Multimodal.synthGif(id)
+      assert(gif(0) == 'G' && gif(1) == 'I' && gif(2) == 'F',
+        s"id=$id payload is not a GIF container")
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(gif))
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      reader.setInput(iis, false)
+      assert(reader.getNumImages(true) == 4 + (id % 5).toInt, s"id=$id frame count")
+      for (f <- 0 until reader.getNumImages(true)) {
+        val img = reader.read(f)
+        assert(img.getWidth == 8 + (id % 5).toInt && img.getHeight == 6 + (id % 4).toInt)
+        for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+          assert((img.getRGB(x, y) & 0xffffff) == Multimodal.pixel(id * 131 + f, x, y),
+            s"id=$id frame $f pixel ($x,$y) diverged — GIF palette not lossless?")
+      }
+      reader.dispose(); iis.close()
+    }
+  }
+
   test("nearest-neighbor resize samples exactly the decoded source pixels") {
     val id = 5L
     val img = javax.imageio.ImageIO.read(
