@@ -160,7 +160,13 @@ object Bench {
     val nStale = results.count(_.floorStale.isDefined)
     val calib = s""""calib_ms":[${calibBefore.round},${calibAfter.round}],""" +
       s""""calib_par_ms":[${calibParBefore.round},${calibParAfter.round}],""" +
-      s""""cpu_sec":${r3(processCpuSec() - cpuBefore)},"n_rerun":$nRerun,"n_floor_stale":$nStale"""
+      s""""cpu_sec":${r3(processCpuSec() - cpuBefore)},""" +
+      // cpu/wall — the one number that separates hypervisor parallelism
+      // steal (flat calib, flat cpu, inflated wall ⇒ low effective cores)
+      // from a real regression; committed-clean reference points: ~3 at
+      // sf0.1 (latency-bound), ~9 at sf1, ~21 at sf5
+      s""""effective_cores":${r3((processCpuSec() - cpuBefore) / math.max(total, 0.001))},""" +
+      s""""n_rerun":$nRerun,"n_floor_stale":$nStale"""
     val fullQs = results.map(r => "\"" + r.name + "\":" + r3(r.wall))
       .mkString("{", ",", "}")
     // audit trail: for each starvation-confirmed rerun, BOTH samples' wall
