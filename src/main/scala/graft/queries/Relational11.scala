@@ -481,6 +481,32 @@ object Relational11 {
       |FROM r10""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q175
+  /** Sliding-window aggregate (1-hour windows every 20 minutes): each
+    * event lands in exactly 3 overlapping windows — q20's tumbling bucket
+    * generalized, the shape behind rate monitors and rolling SLO panels.
+    * Spark's `window(ts, len, slide)` explodes the 3 memberships
+    * map-side, then one shuffle keyed by window start; at scale the
+    * output cardinality is span/slide windows, not events. Oracle: the
+    * window-start algebra spelled out — every event's 3 epoch-aligned
+    * 20-minute buckets, identical to Spark's alignment. Also registered
+    * through Structured Streaming as q175b (same oracle). */
+  private[graft] def q175(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "20 minutes"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("bucket_start"), col("n"), col("sum_value"))
+
+  private[graft] val q175Sql =
+    s"""$EvCte, offs AS (SELECT unnest([0, 1, 2]) AS k),
+      |w AS (
+      |  SELECT time_bucket(INTERVAL '20 minutes', ts)
+      |           - k * INTERVAL '20 minutes' AS ws, value
+      |  FROM ev, offs)
+      |SELECT ws AS bucket_start, count(*) AS n,
+      |       round(sum(value), 2) AS sum_value
+      |FROM w GROUP BY 1""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q108_zscore_outliers", q108, Some(q108Sql)),
     GraftQuery("q109_funnel", q109, Some(q109Sql)),
@@ -493,5 +519,6 @@ object Relational11 {
     GraftQuery("q161_k_anonymity", q161, Some(q161Sql)),
     GraftQuery("q164_mad_outliers", q164, Some(q164Sql)),
     GraftQuery("q165_decay_score", q165, Some(q165Sql)),
-    GraftQuery("q167_pagerank", q167, Some(q167Sql)))
+    GraftQuery("q167_pagerank", q167, Some(q167Sql)),
+    GraftQuery("q175_sliding_window", q175, Some(q175Sql)))
 }

@@ -483,9 +483,27 @@ object StreamingPipeline {
     s.table(sink).localCheckpoint(true)
   }
 
+  /** Streaming twin of q175: the sliding-window aggregate run through the
+    * state store in complete mode — q20b's harness with overlapping
+    * windows, so every micro-batch updates 3 window states per event.
+    * Registered under q175's DuckDB oracle. */
+  def q175StreamSliding(s: SparkSession, d: String): DataFrame = {
+    val buckets = eventsStream(s, d)
+      .groupBy(window(col("ts"), "1 hour", "20 minutes"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("bucket_start"), col("n"), col("sum_value"))
+    val sink = s"q175b_mem_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = buckets.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(sink)
+  }
+
   val queries: Seq[graft.queries.GraftQuery] = Seq(
     graft.queries.GraftQuery("q128b_stream_neardup", q128StreamNearDup _,
       Some(graft.llm.Dedup.incrementalNearDupSql)),
+    graft.queries.GraftQuery("q175b_stream_sliding", q175StreamSliding _,
+      Some(graft.queries.Relational11.q175Sql)),
     graft.queries.GraftQuery("q20b_stream_bucket", q20StreamBucket _,
       Some(graft.queries.Relational.q20Sql)),
     graft.queries.GraftQuery("q35b_stream_dedup", q35StreamDedup _,
