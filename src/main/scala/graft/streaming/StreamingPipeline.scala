@@ -499,9 +499,54 @@ object StreamingPipeline {
     s.table(sink)
   }
 
+  /** Oracle-gated STREAM-STREAM inner join: clicks ⋈ purchases per user
+    * within (click, click + 1 h] — two independent file-source streams
+    * over the same events table, joined on key + time-range, append mode.
+    * This puts the symmetric join-state machinery itself (both sides
+    * buffered, range condition probed on arrival from either direction)
+    * under the driver's hash gate; the spec-only MemoryStream cases cover
+    * the watermark-eviction semantics. The watermark here is the
+    * CORPUS-span bound (31 days), not the 1-hour production value: a
+    * file-source stream delivers events in file order, not time order, so
+    * a tight watermark would legitimately drop late CLICKS in sliced
+    * multi-part layouts and diverge from the batch answer — exactness
+    * under arbitrary slicing is what the gate checks; production sets the
+    * delay to its real out-of-orderness bound (StreamingSpec pins the
+    * tight-watermark behavior separately). */
+  def q176StreamClickAttr(s: SparkSession, d: String): DataFrame = {
+    val clicks = eventsStream(s, d).filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "31 days")
+    val purchases = eventsStream(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "31 days")
+    val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+        col("p_ts") > col("click_ts") &&
+        col("p_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select("user_id", "click_id", "purchase_id")
+    val sink = s"q176_mem_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(sink).localCheckpoint(true)
+  }
+
+  private val q176Sql =
+    """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+      |SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+      |FROM ev c JOIN ev p
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL '1 hour'""".stripMargin
+
   val queries: Seq[graft.queries.GraftQuery] = Seq(
     graft.queries.GraftQuery("q128b_stream_neardup", q128StreamNearDup _,
       Some(graft.llm.Dedup.incrementalNearDupSql)),
+    graft.queries.GraftQuery("q176_stream_click_attr", q176StreamClickAttr _,
+      Some(q176Sql)),
     graft.queries.GraftQuery("q175b_stream_sliding", q175StreamSliding _,
       Some(graft.queries.Relational11.q175Sql)),
     graft.queries.GraftQuery("q20b_stream_bucket", q20StreamBucket _,

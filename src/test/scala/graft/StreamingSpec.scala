@@ -448,6 +448,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(dir51.nonEmpty && dir51 == one51)
   }
 
+  test("q176 stream-stream join == batch pairs under multi-batch slicing") {
+    // the corpus-span watermark makes the join exact under ANY slicing:
+    // file order is not time order, and a part-file split must not change
+    // the drained pair set (the reason the registered twin does not use
+    // the 1-hour production delay — see its doc)
+    val src = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q176").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$src/events.parquet").repartition(3)
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = {
+      val ev = graft.core.Tables.events(spark, src)
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"), col("event_id").as("cid"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("pts"), col("event_id").as("pid"))
+      asSet(c.join(p, col("user_id") === col("pu") && col("pts") > col("cts") &&
+        col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"))
+        .select("user_id", "cid", "pid"))
+    }
+    assert(batch.nonEmpty, "corpus should contain click→purchase pairs")
+    val one = asSet(StreamingPipeline.q176StreamClickAttr(spark, src))
+    val dir = asSet(StreamingPipeline.q176StreamClickAttr(spark, tmp))
+    assert(one == batch, s"single-file twin diverged (${one.size} vs ${batch.size})")
+    assert(dir == batch, s"multi-batch twin diverged (${dir.size} vs ${batch.size})")
+  }
+
   test("q128b streaming near-dup == batch q128 under multi-batch slicing") {
     // Batch-slicing invariance is the twin's core claim: every incoming doc
     // is checked against the full static index independently, so the
