@@ -158,14 +158,20 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_.wall).sum else 0.0
     val nRerun = results.count(_.rerun.isDefined)
     val nStale = results.count(_.floorStale.isDefined)
+    // Sample process CPU exactly once so cpu_sec and effective_cores are
+    // computed from the same value. Numerator spans the whole run
+    // (calibration + setup + queries); denominator is sum-of-query walls —
+    // so the ratio slightly OVERSTATES per-query parallelism, which is the
+    // conservative direction for the steal diagnosis.
+    val cpuTotal = processCpuSec() - cpuBefore
     val calib = s""""calib_ms":[${calibBefore.round},${calibAfter.round}],""" +
       s""""calib_par_ms":[${calibParBefore.round},${calibParAfter.round}],""" +
-      s""""cpu_sec":${r3(processCpuSec() - cpuBefore)},""" +
+      s""""cpu_sec":${r3(cpuTotal)},""" +
       // cpu/wall — the one number that separates hypervisor parallelism
       // steal (flat calib, flat cpu, inflated wall ⇒ low effective cores)
       // from a real regression; committed-clean reference points: ~3 at
       // sf0.1 (latency-bound), ~9 at sf1, ~21 at sf5
-      s""""effective_cores":${r3((processCpuSec() - cpuBefore) / math.max(total, 0.001))},""" +
+      s""""effective_cores":${r3(cpuTotal / math.max(total, 0.001))},""" +
       s""""n_rerun":$nRerun,"n_floor_stale":$nStale"""
     val fullQs = results.map(r => "\"" + r.name + "\":" + r3(r.wall))
       .mkString("{", ",", "}")

@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 /** Scale-up generator for local scale testing above the driver-provided
   * sf0.1 (TESTDATA.md caps there; `/root/testdata` is read-only).
   *
-  * `runMain graft.GenData <srcSfDir> <outDir> <R>` replicates every table
+  * `runMain graft.GenData <srcSfDir> <outDir> <R> [eventsMode] [docsMode]`
+  * replicates every table
   * R× with key offsets so the star-schema join graph stays consistent
   * (replica i's lineitem rows reference replica i's orders/part/supplier),
   * while perturbing the two content tables so scale-up does NOT fabricate a
@@ -18,7 +19,10 @@ import org.apache.spark.sql.functions._
   *    ∝ size, per-shingle document frequency roughly stable): per-replica
   *    shingle df equals sf0.1's, near-dup density scales like a genuinely
   *    larger corpus, and exact-dup RATE is preserved (each replica keeps
-  *    sf0.1's internal duplicates). The first attempt permuted the 31-word
+  *    sf0.1's internal duplicates). The optional 5th arg "zipf" instead
+  *    builds a SHARED power-law vocabulary (hot/warm/tail word tiers, see
+  *    the inline doc) whose head shingle-df grows ∝ corpus — the df-skew
+  *    regime the prefix/minhash levers exist for. The first attempt permuted the 31-word
   *    vocabulary instead — but permuted trigrams still live in the same
   *    31³ trigram universe, so df grew ∝ R and the exact-Jaccard pair
   *    joins (Σ df² work) went quadratic in sf: a data artifact, not an
@@ -58,6 +62,9 @@ object GenData {
     val eventsMode = if (args.length > 3) args(3) else "dense"
     require(eventsMode == "dense" || eventsMode == "spread",
       s"events mode must be dense|spread: $eventsMode")
+    val docsMode = if (args.length > 4) args(4) else "disjoint"
+    require(docsMode == "disjoint" || docsMode == "zipf",
+      s"docs mode must be disjoint|zipf: $docsMode")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -146,10 +153,46 @@ object GenData {
       else base
     }, r)
 
-    // documents: per-replica token suffix → disjoint vocabularies/shingle
-    // spaces (see scaladoc for why a vocab permutation is NOT enough)
+    // documents, mode "disjoint" (default): per-replica token suffix →
+    // disjoint vocabularies/shingle spaces (see scaladoc for why a vocab
+    // permutation is NOT enough). Mode "zipf": a SHARED head-heavy
+    // vocabulary — per-word tier by xxhash64(word):
+    //   hot  ( 9/31 of words): identity in every replica  → trigram df ∝ R
+    //   warm (12/31):          suffix _w(i mod 4)         → trigram df ∝ R/4
+    //   tail (10/31):          suffix _i (disjoint)       → trigram df flat
+    // An all-hot trigram is shared by ALL replicas, all-hot∪warm by every
+    // 4th, anything touching a tail word stays replica-local — a 3-decade
+    // power-law ladder of shingle document frequency whose head GROWS with
+    // corpus size, the regime where exact-Jaccard counting joins go Σdf²-
+    // superlinear and the df-ordered prefix/minhash paths stay linear
+    // (Dedup.scala:475's documented skew case, never exercised by the
+    // disjoint mode). Expected Σdf² vs disjoint: f·R + f'·R/4 + f''
+    // ≈ 1.65× at R=10, 5.5× at R=50 (all-hot/max-warm/tail trigram
+    // occurrence fractions 0.024/0.287/0.689 for the 9/12/10 word split). Each
+    // replica's token map is INJECTIVE (base word is a prefix of every
+    // image; suffix alphabets are disjoint across tiers), so within-
+    // replica |A∩B|/|A∪B| — and therefore the near-dup/exact-dup
+    // structure every dedup oracle checks — is preserved EXACTLY; cross-
+    // replica Jaccard tops out ≈0.06 (hot shingles only), far below the
+    // 0.5 band, so no phantom near-dup pairs are fabricated.
+    val zipfMap: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
+      (w, i) => {
+        // cutoffs measured against the actual 31-word base vocab's hash
+        // values: <6 → 9 hot, <20 → 12 warm, else 10 tail (the lumpy
+        // pmod(xxhash64) distribution makes "uniform thirds" cutoffs land
+        // at 14/7/10, overshooting the Σdf² budget ~1.5×)
+        val tier = pmod(xxhash64(w), lit(31L))
+        when(tier < 6, w)
+          .when(tier < 20, concat(w, lit(s"_w${i % 4}")))
+          .otherwise(concat(w, lit(s"_$i")))
+      }
     write("documents", rep(read("documents")) { (df, i) =>
-      if (i == 0) df
+      if (docsMode == "zipf") {
+        df.withColumn("doc_id", col("doc_id") + lit(i * nDoc))
+          .withColumn("text",
+            array_join(transform(split(col("text"), " "), w => zipfMap(w, i)), " "))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      } else if (i == 0) df
       else {
         df.withColumn("doc_id", col("doc_id") + lit(i * nDoc))
           .withColumn("text",

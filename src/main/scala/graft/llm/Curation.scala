@@ -630,8 +630,12 @@ object Curation {
     * ~1e-3 ≫ 1 ulp, and doc_id breaks exact ties, so the selected rank
     * order is stable; the key itself is not emitted. */
   def weightedSample(s: SparkSession, d: String): DataFrame = {
-    val u = (((col("doc_id") * lit(2654435761L)) % 1000003L + 1L).cast("double")
-             / 1000004.0)
+    // (a·b) mod p = ((a mod p)·(b mod p)) mod p — pre-reducing both factors
+    // keeps the product ≤ (p−1)² ≈ 1e12, overflow-safe for ANY doc_id
+    // (the raw product overflows BIGINT at doc_id ≈ 3.5e9, which ANSI Spark
+    // and DuckDB both reject), while computing the identical u.
+    val u = ((((col("doc_id") % 1000003L) * lit(2654435761L % 1000003L))
+              % 1000003L + 1L).cast("double") / 1000004.0)
     val key = pow(u, lit(1.0) / col("n_chars"))
     Tables.documents(s, d)
       .select(col("source"), col("doc_id"), col("n_chars"), key.as("k"))
@@ -644,7 +648,7 @@ object Curation {
   val weightedSampleSql: String =
     """WITH keyed AS (
       |  SELECT source, doc_id, n_chars,
-      |    pow((((doc_id * 2654435761) % 1000003) + 1)::DOUBLE / 1000004.0,
+      |    pow(((((doc_id % 1000003) * (2654435761 % 1000003)) % 1000003) + 1)::DOUBLE / 1000004.0,
       |        1.0 / n_chars) AS k
       |  FROM documents),
       |ranked AS (
@@ -733,8 +737,9 @@ object Curation {
             / col("tot_w")))).cast("long").as("deficit"))))
       .withColumn("alloc", col("fl") + when(col("rk") <= col("deficit"), 1L).otherwise(0L))
       .select(col("source"), col("n_docs"), round(col("sd"), 4).as("sd"), col("alloc"))
-    val u = (((col("doc_id") * lit(2654435761L)) % 1000003L + 1L).cast("double")
-             / 1000004.0)
+    // overflow-safe pre-reduced form; identical value — see weightedSample
+    val u = ((((col("doc_id") % 1000003L) * lit(2654435761L % 1000003L))
+              % 1000003L + 1L).cast("double") / 1000004.0)
     val sampled = docs.select(col("source"), col("doc_id"), col("n_chars"), u.as("k"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("source").orderBy(col("k").desc, col("doc_id"))).cast("long"))
@@ -769,7 +774,7 @@ object Curation {
       |keyed AS (
       |  SELECT source, doc_id, n_chars,
       |    row_number() OVER (PARTITION BY source ORDER BY
-      |      (((doc_id * 2654435761) % 1000003) + 1)::DOUBLE / 1000004.0 DESC,
+      |      ((((doc_id % 1000003) * (2654435761 % 1000003)) % 1000003) + 1)::DOUBLE / 1000004.0 DESC,
       |      doc_id) AS rn
       |  FROM documents),
       |sampled AS (

@@ -279,6 +279,15 @@ object Dedup {
   def containment(s: SparkSession, d: String): DataFrame =
     containmentOf(Tables.documents(s, d).filter(col("doc_id") % 2 === 0))
 
+  /** q169b: the asymmetric-prefix-filtered plan under q169's EXACT oracle
+    * and slice (the q55→q159 precedent) — this is the form a df-skewed
+    * 100 TB corpus runs: probe side shrunk to the rarest
+    * ⌊(1−t)·|A|⌋+1 postings, full-B side untouched, exact verification
+    * restricted to candidates. Row-identity with [[containmentOf]] is
+    * additionally spec-proven on the full corpus (LlmSpec). */
+  def containmentPrefix(s: SparkSession, d: String): DataFrame =
+    containmentPrefixOf(Tables.documents(s, d).filter(col("doc_id") % 2 === 0))
+
   /** Frame variant. The q169 registration runs the even-doc_id half slice
     * (the q159 convention: the counting join is the same Σdf² shape as
     * q55, and registering a second full-corpus instance would double the
@@ -1021,6 +1030,7 @@ object Dedup {
     GraftQuery("q55_ngram_jaccard", ngramJaccard _, Some(ngramJaccardSql)),
     GraftQuery("q159_ppjoin_neardup", ppjoinNearDup _, Some(ppjoinNearDupSql)),
     GraftQuery("q169_containment", containment _, Some(containmentSql)),
+    GraftQuery("q169b_containment_prefix", containmentPrefix _, Some(containmentSql)),
     GraftQuery("q124_dup_spans", dupSpans _, Some(dupSpansSql)),
     GraftQuery("q151_span_excision", spanExcision _, Some(spanExcisionSql)),
     GraftQuery("q127_segment_dedup", segmentDedup _, Some(segmentDedupSql)),

@@ -335,6 +335,11 @@ object Relational11 {
         |  percentile_cont(0.5) WITHIN GROUP (ORDER BY adev) AS mad
         |FROM ev_mad_dev GROUP BY event_type""".stripMargin)
     s.table("ev_mad_dev").join(mad, "event_type")
+      // mad = 0 (≥50% of a group identical) would give rz = ±Infinity in
+      // Spark while DuckDB's x/0 is NULL — filter the degenerate groups
+      // out identically on both sides (a zero-MAD group has no meaningful
+      // robust z anyway; the standard fallback is the mean-AD estimator).
+      .filter(col("mad") > 0)
       .withColumn("rz", (col("value") - col("med")) * 0.6745 / col("mad"))
       .filter(abs(col("rz")) > 3.5)
       .select(col("event_id"), col("event_type"),
@@ -361,7 +366,7 @@ object Relational11 {
       |SELECT event_id, event_type, round(value, 4) AS value,
       |       round((value - med) * 0.6745 / mad, 3) AS robust_z
       |FROM dev JOIN mad USING (event_type)
-      |WHERE abs((value - med) * 0.6745 / mad) > 3.5""".stripMargin
+      |WHERE mad > 0 AND abs((value - med) * 0.6745 / mad) > 3.5""".stripMargin
 
   // ---------------------------------------------------------------- q165
   /** Exponentially time-decayed engagement score per user: Σ value ·

@@ -441,8 +441,11 @@ object StreamingPipeline {
     * the full index regardless of batch slicing, so the drained union
     * equals the batch answer — registered under q128's exact DuckDB
     * oracle, which puts the streaming join + state machinery under the
-    * hash gate. State: one entry per CANDIDATE pair (near-dup-sized); a
-    * production deployment bounds it with a watermark on arrival time. */
+    * hash gate. State: one entry per CANDIDATE pair (near-dup-sized) and
+    * BOUNDED — `dropDuplicatesWithinWatermark` on a batch-timestamp
+    * arrival axis evicts pair state after the 1 h delay, which is exact
+    * here because a pair's duplicate collisions never straddle batches
+    * (they all come from one incoming row's band explode). */
   def q128StreamNearDup(s: SparkSession, d: String): DataFrame = {
     import graft.llm.Dedup
     val existingPred = pmod(col("doc_id"), lit(10)) < 8
@@ -455,20 +458,31 @@ object StreamingPipeline {
       .select(col("doc_id").as("ex_id"), col("sh").as("sh_e"))
       .localCheckpoint(true)
     val schema = s.read.parquet(s"$d/documents.parquet").schema
+    // arrival_ts = the micro-batch timestamp (deterministic per batch) —
+    // the event-time axis that lets the pair-dedup state EVICT: every band
+    // collision for a given (inc_id, ex_id) pair originates from ONE
+    // incoming row's posexplode, i.e. one micro-batch, so a watermark-
+    // bounded dedup is EXACT here (duplicates never straddle batches)
+    // while the state store stays bounded by the watermark delay instead
+    // of growing with corpus lifetime.
     val incoming = tableStream(s, d, "documents")(schema)
       .filter(pmod(col("doc_id"), lit(10)) >= 8)
-      .select(col("doc_id").as("inc_id"), split(col("text"), " ").as("t"))
+      .withColumn("arrival_ts", current_timestamp())
+      .withWatermark("arrival_ts", "1 hour")
+      .select(col("doc_id").as("inc_id"), col("arrival_ts"),
+        split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
-      .select(col("inc_id"), array_distinct(expr(
+      .select(col("inc_id"), col("arrival_ts"), array_distinct(expr(
         "transform(sequence(0, size(t)-3), i -> concat_ws(' ', slice(t, i+1, 3)))"
       )).as("sh_i"))
     val withBands = Dedup.bandKeysPrep("sh_i")
       .foldLeft(incoming) { case (df, (n, c)) => df.withColumn(n, c) }
-      .select(col("inc_id"), col("sh_i"),
+      .select(col("inc_id"), col("arrival_ts"), col("sh_i"),
         posexplode(Dedup.bandKeysExpr).as(Seq("band", "bv")))
     val confirmed = withBands
       .join(exBands, Seq("band", "bv"))
-      .dropDuplicates("inc_id", "ex_id")
+      .dropDuplicatesWithinWatermark("inc_id", "ex_id")
+      .drop("arrival_ts")
       .join(exSets, "ex_id")
       .withColumn("inter",
         size(array_intersect(col("sh_i"), col("sh_e"))).cast("double"))
@@ -496,7 +510,9 @@ object StreamingPipeline {
     val q = buckets.writeStream.format("memory").queryName(sink)
       .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    s.table(sink)
+    // eager localCheckpoint (as in q128b/q176) so the result survives
+    // independently of the memory-sink table's lifetime
+    s.table(sink).localCheckpoint(true)
   }
 
   /** Oracle-gated STREAM-STREAM inner join: clicks ⋈ purchases per user
