@@ -17,10 +17,7 @@ object SparkEntry {
     * queries from rows-only checks to full hash compares, and doubles as a
     * parser-regression tripwire. */
   private val pipelineOracles: Map[String, String] = Map(
-    "q21_pipeline_zones" ->
-      """SELECT * FROM (VALUES ('ingestion', 'er7', CAST(11 AS BIGINT)),
-        |                      ('staging', 'json', CAST(11 AS BIGINT)))
-        |  AS t(zone, format, n_messages)""".stripMargin,
+    "q21_pipeline_zones" -> Pipeline.q21ZonesOracleSql,
     "q21_pid_sex" ->
       """SELECT * FROM (VALUES ('M', CAST(7 AS BIGINT)), ('F', CAST(4 AS BIGINT)))
         |  AS t(sex, n_patients)""".stripMargin,

@@ -311,6 +311,14 @@ object Pipeline {
   def q21Zones(s: SparkSession, d: String): DataFrame =
     allEvents(s).groupBy("zone", "format").agg(count(lit(1)).as("n_messages"))
 
+  /** Precomputed-counts oracle for [[q21Zones]] — shared with the streaming
+    * replay (q21b), which must land the SAME populations through the
+    * foreachBatch lake sink. */
+  val q21ZonesOracleSql: String =
+    """SELECT * FROM (VALUES ('ingestion', 'er7', CAST(11 AS BIGINT)),
+      |                      ('staging', 'json', CAST(11 AS BIGINT)))
+      |  AS t(zone, format, n_messages)""".stripMargin
+
   /** Segment profile of the staged population (explode of the canonical
     * nested form — the §1.3 schema doing real work). */
   def q21Segments(s: SparkSession, d: String): DataFrame =

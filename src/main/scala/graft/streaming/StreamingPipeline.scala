@@ -21,16 +21,19 @@ object StreamingPipeline {
   /** A20 — storage-event source: new files in the inbox dir trigger
     * processing, exactly the reference's CloudTrail→EventBridge flow. One
     * message per file row; multi-message files are exploded like batch. */
-  def messagesStream(spark: SparkSession, inboxDir: String): DataFrame =
-    spark.readStream
+  def messagesStream(spark: SparkSession, inboxDir: String,
+                     maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream
       .option("wholetext", "true")
       .option("pathGlobFilter", "*.txt") // glob as option, not in-path (see Pipeline.readMessages)
-      .text(inboxDir)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.text(inboxDir)
       .withColumn("msg", explode(split(col("value"), "(\\r?\\n)\\s*(\\r?\\n)+")))
       .withColumn("msg", regexp_replace(col("msg"), "\\s+$", ""))
       .filter(length(col("msg")) > 0)
       .withColumn("source", lit("inbox"))
       .select("msg", "source")
+  }
 
   /** A5 streaming — the dedup ledger as streaming state. The reference's
     * DynamoDB ledger is global and unbounded; `withWatermarkedDedup` bounds
@@ -78,6 +81,38 @@ object StreamingPipeline {
     val staged = Pipeline.withZone(Pipeline.stage(ingested))
     val q = lakeSink(staged.drop("segments"), lakeRoot, checkpoint).start()
     q.awaitTermination()
+  }
+
+  /** q21b — the reference's ACTUAL topology replayed end-to-end through
+    * Structured Streaming and gated by q21's precomputed-counts oracle:
+    * file-drop ingest (`front_door_lambda.py`) → streaming dedup ledger
+    * (`dropDuplicates` state = the DynamoDB table) → route → ER7 parse and
+    * success/error branch (`trigger_lambda.py:25-36`) → zone mapping →
+    * the REAL foreachBatch two-sink lake write (`core_stack.yml:107-172`'s
+    * lake-writer subscription), then zone/format counts read back FROM THE
+    * LAKE — so the gate covers the sink's append idempotence and partition
+    * layout, not just the transform chain. `maxFilesPerTrigger=2` slices
+    * the 6-file corpus into ≥3 micro-batches: the dedup ledger and the
+    * lake appends must compose across batches to land the same populations
+    * the one-shot batch flow (q21_pipeline_zones) produces. Both event
+    * populations are written, exactly like `Pipeline.allEvents`: the
+    * ingestion-zone envelope rows AND the staged/error branch rows. */
+  def q21StreamPipeline(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q21b_").toString
+    val ingested = ingestStream(
+      messagesStream(s, Pipeline.MessagesDir, maxFilesPerTrigger = Some(2)))
+    val ingestedEvents = ingested.select(
+      col("msg"), col("source"), col("message_id"), col("protocol"),
+      col("event"), col("format"),
+      lit(null: String).as("version"), lit(null: String).as("message_type"),
+      lit(null: String).as("error"))
+    val staged = Pipeline.stage(ingested).drop("segments")
+    val events = Pipeline.withZone(ingestedEvents.unionByName(staged))
+    val q = lakeSink(events, s"$tmp/lake", s"$tmp/ckpt").start()
+    q.awaitTermination()
+    s.read.parquet(s"$tmp/lake/messages")
+      .groupBy("zone", "format").agg(count(lit(1)).as("n_messages"))
+      .localCheckpoint(true)
   }
 
   // ------------------------------------------------------------------
@@ -558,10 +593,82 @@ object StreamingPipeline {
       | AND c.event_type = 'click' AND p.event_type = 'purchase'
       | AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL '1 hour'""".stripMargin
 
+  /** q176b — the SAME stream-stream range join under a PRODUCTION
+    * watermark (2 hours, not q176's corpus-span bound), exact because the
+    * source files are TIME-ORDERED: the events table is staged once into
+    * 8 contiguous time-bucket files written sequentially (ascending
+    * modification time = ascending event time), so the file source
+    * delivers batch k+1 with min(ts) ≥ batch k's max(ts). Under that
+    * ordering no input row ever arrives behind the watermark and every
+    * click a future purchase can reach (click_ts ≥ next batch's min − 1 h)
+    * survives eviction (it needs click_ts + 1 h ≥ wm = maxTs_k − 2 h,
+    * which ascending buckets guarantee with an hour to spare) — so the
+    * tight watermark yields the SAME answer the batch oracle computes,
+    * while join state is bounded by the 2-hour horizon instead of the
+    * corpus span. This is the at-scale ingest contract: storage-event
+    * streams from a time-partitioned lake ARE bucket-ordered, and the
+    * delay models the real intra-bucket out-of-orderness bound. The
+    * one-time staging sort is the price of admission (a time-partitioned
+    * lake already paid it at write time). */
+  def q176StreamClickAttrOrdered(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q176b_").toString
+    val evDir = s"$tmp/events_ordered"
+    // materialize once: the staging loop below filters the table 8 times
+    // (one sequential write per bucket — ascending modification times are
+    // the ordering contract), and without this each write would rescan
+    // the source (measured 12.6 → ~7 s cold at sf0.1)
+    val ev = graft.core.Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "ts", "value")
+      .localCheckpoint(true)
+    val mm = ev.agg(unix_micros(min("ts")).as("t0"), unix_micros(max("ts")).as("t1"))
+      .collect()(0)
+    val (t0, t1) = (mm.getAs[Long]("t0"), mm.getAs[Long]("t1"))
+    val span = math.max(1L, t1 - t0 + 1L)
+    // 6 contiguous buckets regardless of corpus size: trigger count stays
+    // fixed at scale (the slicing-exactness argument needs bucket ORDER,
+    // not bucket granularity)
+    val nBuckets = 6
+    (0 until nBuckets).foreach { k =>
+      ev.filter(((unix_micros(col("ts")) - t0) * nBuckets / span).cast("int") === k)
+        .coalesce(1).write.mode("append").parquet(evDir)
+    }
+    val schema = s.read.parquet(evDir).schema
+    // 2 files per trigger = 4 micro-batches: still genuinely multi-batch
+    // (the spec asserts ≥2), and consecutive buckets in one batch cannot
+    // violate the ordering argument (their union is still a contiguous
+    // range ahead of everything already delivered). Per-trigger overhead
+    // of the two-source stateful join dominates the drain (~1 s/trigger),
+    // so halving the trigger count is the cheap lever.
+    def side = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(evDir)
+    val clicks = side.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = side.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "2 hours")
+    val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+        col("p_ts") > col("click_ts") &&
+        col("p_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select("user_id", "click_id", "purchase_id")
+    val sink = s"q176b_mem_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(sink).localCheckpoint(true)
+  }
+
   val queries: Seq[graft.queries.GraftQuery] = Seq(
+    graft.queries.GraftQuery("q21b_stream_pipeline", q21StreamPipeline _,
+      Some(Pipeline.q21ZonesOracleSql)),
     graft.queries.GraftQuery("q128b_stream_neardup", q128StreamNearDup _,
       Some(graft.llm.Dedup.incrementalNearDupSql)),
     graft.queries.GraftQuery("q176_stream_click_attr", q176StreamClickAttr _,
+      Some(q176Sql)),
+    graft.queries.GraftQuery("q176b_stream_click_attr_wm", q176StreamClickAttrOrdered _,
       Some(q176Sql)),
     graft.queries.GraftQuery("q175b_stream_sliding", q175StreamSliding _,
       Some(graft.queries.Relational11.q175Sql)),

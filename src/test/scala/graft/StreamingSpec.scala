@@ -413,6 +413,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$tmp/lake/messages").count() == batch.count())
   }
 
+  test("q21b full-topology replay matches batch q21 zones across >=2 micro-batches") {
+    // q21b's oracle only checks the final counts; this pins the OTHER half
+    // of the claim — that the run is genuinely multi-batch (dedup ledger +
+    // lake appends composing across triggers, not one big batch). Same
+    // topology as q21StreamPipeline, with the query handle kept so the
+    // trigger count is observable.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q21b-spec").toString
+    val ingested = StreamingPipeline.ingestStream(
+      StreamingPipeline.messagesStream(spark, Pipeline.MessagesDir,
+        maxFilesPerTrigger = Some(2)))
+    val ingestedEvents = ingested.select(
+      col("msg"), col("source"), col("message_id"), col("protocol"),
+      col("event"), col("format"),
+      lit(null: String).as("version"), lit(null: String).as("message_type"),
+      lit(null: String).as("error"))
+    val staged = Pipeline.stage(ingested).drop("segments")
+    val events = Pipeline.withZone(ingestedEvents.unionByName(staged))
+    val q = StreamingPipeline.lakeSink(events, s"$tmp/lake", s"$tmp/ckpt").start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches >= 2, s"expected >=2 data micro-batches, saw $dataBatches")
+    val streamed = spark.read.parquet(s"$tmp/lake/messages")
+      .groupBy("zone", "format").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = Pipeline.q21Zones(spark, "").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch, s"$streamed != $batch")
+  }
+
   test("streaming twins read directory-layout tables (sf1 0-row regression)") {
     // The driver's testdata ships each table as a single parquet FILE; a
     // GenData scale corpus makes it a DIRECTORY of part files. The twins'
@@ -475,6 +504,32 @@ class StreamingSpec extends AnyFunSuite {
     val dir = asSet(StreamingPipeline.q176StreamClickAttr(spark, tmp))
     assert(one == batch, s"single-file twin diverged (${one.size} vs ${batch.size})")
     assert(dir == batch, s"multi-batch twin diverged (${dir.size} vs ${batch.size})")
+  }
+
+  test("q176b production-watermark join == batch pairs via time-ordered buckets") {
+    // q176b's claim is stronger than q176's: a TIGHT (2 h) watermark stays
+    // exact because its staged bucket files arrive in ascending time order.
+    // The oracle gate already hash-checks the result at sf0.01; this pins
+    // (a) multi-batch delivery (8 bucket files, maxFilesPerTrigger=1) and
+    // (b) exactness at a second corpus/slicing (sf0.001).
+    val src = "/root/testdata/sf0.001"
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = {
+      val ev = graft.core.Tables.events(spark, src)
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"), col("event_id").as("cid"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("pts"), col("event_id").as("pid"))
+      asSet(c.join(p, col("user_id") === col("pu") && col("pts") > col("cts") &&
+        col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"))
+        .select("user_id", "cid", "pid"))
+    }
+    assert(batch.nonEmpty, "corpus should contain click→purchase pairs")
+    val ordered = asSet(StreamingPipeline.q176StreamClickAttrOrdered(spark, src))
+    assert(ordered == batch,
+      s"tight-watermark twin diverged (${ordered.size} vs ${batch.size}): " +
+        s"missing=${(batch -- ordered).take(3)} extra=${(ordered -- batch).take(3)}")
   }
 
   test("q128b streaming near-dup == batch q128 under multi-batch slicing") {
