@@ -172,9 +172,14 @@ object GenData {
     // replica's token map is INJECTIVE (base word is a prefix of every
     // image; suffix alphabets are disjoint across tiers), so within-
     // replica |A∩B|/|A∪B| — and therefore the near-dup/exact-dup
-    // structure every dedup oracle checks — is preserved EXACTLY; cross-
-    // replica Jaccard tops out ≈0.06 (hot shingles only), far below the
-    // 0.5 band, so no phantom near-dup pairs are fabricated.
+    // structure every dedup oracle checks — is preserved EXACTLY. Cross-
+    // replica: pairs in DIFFERENT i-mod-4 classes share only hot shingles
+    // (J ≲ 0.06, far below the 0.5 band); pairs in the SAME class share
+    // hot∪warm (21/31 words), so a tail-light document's mod-4 twins can
+    // genuinely reach the near-dup band (observed: copies of one doc at
+    // J = 0.5 exactly at R=10) — realistic for shared-vocabulary corpora,
+    // and the case that exposed the 16-band LSH margin (Dedup.scala
+    // minhashNearDupPlan doc).
     val zipfMap: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
       (w, i) => {
         // cutoffs measured against the actual 31-word base vocab's hash

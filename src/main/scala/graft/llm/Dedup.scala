@@ -105,20 +105,35 @@ object Dedup {
     * Banding scales with the confirm threshold so recall ≈ 1 holds AT THE
     * MARGIN, not just for a bimodal corpus: with B bands of 2 rows the
     * candidate probability at Jaccard exactly t is 1-(1-t²)^B. The default
-    * 16 bands give 0.94 at t=0.4 (fine at t=0.5: 0.99); for t < 0.5 we
-    * double to 32 bands (64-hash signature) → 1-(0.84)³² ≈ 0.996 at the
-    * t=0.4 margin, rising steeply above it. Cost is 2× min-aggregates in
-    * the signature pass — map-side, linear in corpus size. */
+    * 16 bands give 0.94 at t=0.4 and 0.99 at t=0.5 — and 0.99 is NOT
+    * enough when the corpus holds tens of exactly-at-threshold pairs (the
+    * round-8 Zipfian run measured 2 misses in 80 marginal pairs); for
+    * t ≤ 0.5 we double to 32 bands (64-hash signature) → 0.996 at the
+    * t=0.4 margin and 0.9999 at t=0.5, rising steeply above. Cost is 2×
+    * min-aggregates in the signature pass — map-side, linear in corpus
+    * size. */
   private[graft] def minhashNearDupOf(docs: DataFrame, t: Double): DataFrame = {
-    val numBands = if (t < 0.5) 32 else NumHashes / BandRows
+    val numBands = if (t <= 0.5) 32 else NumHashes / BandRows
     val (pairs, cached) = minhashPlanOf(docs, t, numBands)
     try pairs.localCheckpoint(true) finally cached.foreach(_.unpersist(false))
   }
 
   /** Lazy plan + the cached frames it reads — split out so PlanQualitySpec
-    * can assert the physical shape (the public entry is eager). */
+    * can assert the physical shape (the public entry is eager).
+    *
+    * 32 bands, not the 16-band default: q36's confirm threshold (0.5) sits
+    * exactly AT the banding margin, where 16 bands give only
+    * P(candidate | J=0.5) = 1−0.75¹⁶ ≈ 0.99 per pair — measured failing on
+    * the round-8 Zipfian corpus (2 of 80 exactly-at-threshold pairs drew
+    * no band collision: sf1z scaleverify, spark=2910 vs oracle=2912; the
+    * disjoint corpora never exposed it because their marginal pairs drew
+    * luckily). 32 bands put the margin at 1−0.75³² ≈ 0.9999 — the same
+    * policy minhashNearDupOf already applied BELOW 0.5, now inclusive.
+    * Extra bands only add candidates; the exact confirm keeps the output a
+    * subset of true pairs, so this strictly increases recall at a 2×
+    * map-side signature cost (linear in corpus). */
   private[graft] def minhashNearDupPlan(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) =
-    minhashPlanOf(Tables.documents(s, d), 0.5)
+    minhashPlanOf(Tables.documents(s, d), 0.5, numBands = 32)
 
   private def minhashPlanOf(docs: DataFrame, t: Double,
                             numBands: Int = NumHashes / BandRows): (DataFrame, Seq[DataFrame]) = {

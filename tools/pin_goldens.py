@@ -4,6 +4,7 @@
 
 Usage: after `sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/vout"`,
     python3 tools/pin_goldens.py /tmp/vout [query ...]
+    python3 tools/pin_goldens.py --scale sf1 /tmp/vout_sf1 [query ...]
 
 Reads each query's Spark parquet dump and emits a VALUES-based oracle into
 src/main/resources/graft/goldens/<name>.sql, CASTing the first row so DuckDB
@@ -11,10 +12,16 @@ unifies every column to the exact pandas dtype Spark's parquet produces
 (the driver's hash is dtype-sensitive — see tools/localverify.py `kind`).
 Validates the round trip (strict dtype + exact values) before writing.
 
+--scale <sfbase> writes to goldens/<sfbase>/<name>.sql instead: SCALE
+goldens, consumed only by tools/scaleverify.py (the registry and the
+driver's sf0.01 gate keep loading the top-level files). A scale golden is
+valid ONLY against the canonical deterministic GenData corpus of that
+name — record the exact GenData invocation when introducing a new scale.
+
 Only pin queries proven partition-independent: rerun graft.Verify with
-SPARK_GRAFT_CPUS=2/4/8 and diff the dumps first.
+SPARK_GRAFT_CPUS=2/4/8 (or 8/32 at scale) and diff the dumps first.
 """
-import sys, glob
+import sys, glob, os
 import duckdb
 import numpy as np
 import pandas as pd
@@ -26,6 +33,16 @@ HEADER = ("-- Pinned sf0.01 golden (deterministic; verified bit-stable "
           "across 2/4/8-CPU runs).\n"
           "-- Regenerate: dump via graft.Verify at sf0.01, then "
           "tools/pin_goldens.py.\n")
+
+SCALE_HEADER = ("-- Pinned {scale} golden (deterministic; verified bit-stable "
+                "across 8/32-CPU runs).\n"
+                "-- Valid ONLY against the canonical corpus: "
+                "graft.GenData /root/testdata/sf0.1 testdata/{scale} "
+                "{r} (default dense/disjoint modes).\n"
+                "-- Regenerate: graft.Verify at testdata/{scale}, then "
+                "tools/pin_goldens.py --scale {scale}.\n")
+
+SCALE_R = {"sf1": 10, "sf5": 50, "sf10": 100}
 
 DEFAULT = ["q26_approx_percentile", "q34b_rolling_fingerprint",
            "q37_simhash_neardup", "q60_stratified_sample"]
@@ -43,13 +60,16 @@ def fmt(v, dt, cast):
     return f"CAST({s} AS {DTYPE_SQL[dt]})" if cast else s
 
 
-def pin(outdir, name):
-    df = pd.read_parquet(glob.glob(f"{outdir}/{name}/*.parquet")[0])
+def pin(outdir, name, scale=None):
+    files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
+    df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
     dts = [str(df[c].dtype) for c in df.columns]
     rows = ["  (" + ", ".join(fmt(v, dt, i == 0)
                               for v, dt in zip(row, dts)) + ")"
             for i, row in enumerate(df.itertuples(index=False))]
-    sql = (HEADER + "SELECT * FROM (VALUES\n" + ",\n".join(rows) +
+    header = (SCALE_HEADER.format(scale=scale, r=SCALE_R.get(scale, "?"))
+              if scale else HEADER)
+    sql = (header + "SELECT * FROM (VALUES\n" + ",\n".join(rows) +
            f")\n  AS t({', '.join(df.columns)})")
     odf = duckdb.sql(sql).df()
     key = sorted(df.columns)
@@ -63,12 +83,19 @@ def pin(outdir, name):
                                   equal_nan=True), (name, c)
         else:
             assert sdf[c].astype(str).equals(odf[c].astype(str)), (name, c)
-    path = f"src/main/resources/graft/goldens/{name}.sql"
+    sub = f"{scale}/" if scale else ""
+    path = f"src/main/resources/graft/goldens/{sub}{name}.sql"
+    os.makedirs(os.path.dirname(path), exist_ok=True)
     open(path, "w").write(sql)
     print(f"{name}: {len(df)} rows -> {path} ({len(sql)} bytes)")
 
 
 if __name__ == "__main__":
-    outdir = sys.argv[1]
-    for q in (sys.argv[2:] or DEFAULT):
-        pin(outdir, q)
+    args = sys.argv[1:]
+    scale = None
+    if args and args[0] == "--scale":
+        scale = args[1]
+        args = args[2:]
+    outdir = args[0]
+    for q in (args[1:] or DEFAULT):
+        pin(outdir, q, scale)

@@ -50,6 +50,16 @@ def main():
     # q21* goldens verify the constant HL7 fixtures — scale-independent
     pinned = {k for k, v in oracle.items()
               if ("VALUES" in v or "goldens" in v) and not k.startswith("q21")}
+    # SCALE GOLDENS (round 8): goldens/<sfbase>/<name>.sql, pinned by
+    # tools/pin_goldens.py --scale against the canonical GenData corpus of
+    # that name — substituting them for the sf0.01 fixtures moves the
+    # pinned family INTO the pass denominator at that scale. Keyed by the
+    # sfdir's basename so only the matching corpus uses them.
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sfbase = os.path.basename(os.path.normpath(sfdir))
+    scale_goldens = {}
+    for f in glob.glob(f"{root}/src/main/resources/graft/goldens/{sfbase}/*.sql"):
+        scale_goldens[os.path.basename(f)[:-4]] = open(f).read()
     counts = {"OK": 0, "CLOSE": 0, "FAIL": 0, "GOLDEN": 0, "TIMEOUT": 0}
     fails = []
     for name in sorted(oracle):
@@ -58,13 +68,14 @@ def main():
             print(f"{name:28s} FAIL no spark output", flush=True)
             counts["FAIL"] += 1; fails.append(name)
             continue
-        if name in pinned:
+        if name in pinned and name not in scale_goldens:
             print(f"{name:28s} GOLDEN-PINNED (sf0.01 fixture; driver-gate scale only)",
                   flush=True)
             counts["GOLDEN"] += 1
             continue
+        sql = scale_goldens.get(name, oracle[name]) if name in pinned else oracle[name]
         q = mp.Queue()
-        child = mp.Process(target=run_oracle, args=(sfdir, oracle[name], q))
+        child = mp.Process(target=run_oracle, args=(sfdir, sql, q))
         child.start()
         try:
             odf = q.get(timeout=timeout)
