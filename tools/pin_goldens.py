@@ -18,13 +18,24 @@ driver's sf0.01 gate keep loading the top-level files). A scale golden is
 valid ONLY against the canonical deterministic GenData corpus of that
 name — record the exact GenData invocation when introducing a new scale.
 
+Scale outputs above DIGEST_ROWS rows (q37's sf1 pair list is 2.4M rows /
+50 MB as VALUES) pin a DIGEST golden instead — <name>.digest.json holding
+{rows, md5 of the canonically-sorted CSV} — same bit-exact discriminating
+power, fixture-sized file. scaleverify recomputes the digest from the
+Spark dump with the identical canonicalization (localverify.canon).
+
 Only pin queries proven partition-independent: rerun graft.Verify with
 SPARK_GRAFT_CPUS=2/4/8 (or 8/32 at scale) and diff the dumps first.
 """
-import sys, glob, os
+import sys, glob, os, json, hashlib
 import duckdb
 import numpy as np
 import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import localverify  # noqa: E402  (canon — MUST match scaleverify's digest)
+
+DIGEST_ROWS = 5000
 
 DTYPE_SQL = {"int64": "BIGINT", "int32": "INT", "float64": "DOUBLE",
              "object": "VARCHAR", "bool": "BOOLEAN"}
@@ -60,9 +71,26 @@ def fmt(v, dt, cast):
     return f"CAST({s} AS {DTYPE_SQL[dt]})" if cast else s
 
 
+def digest(df):
+    """Order-invariant bit-exact digest: md5 of the canonically-sorted CSV
+    (columns sorted by name, rows by all columns — localverify.canon)."""
+    csv = localverify.canon(df).to_csv(index=False)
+    return hashlib.md5(csv.encode()).hexdigest()
+
+
 def pin(outdir, name, scale=None):
     files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
     df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+    if scale and len(df) > DIGEST_ROWS:
+        path = f"src/main/resources/graft/goldens/{scale}/{name}.digest.json"
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        rec = {"rows": len(df), "md5": digest(df),
+               "columns": sorted(df.columns),
+               "corpus": f"graft.GenData /root/testdata/sf0.1 testdata/{scale} "
+                         f"{SCALE_R.get(scale, '?')}"}
+        open(path, "w").write(json.dumps(rec, indent=1) + "\n")
+        print(f"{name}: {len(df)} rows -> {path} (digest)")
+        return
     dts = [str(df[c].dtype) for c in df.columns]
     rows = ["  (" + ", ".join(fmt(v, dt, i == 0)
                               for v, dt in zip(row, dts)) + ")"

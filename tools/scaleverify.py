@@ -17,6 +17,13 @@ Same compare as tools/localverify.py (imported), with the two adaptations a
   from the pass denominator instead of counting as failures. q21* goldens
   run on the constant HL7 fixture corpus, not the sf tables, so they are
   expected to PASS at every sf and stay in the denominator.
+- SCALE GOLDENS + PROPERTY CHECKS (round 8) put the pinned family back in
+  the denominator at scale: goldens/<sfbase>/<name>.sql (pinned by
+  pin_goldens.py --scale after an 8-vs-32-CPU bit-stability diff) replace
+  the sf0.01 fixture for queries whose sf1 output is partition-independent;
+  the two that are NOT (q26's sketch-merge order, q60's per-partition
+  sampling RNG) verify scale-invariant PROPERTIES instead — the declared
+  1% rank-error bound resp. exact/binomial stratum counts.
 
 Streams one line per query (flushed) so progress is visible in a log tail.
 """
@@ -41,15 +48,83 @@ def run_oracle(sfdir, sql, q):
         q.put(f"ORACLE-ERROR {type(e).__name__}: {e}")
 
 
+def _views(sfdir):
+    import duckdb
+    c = duckdb.connect()
+    for t in localverify.TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return c
+
+
+def prop_q26(con, sdf):
+    """approx_percentile(accuracy=100) declares rank error <= 1/100: the
+    returned value's rank interval [count(<v), count(<=v)]/N must intersect
+    q +/- 0.01. The exact_median column is interpolated-exact on both
+    engines and must match directly. Partition-count-invariant by the
+    sketch's own contract, unlike its bit values."""
+    eps = 0.01 + 1e-9
+    for _, r in sdf.iterrows():
+        g = r["l_returnflag"]
+        n, med = con.sql("SELECT count(*), median(l_extendedprice) "
+                         f"FROM lineitem WHERE l_returnflag='{g}'").fetchone()
+        if abs(r["exact_median"] - med) > 1e-6 * max(1.0, abs(med)):
+            return f"exact_median {r['exact_median']} != {med} ({g})"
+        for q, cn in [(0.25, "approx_p25"), (0.5, "approx_p50"),
+                      (0.75, "approx_p75")]:
+            v = r[cn]
+            lo, hi = con.sql(
+                f"SELECT count(*) FILTER (l_extendedprice < {v}), "
+                f"count(*) FILTER (l_extendedprice <= {v}) "
+                f"FROM lineitem WHERE l_returnflag='{g}'").fetchone()
+            if not (lo / n - eps <= q <= hi / n + eps):
+                return (f"{cn}={v} rank [{lo/n:.4f},{hi/n:.4f}] "
+                        f"outside {q}+/-0.01 ({g})")
+    return None
+
+
+def prop_q60(con, sdf):
+    """sampleBy is per-row Bernoulli: fraction-1.0 strata must keep ALL
+    rows exactly; 0.5 strata must land within 5 sigma of the binomial
+    mean. The sampled SET is seeded-RNG/partition-order-specific, the
+    counts' distribution is not."""
+    pop = dict(con.sql("SELECT lang, count(*) FROM documents WHERE lang IN "
+                       "('en','es','fr','de','zh') GROUP BY lang").fetchall())
+    frac = {"en": 0.5, "es": 0.5, "fr": 1.0, "de": 1.0, "zh": 1.0}
+    got = dict(zip(sdf["lang"], sdf["n_sampled"]))
+    if set(got) - set(frac):
+        return f"unexpected strata {sorted(set(got) - set(frac))}"
+    for lang, f in frac.items():
+        n, s = pop.get(lang, 0), int(got.get(lang, 0))
+        if f == 1.0:
+            if s != n:
+                return f"{lang}: kept {s} != population {n} at fraction 1.0"
+        else:
+            tol = 5 * (n * f * (1 - f)) ** 0.5
+            if abs(s - f * n) > tol:
+                return f"{lang}: {s} vs expected {f*n:.0f}+/-{tol:.0f}"
+    return None
+
+
+PROPERTY_CHECKS = {"q26_approx_percentile": prop_q26,
+                   "q60_stratified_sample": prop_q60}
+
+
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     timeout = float(sys.argv[3]) if len(sys.argv) > 3 else 180.0
     import duckdb
     con = duckdb.connect()
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-    # q21* goldens verify the constant HL7 fixtures — scale-independent
+    # q21* goldens verify the constant HL7 fixtures — scale-independent.
+    # COMPUTED_VALUES: oracles whose VALUES clause is an input dimension
+    # (q171's campaign windows), not a pinned result — fully scale-checkable.
+    COMPUTED_VALUES = {"q171_campaign_overlap"}
     pinned = {k for k, v in oracle.items()
-              if ("VALUES" in v or "goldens" in v) and not k.startswith("q21")}
+              if ("VALUES" in v or "goldens" in v) and not k.startswith("q21")
+              and k not in COMPUTED_VALUES}
     # SCALE GOLDENS (round 8): goldens/<sfbase>/<name>.sql, pinned by
     # tools/pin_goldens.py --scale against the canonical GenData corpus of
     # that name — substituting them for the sf0.01 fixtures moves the
@@ -60,6 +135,11 @@ def main():
     scale_goldens = {}
     for f in glob.glob(f"{root}/src/main/resources/graft/goldens/{sfbase}/*.sql"):
         scale_goldens[os.path.basename(f)[:-4]] = open(f).read()
+    # digest goldens: {rows, md5-of-canonical-CSV} for outputs too large to
+    # pin as VALUES (see pin_goldens.py DIGEST_ROWS) — same bit-exactness.
+    scale_digests = {}
+    for f in glob.glob(f"{root}/src/main/resources/graft/goldens/{sfbase}/*.digest.json"):
+        scale_digests[os.path.basename(f)[: -len(".digest.json")]] = json.load(open(f))
     counts = {"OK": 0, "CLOSE": 0, "FAIL": 0, "GOLDEN": 0, "TIMEOUT": 0}
     fails = []
     for name in sorted(oracle):
@@ -67,6 +147,34 @@ def main():
         if not files:
             print(f"{name:28s} FAIL no spark output", flush=True)
             counts["FAIL"] += 1; fails.append(name)
+            continue
+        if name in scale_digests:
+            import hashlib
+            sdf = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
+            exp = scale_digests[name]
+            csv = localverify.canon(sdf).to_csv(index=False)
+            got = {"rows": len(sdf), "md5": hashlib.md5(csv.encode()).hexdigest()}
+            if got["rows"] == exp["rows"] and got["md5"] == exp["md5"]:
+                print(f"{name:28s} OK (digest golden, {exp['rows']} rows)", flush=True)
+                counts["OK"] += 1
+            else:
+                print(f"{name:28s} FAIL digest {got} != {{rows: {exp['rows']}, "
+                      f"md5: {exp['md5']}}}", flush=True)
+                counts["FAIL"] += 1; fails.append(name)
+            continue
+        if name in PROPERTY_CHECKS and name not in scale_goldens:
+            sdf = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
+            pcon = _views(sfdir)
+            try:
+                err = PROPERTY_CHECKS[name](pcon, sdf)
+            finally:
+                pcon.close()
+            if err is None:
+                print(f"{name:28s} OK (scale-invariant property)", flush=True)
+                counts["OK"] += 1
+            else:
+                print(f"{name:28s} FAIL property: {err}", flush=True)
+                counts["FAIL"] += 1; fails.append(name)
             continue
         if name in pinned and name not in scale_goldens:
             print(f"{name:28s} GOLDEN-PINNED (sf0.01 fixture; driver-gate scale only)",
