@@ -567,6 +567,69 @@ object Dedup {
       |  JOIN sh sb ON i.b_id = sb.doc_id)
       |WHERE jaccard >= 0.5""".stripMargin
 
+  // ---------------------------------------------------------------- df cap
+  /** df-capped exact Jaccard — "stopword shingles" as a first-class
+    * semantic: shingles with document frequency > cap are dropped from
+    * every document's set BEFORE exact Jaccard (numerator AND set-size
+    * denominator), the coarsening production near-dup pipelines apply to
+    * survive Zipfian corpora. Unlike prefix filtering (q159 — a lossless
+    * acceleration of the SAME answer) this deliberately changes the
+    * relation; in exchange the candidate join's input is provably linear
+    * at ANY skew: Σ_{df≤C} df² ≤ C · postings, so the Σdf² blowup the
+    * zipf corpus measured on the uncapped joins (BASELINE.md skew-lever
+    * table: q55 at 6.4× wall for 5.3× Σdf²) is capped by construction.
+    * The cap is deterministic and DuckDB-expressible, so the full answer
+    * is hash-gated — cap=5 bites at sf0.01 (29 shingles dropped, df ≤ 7)
+    * as well as at the zipf head (df up to 190 at sf1z), keeping the
+    * gate on the real path at every scale.
+    *
+    * Plan: postings → df aggregate → df≤cap semi-filter → per-doc capped
+    * size (groupBy doc_id, reuses the postings exchange) → the SAME
+    * counting join core as q55/q159 (`jaccardCountingJoin`). Registered
+    * (q177) on q159's even-doc_id slice at t = 0.5 for bench-cost parity
+    * with the uncapped levers it is measured against. */
+  private[graft] def dfCapJaccardOf(docs: DataFrame, t: Double, cap: Int): DataFrame = {
+    val ex = shingledN(docs, 3)
+      .select(col("doc_id"), explode_outer(col("sh")).as("shingle"))
+      .localCheckpoint(true) // df aggregate + kept-postings both read it
+    val dfreq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val kept = ex.join(dfreq.filter(col("df") <= cap), "shingle")
+      .select("doc_id", "shingle")
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val full = kept.join(sizes, "doc_id")
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("shk"))
+    jaccardCountingJoin(full, t)
+  }
+
+  /** q177: df-capped near-dup on q159's slice (t = 0.5, cap = 5). */
+  def dfCapNearDup(s: SparkSession, d: String): DataFrame =
+    dfCapJaccardOf(Tables.documents(s, d).filter(col("doc_id") % 2 === 0),
+      t = 0.5, cap = 5)
+
+  /** The identical capped relation in DuckDB: same slice, same df
+    * computed ON the slice, same cap, Jaccard over the capped sets. */
+  val dfCapNearDupSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents
+      |              WHERE doc_id % 2 = 0 AND len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |                                     for i in range(1, len(t) - 1)]) s FROM toks),
+      |ex AS (SELECT doc_id, unnest(s) shingle FROM sh),
+      |dfreq AS (SELECT shingle, count(*) df FROM ex GROUP BY shingle),
+      |kept AS (SELECT e.doc_id, e.shingle FROM ex e
+      |         JOIN dfreq USING (shingle) WHERE df <= 5),
+      |sizes AS (SELECT doc_id, count(*) n_sh FROM kept GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) n
+      |          FROM kept a JOIN kept b
+      |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT a_id, b_id, jaccard FROM (
+      |  SELECT i.a_id, i.b_id,
+      |         round(i.n::DOUBLE / (sa.n_sh + sb.n_sh - i.n), 4) AS jaccard
+      |  FROM inter i
+      |  JOIN sizes sa ON i.a_id = sa.doc_id
+      |  JOIN sizes sb ON i.b_id = sb.doc_id)
+      |WHERE jaccard >= 0.5""".stripMargin
+
   // ---------------------------------------------------------------- pipeline
   /** The COMPLETE near-dup removal pipeline, end-to-end: pair generation
     * (exact trigram Jaccard) → connected components (transitive closure) →
@@ -1044,6 +1107,7 @@ object Dedup {
       Some(graft.core.Goldens.load("q37_simhash_neardup"))),
     GraftQuery("q55_ngram_jaccard", ngramJaccard _, Some(ngramJaccardSql)),
     GraftQuery("q159_ppjoin_neardup", ppjoinNearDup _, Some(ppjoinNearDupSql)),
+    GraftQuery("q177_dfcap_neardup", dfCapNearDup _, Some(dfCapNearDupSql)),
     GraftQuery("q169_containment", containment _, Some(containmentSql)),
     GraftQuery("q169b_containment_prefix", containmentPrefix _, Some(containmentSql)),
     GraftQuery("q124_dup_spans", dupSpans _, Some(dupSpansSql)),

@@ -52,7 +52,12 @@ def compare(name, sdf, odf):
         if a.dtype.kind in "fc" or b.dtype.kind in "fc":
             an, bn = a.astype(float).to_numpy(), b.astype(float).to_numpy()
             exact = np.array_equal(an, bn, equal_nan=True)
-            close = np.allclose(an, bn, rtol=0, atol=1e-9, equal_nan=True)
+            # rtol 1e-11: double sums over 10^6+ rows are association-order
+            # dependent in the last few hundred ulps, and a pre-rounded
+            # column can straddle a round(x,2) boundary (q04's sf1 revenue:
+            # 3867847300.29 vs .30, 2.6e-12 relative) — absolute atol alone
+            # misreads magnitude
+            close = np.allclose(an, bn, rtol=1e-11, atol=1e-9, equal_nan=True)
             if not exact:
                 bad.append((c, "close" if close else "DIFF",
                             float(np.nanmax(np.abs(an - bn))) if len(an) else 0))

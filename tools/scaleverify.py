@@ -141,8 +141,17 @@ def main():
     for f in glob.glob(f"{root}/src/main/resources/graft/goldens/{sfbase}/*.digest.json"):
         scale_digests[os.path.basename(f)[: -len(".digest.json")]] = json.load(open(f))
     counts = {"OK": 0, "CLOSE": 0, "FAIL": 0, "GOLDEN": 0, "TIMEOUT": 0}
+    # SCALEVERIFY_SKIP: comma-separated names known DuckDB-infeasible at
+    # this scale (q149's curate SQL spills >75 GB at 10x — round 7) —
+    # classified as oracle-timeouts without burning the full cap on each.
+    skip = set(filter(None, os.environ.get("SCALEVERIFY_SKIP", "").split(",")))
     fails = []
     for name in sorted(oracle):
+        if name in skip:
+            print(f"{name:28s} ORACLE-INFEASIBLE (SCALEVERIFY_SKIP; "
+                  "constituent stages verify individually)", flush=True)
+            counts["TIMEOUT"] += 1
+            continue
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
             print(f"{name:28s} FAIL no spark output", flush=True)
