@@ -787,6 +787,88 @@ object Curation {
       |       sample_mean_chars
       |FROM alloc LEFT JOIN sampled USING (source)""".stripMargin
 
+  // ---------------------------------------------------------------- q179
+  /** Distributed logistic-regression trainer for the quality classifier —
+    * closes q134's loop: q134 scores with FROZEN weights ("a real pipeline
+    * loads them from a trained artifact"); this operator IS the trainer
+    * that produces such an artifact. Full-batch gradient descent on
+    * q134's own feature relation (bias, unique_frac, ln(n_tokens)/10,
+    * top_frac), labels distilled from a metadata gate the features don't
+    * see directly (n_chars ≥ [[TrainLabelChars]] — the FineWeb/DCLM
+    * pattern: label by a cheap external signal, learn a lexical scorer
+    * that applies where the signal is absent). Emits one row per
+    * iteration (loss, accuracy, weights) — the artifact plus its training
+    * curve.
+    *
+    * Scale shape: the feature pass is q134's one partial-aggregated
+    * groupBy, cached once; each of the [[TrainIters]] rounds is a single
+    * map + full aggregation over the cached features (weights enter the
+    * plan as literals — no model server, no UDF), and the per-round
+    * driver state is FOUR doubles (the k-means-centroid class, bounded by
+    * model size, never by data).
+    *
+    * Bit-stable BY CONSTRUCTION, not by luck: per-row gradient and loss
+    * contributions are rounded to DECIMAL(28,12) and summed as decimals —
+    * decimal addition is associative, so the aggregate is identical under
+    * any partitioning/merge order (unlike float sums, the reason the
+    * k-means goldens needed an empirical 2/8-CPU check). Every weight is
+    * therefore an exact function of the corpus, and the sf0.01 run pins
+    * as a golden VALUES oracle. */
+  private val TrainLabelChars = 250
+  private val TrainIters = 10
+  private val TrainLr = 5.0
+
+  def qualityTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val feat = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("doc_id", "n_chars", "word").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "n_chars")
+      .agg(sum("tf").as("n_tokens"), count(lit(1)).as("n_unique"),
+        max("tf").as("top_tf"))
+      .select(
+        (col("n_chars") >= TrainLabelChars).cast("double").as("y"),
+        lit(1.0).as("x0"),
+        (col("n_unique").cast("double") / col("n_tokens")).as("x1"),
+        (log(col("n_tokens").cast("double")) / 10.0).as("x2"),
+        (col("top_tf").cast("double") / col("n_tokens")).as("x3"))
+      .cache()
+    try {
+      val n = feat.count().toDouble
+      var w = Array(0.0, 0.0, 0.0, 0.0)
+      val dec = "decimal(28,12)"
+      val out = (1 to TrainIters).map { it =>
+        val z = lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +
+          lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+        val p = lit(1.0) / (lit(1.0) + exp(-z))
+        val row = feat.select(
+          sum(((p - col("y")) * col("x0")).cast(dec)).as("g0"),
+          sum(((p - col("y")) * col("x1")).cast(dec)).as("g1"),
+          sum(((p - col("y")) * col("x2")).cast(dec)).as("g2"),
+          sum(((p - col("y")) * col("x3")).cast(dec)).as("g3"),
+          sum((-(col("y") * log(greatest(p, lit(1e-12))) +
+            (lit(1.0) - col("y")) * log(greatest(lit(1.0) - p, lit(1e-12)))))
+            .cast(dec)).as("loss"),
+          sum(when((p >= 0.5) === (col("y") === 1.0), 1L).otherwise(0L))
+            .as("n_correct")).head()
+        val loss = row.getDecimal(4).doubleValue() / n
+        val acc = row.getLong(5)
+        // loss/accuracy are measured under the weights the round STARTED
+        // with (the training-curve convention); the emitted weights are the
+        // post-step artifact, so the last row IS the trained model q134
+        // would load
+        w = Array.tabulate(4)(j =>
+          w(j) - TrainLr * row.getDecimal(j).doubleValue() / n)
+        (it, acc, math.floor(loss * 1e6 + 0.5) / 1e6,
+          math.floor(w(0) * 1e6 + 0.5) / 1e6, math.floor(w(1) * 1e6 + 0.5) / 1e6,
+          math.floor(w(2) * 1e6 + 0.5) / 1e6, math.floor(w(3) * 1e6 + 0.5) / 1e6)
+      }
+      out.toDF("iter", "n_correct", "loss", "w_bias", "w_uniq", "w_lntok", "w_top")
+    } finally feat.unpersist(false)
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q163_weighted_sample", weightedSample _, Some(weightedSampleSql)),
     GraftQuery("q172_neyman_sample", neymanSample _, Some(neymanSampleSql)),
@@ -806,5 +888,7 @@ object Curation {
     // dropped or invented a duplicate group
     GraftQuery("q149b_curate_minhash",
       (s: SparkSession, d: String) => curate(s, d, candidates = "minhash"),
-      Some(curateSql)))
+      Some(curateSql)),
+    GraftQuery("q179_quality_train", qualityTrain _,
+      Some(graft.core.Goldens.load("q179_quality_train"))))
 }

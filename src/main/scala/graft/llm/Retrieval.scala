@@ -648,6 +648,148 @@ object Retrieval {
       |       count(*) AS n_docs, min(ppl) AS min_ppl, max(ppl) AS max_ppl
       |FROM ppl, cuts GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q178
+  /** PMI collocation mining — the corpus-analysis pass that surfaces fixed
+    * phrases ("et al", "new york") a tokenizer trainer or stop-phrase
+    * filter wants: PMI(w1,w2) = ln(C(w1w2)·N / (C(w1·)·C(·w2))), reported
+    * for bigrams with count ≥ [[PmiMinCount]], top [[PmiTopK]] by PMI.
+    *
+    * Model-table algebra, q107's shape: one corpus scan into the bigram
+    * count table, then BOTH marginals and the grand total aggregate the
+    * O(observed-bigrams) model table — the corpus is never re-tokenized or
+    * re-shuffled. The global top-k is an orderBy+limit, which Spark plans
+    * as TakeOrderedAndProject (per-partition heaps + driver merge of k
+    * rows), never a global sort or unpartitioned window.
+    *
+    * Cross-engine determinism: the k-boundary is cut on the RAW ratio
+    * c12·N/(c1·c2), not its log. Each product is an exact integer below
+    * 2^53 (c12·N ≤ N² ≈ 7e14 at sf10; a 100 TB corpus rescales to avoid
+    * the integer ceiling the scaladoc of weightedSample discusses), so the
+    * IEEE quotient is identical on both engines and the (ratio, bigram)
+    * order total — ln() differing in the last ulp across libms can shift
+    * the ROUNDED pmi by 1e-4 in principle but can never change WHICH rows
+    * the limit keeps. */
+  private val PmiMinCount = 5
+  private val PmiTopK = 100
+
+  def pmiCollocations(s: SparkSession, d: String): DataFrame = {
+    val bg = Tables.documents(s, d)
+      .select(graft.functions.WordNgrams.word_ngrams(lower(col("text")), 2).as("bigram"))
+    val c12 = bg.groupBy("bigram").agg(count(lit(1)).as("c12"))
+    // marginals BEFORE the min-count filter: a rare bigram of frequent
+    // words must keep its full denominators or PMI inflates
+    val c1 = c12.withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .groupBy("w1").agg(sum("c12").as("c1"))
+    val c2 = c12.withColumn("w2", substring_index(col("bigram"), " ", -1))
+      .groupBy("w2").agg(sum("c12").as("c2"))
+    val n = c12.agg(sum("c12").cast("double").as("nn"))
+    c12.filter(col("c12") >= PmiMinCount)
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+      .join(c1, "w1").join(c2, "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("ratio",
+        (col("c12").cast("double") * col("nn"))
+          / (col("c1").cast("double") * col("c2").cast("double")))
+      .orderBy(col("ratio").desc, col("bigram").asc)
+      .limit(PmiTopK)
+      .select(col("bigram"), col("c12").as("n_pair"),
+        (floor(log(col("ratio")) * 10000 + 0.5) / 10000.0).as("pmi"))
+  }
+
+  val pmiCollocationsSql: String =
+    s"""WITH ${mirrored(bigramLmSql, "toks AS (", "FROM toks WHERE len(t) >= 2)")},
+      |c12 AS (SELECT bigram, count(*) AS c12 FROM bg GROUP BY 1),
+      |c1 AS (SELECT string_split(bigram, ' ')[1] AS w1, CAST(sum(c12) AS BIGINT) AS c1
+      |       FROM c12 GROUP BY 1),
+      |c2 AS (SELECT string_split(bigram, ' ')[-1] AS w2, CAST(sum(c12) AS BIGINT) AS c2
+      |       FROM c12 GROUP BY 1),
+      |n AS (SELECT CAST(sum(c12) AS DOUBLE) AS nn FROM c12),
+      |scored AS (
+      |  SELECT bigram, c12.c12,
+      |         (CAST(c12.c12 AS DOUBLE) * nn)
+      |           / (CAST(c1.c1 AS DOUBLE) * CAST(c2.c2 AS DOUBLE)) AS ratio
+      |  FROM c12
+      |  JOIN c1 ON string_split(c12.bigram, ' ')[1] = c1.w1
+      |  JOIN c2 ON string_split(c12.bigram, ' ')[-1] = c2.w2
+      |  CROSS JOIN n
+      |  WHERE c12.c12 >= $PmiMinCount)
+      |SELECT bigram, c12 AS n_pair,
+      |       floor(ln(ratio) * 10000 + 0.5) / 10000.0 AS pmi
+      |FROM scored
+      |ORDER BY ratio DESC, bigram ASC
+      |LIMIT $PmiTopK""".stripMargin
+
+  // ---------------------------------------------------------------- q180
+  /** Kneser–Ney-smoothed bigram LM scoring — the production upgrade of
+    * q107's MLE model (the smoothing KenLM applies before a perplexity
+    * filter): P(w2|w1) = (C(w1w2) − D)/C(w1·) + D·N₁₊(w1·)/C(w1·) ·
+    * N₁₊(·w2)/B with absolute discount D = [[KnDiscount]], continuation
+    * probability over B = distinct bigram types. Self-scoring (every
+    * scored bigram was counted) so the discounted term never goes
+    * negative and no unigram backoff path is needed — what KN changes
+    * vs q107 is the MASS REDISTRIBUTION: frequent-but-predictable
+    * continuations score lower than their raw counts suggest.
+    *
+    * Same model-table algebra as q107/q178: one corpus scan into c12,
+    * then C(w1·), N₁₊(w1·), N₁₊(·w2) and B all aggregate the model table.
+    * Cross-engine determinism: both engines compose the probability with
+    * the identical association ((c12−D)/c1 + ((D·n1l)·(n1r/B))/c1); the
+    * per-doc avg-of-logs rounds to 4 dp (the q107 precedent, verified at
+    * sf0.01 and sf1). */
+  private val KnDiscount = 0.75
+
+  def knBigramLm(s: SparkSession, d: String): DataFrame = {
+    val bg = Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.WordNgrams.word_ngrams(lower(col("text")), 2).as("bigram"))
+    val c12 = bg.groupBy("bigram").agg(count(lit(1)).as("c12"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+    val left = c12.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n1l"))
+    val right = c12.groupBy("w2").agg(count(lit(1)).as("n1r"))
+    val types = c12.agg(count(lit(1)).cast("double").as("bb"))
+    val model = c12
+      .join(left, "w1").join(right, "w2")
+      .crossJoin(broadcast(types))
+      .select(col("bigram"),
+        ((col("c12").cast("double") - lit(KnDiscount)) / col("c1")
+          + (lit(KnDiscount) * col("n1l").cast("double")
+            * (col("n1r").cast("double") / col("bb"))) / col("c1")).as("p"))
+    bg.filter(col("doc_id") < 50)
+      // shuffle_hash for the q138 size-lie reason: both frames descend from
+      // the same Generate, and the static planner would broadcast the
+      // corpus-sized side
+      .join(model.hint("shuffle_hash"), "bigram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("p"))), 4).as("avg_logp"),
+        round(exp(-avg(log(col("p")))), 4).as("ppl"))
+  }
+
+  val knBigramLmSql: String =
+    s"""WITH ${mirrored(bigramLmSql, "toks AS (", "FROM toks WHERE len(t) >= 2)")},
+      |c12 AS (SELECT bigram, string_split(bigram, ' ')[1] AS w1,
+      |               string_split(bigram, ' ')[-1] AS w2, count(*) AS c12
+      |        FROM bg GROUP BY 1, 2, 3),
+      |l AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n1l
+      |      FROM c12 GROUP BY 1),
+      |r AS (SELECT w2, count(*) AS n1r FROM c12 GROUP BY 1),
+      |types AS (SELECT CAST(count(*) AS DOUBLE) AS bb FROM c12),
+      |model AS (
+      |  SELECT bigram,
+      |    (CAST(c12.c12 AS DOUBLE) - $KnDiscount) / c1
+      |      + ($KnDiscount * CAST(n1l AS DOUBLE)
+      |         * (CAST(n1r AS DOUBLE) / bb)) / c1 AS p
+      |  FROM c12 JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN types)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |       round(avg(ln(p)), 4) AS avg_logp,
+      |       round(exp(-avg(ln(p))), 4) AS ppl
+      |FROM bg JOIN model USING (bigram)
+      |WHERE doc_id < 50
+      |GROUP BY doc_id""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q86_tfidf", tfidf, Some(tfidfSql)),
     GraftQuery("q87_bm25", bm25, Some(bm25Sql)),
@@ -659,5 +801,7 @@ object Retrieval {
     GraftQuery("q115_token_packing", tokenPacking, Some(tokenPackingSql)),
     GraftQuery("q122_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     GraftQuery("q138_ppl_buckets", pplBuckets, Some(pplBucketsSql)),
-    GraftQuery("q144_pack_assembly", packAssembly, Some(packAssemblySql)))
+    GraftQuery("q144_pack_assembly", packAssembly, Some(packAssemblySql)),
+    GraftQuery("q178_pmi_collocations", pmiCollocations, Some(pmiCollocationsSql)),
+    GraftQuery("q180_kn_bigram_lm", knBigramLm, Some(knBigramLmSql)))
 }

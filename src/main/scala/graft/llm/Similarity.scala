@@ -849,6 +849,78 @@ object Similarity {
       .select("x_id", "y_id", "cosine", "margin")
   }
 
+  // ---------------------------------------------------------------- q143b
+  /** LSH-probe-fed bitext mining — the ANN-shortlist form q143's scaladoc
+    * promises ("at 100 TB the block comes from ANN probes"), now as code:
+    * candidates are hyperplane-bucket collisions between the two language
+    * sides, and BOTH the mutual-top-1 test and the margin run within the
+    * shortlist — exactly how production CCMatrix-style mining uses its
+    * FAISS shortlists (margin over the retrieved k, not the full block).
+    * Approximate by construction: a true mutual pair whose buckets never
+    * collide is missed, and shortlist-local rank 1 can differ from the
+    * brute rank — LlmSpec measures pair recall against q143 and pins it.
+    *
+    * Plan shape: bucket signatures are map-side codegen'd dot products
+    * (the q56 tables); the candidate join is a plain (tbl, bucket)
+    * equi-join carrying ONLY ids — vectors join back per SIDE afterwards,
+    * so the heavy array payload shuffles O(|X|+|Y|) rows, never
+    * O(candidate-pairs) (the q159 array-join-back lesson inverts here:
+    * pairs outnumber rows, so per-pair payload carry is the loss). The
+    * X×Y block is never materialized.
+    *
+    * Capacity levers, measured on THIS corpus's adversarial geometry
+    * (mutual-pair cosine ≈ 0.25–0.45 ⇒ p = 1−θ/π ≈ 0.60): the default
+    * (B=6, L=32) scores L/2^B = 0.5 of the block with per-pair candidate
+    * probability 1−(1−p⁶)^32 ≈ 0.79. A real bitext corpus (translation
+    * cosine ≳ 0.8 ⇒ p ≳ 0.85) runs B=16, L=8 and scores ≪ 1% — same
+    * lever math as knnLsh, same LSH_STUDY scale-invariance. */
+  private val BitextBits = 6
+  private val BitextTables = 32
+
+  def bitextMineLsh(s: SparkSession, d: String,
+      bits: Int = BitextBits, tables: Int = BitextTables): DataFrame = {
+    val (top, cached) = bitextMineLshPlan(s, d, bits, tables)
+    try eagerTopK(s, top) finally cached.foreach(_.unpersist(false))
+  }
+
+  /** Lazy plan + the cached frames it reads (see knnIvfPlan). */
+  private[graft] def bitextMineLshPlan(s: SparkSession, d: String,
+      bits: Int = BitextBits, tables: Int = BitextTables): (DataFrame, Seq[DataFrame]) = {
+    val e = vecs(s, d).filter(col("label").isin(LangA, LangB))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val dim = Tables.embeddings(s, d).select(size(col("embedding"))).head.getInt(0)
+    val planes = hyperplanes(dim, tables, bits)
+    val withBuckets = e.select(col("vec_id"), col("label"), col("v"), col("norm"),
+      posexplode(array((0 until tables).map(t =>
+        signature(planes, bits, t)): _*)).as(Seq("tbl", "bucket")))
+      .cache()
+    // id-only candidate pairs; multi-table collisions collapse in the
+    // distinct before any vector payload moves
+    val xb = withBuckets.filter(col("label") === LangA)
+      .select(col("vec_id").as("x_id"), col("tbl"), col("bucket"))
+    val yb = withBuckets.filter(col("label") === LangB)
+      .select(col("vec_id").as("y_id"), col("tbl"), col("bucket"))
+    val pairs = xb.join(yb, Seq("tbl", "bucket")).select("x_id", "y_id").distinct()
+    val xv = e.filter(col("label") === LangA)
+      .select(col("vec_id").as("x_id"), col("v").as("xv"), col("norm").as("xn"))
+    val yv = e.filter(col("label") === LangB)
+      .select(col("vec_id").as("y_id"), col("v").as("yv"), col("norm").as("yn"))
+    val wx = Window.partitionBy("x_id").orderBy(col("cosine").desc, col("y_id").asc)
+    val wy = Window.partitionBy("y_id").orderBy(col("cosine").desc, col("x_id").asc)
+    val top = pairs.join(xv, "x_id").join(yv, "y_id")
+      .withColumn("cosine",
+        round(dot(col("xv"), col("yv")) / (col("xn") * col("yn")), 4))
+      .withColumn("rx", row_number().over(wx))
+      .withColumn("cos2", lead(col("cosine"), 1).over(wx))
+      .withColumn("ry", row_number().over(wy))
+      .filter(col("rx") === 1 && col("ry") === 1)
+      .withColumn("margin",
+        floor((col("cosine") - coalesce(col("cos2"), lit(0.0))) * 10000 + 0.5)
+          / 10000.0)
+      .select("x_id", "y_id", "cosine", "margin")
+    (top, Seq(withBuckets))
+  }
+
   val bitextMineSql: String =
     s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
       |x AS (SELECT vec_id AS x_id, v AS xv FROM e WHERE label = $LangA),
@@ -911,6 +983,9 @@ object Similarity {
       Some(graft.core.Goldens.load("q139b_hard_negatives_lsh"))),
     GraftQuery("q141_semantic_decontam", semanticDecontam _, Some(semanticDecontamSql)),
     GraftQuery("q143_bitext_mine", bitextMine _, Some(bitextMineSql)),
+    GraftQuery("q143b_bitext_mine_lsh",
+      (s: SparkSession, d: String) => bitextMineLsh(s, d),
+      Some(graft.core.Goldens.load("q143b_bitext_mine_lsh"))),
     GraftQuery("q125_semdedup", (s: SparkSession, d: String) => semDedup(s, d),
       Some(graft.core.Goldens.load("q125_semdedup"))))
 }

@@ -244,4 +244,48 @@ class CurationSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     assert(got == expected, "KL drift diverges from the plain-Scala recompute")
   }
+
+  test("q179: trained weights match a plain-Scala reference GD, loss improves") {
+    // reference implementation: same features, same decimal(28,12)
+    // per-row rounding (HALF_UP, the cast's mode), same BigDecimal sums —
+    // the trainer's bit-stability argument replayed on the driver
+    val feats = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars"),
+        explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("doc_id", "n_chars", "word").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "n_chars")
+      .agg(sum("tf").as("n_tok"), count(lit(1)).as("n_uniq"), max("tf").as("top_tf"))
+      .collect()
+      .map(r => (if (r.getLong(1) >= 250) 1.0 else 0.0,
+        Array(1.0, r.getLong(3).toDouble / r.getLong(2),
+          math.log(r.getLong(2).toDouble) / 10.0,
+          r.getLong(4).toDouble / r.getLong(2))))
+    val n = feats.length.toDouble
+    def dec(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    var w = Array(0.0, 0.0, 0.0, 0.0)
+    val expected = (1 to 10).map { it =>
+      var g = Array.fill(4)(BigDecimal(0)); var loss = BigDecimal(0); var acc = 0L
+      for ((y, x) <- feats) {
+        val z = (0 until 4).map(j => w(j) * x(j)).sum
+        val p = 1.0 / (1.0 + math.exp(-z))
+        for (j <- 0 until 4) g(j) += dec((p - y) * x(j))
+        loss += dec(-(y * math.log(math.max(p, 1e-12)) +
+          (1.0 - y) * math.log(math.max(1.0 - p, 1e-12))))
+        if ((p >= 0.5) == (y == 1.0)) acc += 1
+      }
+      val l = loss.toDouble / n
+      w = Array.tabulate(4)(j => w(j) - 5.0 * g(j).toDouble / n)
+      (it, acc, math.floor(l * 1e6 + 0.5) / 1e6,
+        math.floor(w(0) * 1e6 + 0.5) / 1e6, math.floor(w(1) * 1e6 + 0.5) / 1e6,
+        math.floor(w(2) * 1e6 + 0.5) / 1e6, math.floor(w(3) * 1e6 + 0.5) / 1e6)
+    }
+    val got = Curation.qualityTrain(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(got == expected, s"trainer diverges from reference:\n$got\nvs\n$expected")
+    assert(got.last._3 < got.head._3, "loss must improve over training")
+    assert(got.last._2 >= got.head._2, "accuracy must not degrade over training")
+  }
 }

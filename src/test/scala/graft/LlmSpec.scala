@@ -345,6 +345,22 @@ class LlmSpec extends AnyFunSuite {
       s"probe-fed hard-negative recall $recall too low (lsh=$lsh brute=$brute)")
   }
 
+  test("LSH-probed bitext mining recovers most brute mutual pairs (q143b)") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bitextMine(spark, sf))
+    val lsh = pairs(Similarity.bitextMineLsh(spark, sf))
+    assert(brute.nonEmpty, "test corpus should contain mutual pairs")
+    // shortlist-mutual vs block-mutual: recall bounded by the per-pair
+    // candidate probability 1−(1−p^B)^L ≈ 0.79 at this corpus's p ≈ 0.60
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.5,
+      s"probe-fed bitext recall $recall too low (lsh=${lsh.size} brute=${brute.size})")
+    // deterministic: fixed planes, round-4 cosines, id tiebreaks
+    assert(pairs(Similarity.bitextMineLsh(spark, sf)) == lsh,
+      "q143b must be deterministic across runs")
+  }
+
   test("quantized knn recovers the exact brute-force top-5 after rerank") {
     val brute = Similarity.knnBrute(spark, sf)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq

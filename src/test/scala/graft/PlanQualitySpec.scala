@@ -484,7 +484,13 @@ class PlanQualitySpec extends AnyFunSuite {
       // post-TakeOrderedAndProject (<= 80 rows); grand total is a
       // single-row broadcast — the q100 pattern.
       ("q173_vocab_coverage", "global-window"),
-      ("q173_vocab_coverage", "nested-loop"))
+      ("q173_vocab_coverage", "nested-loop"),
+      // PMI / Kneser-Ney (Retrieval q178/q180): the nested-loop is the
+      // single-row grand-total broadcast (Σc12 / distinct-bigram-type
+      // count) — the q100/q86 pattern; the top-k is TakeOrderedAndProject,
+      // and every window is keyed.
+      ("q178_pmi_collocations", "nested-loop"),
+      ("q180_kn_bigram_lm", "nested-loop"))
     def offenders(df: DataFrame): Seq[String] = {
       // manual subquery recursion: collectWithSubqueries casts every
       // PlanExpression plan to SparkPlan, but at the sparkPlan stage
