@@ -869,6 +869,195 @@ object Curation {
     } finally feat.unpersist(false)
   }
 
+  // ---------------------------------------------------------------- q181
+  /** DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling") — the hashed-n-gram
+    * importance-weighting step real pretraining pipelines run between raw
+    * crawl and training: fit two bag-of-hashed-features multinomials (a
+    * TARGET corpus defining the distribution you want more of, and the RAW
+    * candidate pool), score every candidate by its average per-token
+    * log-likelihood ratio, and keep the top [[DsirTopK]]. Here the target
+    * is the long-document slice (n_chars ≥ [[DsirTargetChars]] — the same
+    * cheap-external-signal pattern as q179's labels) and the operator
+    * surfaces the SHORT documents that lexically look like long ones.
+    *
+    * Scale shape: ONE tokenize pass feeds a (doc, bucket) count table
+    * (map-side combine; ≤ [[DsirBuckets]] rows per doc); both multinomials
+    * and their totals aggregate that table (the q178 model-table algebra —
+    * the corpus is never re-scanned); the fitted model is a 256-row
+    * broadcast joined back map-side; the final cut is orderBy+limit =
+    * TakeOrderedAndProject. Two shuffles total ((doc,bucket) counts, then
+    * per-doc score), both with partial aggregation.
+    *
+    * Cross-engine determinism: the feature hash is the md5-hex-prefix
+    * idiom (q59 contract) so bucket ids are strings both engines compute
+    * identically; each model ratio is built from EXACT integer products
+    * ((ct+1)·(Tr+B)) / ((cr+1)·(Tt+B)) — both below 2⁵³ up to ~sf10-scale
+    * token counts (≈7e7 tokens ⇒ products ≈5e15; a 100 TB corpus rescales
+    * the counts per shard before the ratio, same as weightedSample's
+    * discussion) — so the IEEE quotient and hence ln's INPUT is identical;
+    * the top-k cut orders by the 4-dp-ROUNDED score with doc_id tiebreak,
+    * so last-ulp ln/sum-order drift (≈1e-15 relative) cannot flip
+    * membership unless a true score sits within it of a rounding-grid
+    * edge — the q86/q87 precedent, verified by the gate at sf0.01 and by
+    * scaleverify at sf1. */
+  private val DsirTargetChars = 350
+  private val DsirBuckets = 256
+  private val DsirTopK = 200
+
+  def dsirSelect(s: SparkSession, d: String): DataFrame = {
+    val docB = Tables.documents(s, d)
+      .select(col("doc_id"), (col("n_chars") >= DsirTargetChars).as("is_tgt"),
+        explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .withColumn("b", substring(md5(col("word")), 1, 2))
+      .groupBy("doc_id", "is_tgt", "b").agg(count(lit(1)).as("c"))
+    val tgt = docB.filter(col("is_tgt")).groupBy("b").agg(sum("c").as("ct"))
+    val raw = docB.filter(!col("is_tgt")).groupBy("b").agg(sum("c").as("cr"))
+    val tT = tgt.agg(sum("ct").as("tt"))
+    val tR = raw.agg(sum("cr").as("tr"))
+    // candidate docs only ever touch raw-side buckets, so LEFT join from
+    // raw; a bucket the target never hit keeps Laplace mass ct+1 = 1
+    val model = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(tT)).crossJoin(broadcast(tR))
+      .select(col("b"), log(
+        ((coalesce(col("ct"), lit(0L)) + 1L) * (col("tr") + DsirBuckets))
+          .cast("double")
+          / ((col("cr") + 1L) * (col("tt") + DsirBuckets)).cast("double"))
+        .as("lr"))
+    docB.filter(!col("is_tgt"))
+      .join(broadcast(model), "b")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"),
+        round(sum(col("c").cast("double") * col("lr")) / sum("c"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(DsirTopK)
+  }
+
+  val dsirSelectSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, n_chars >= $DsirTargetChars AS is_tgt,
+      |         unnest(string_split(lower(text), ' ')) AS word
+      |  FROM documents),
+      |docb AS (
+      |  SELECT doc_id, is_tgt, substring(md5(word), 1, 2) AS b, count(*) AS c
+      |  FROM toks WHERE word <> '' GROUP BY 1, 2, 3),
+      |tgt AS (SELECT b, CAST(sum(c) AS BIGINT) AS ct FROM docb WHERE is_tgt GROUP BY 1),
+      |raw AS (SELECT b, CAST(sum(c) AS BIGINT) AS cr FROM docb WHERE NOT is_tgt GROUP BY 1),
+      |tt AS (SELECT CAST(sum(ct) AS BIGINT) AS tt FROM tgt),
+      |tr AS (SELECT CAST(sum(cr) AS BIGINT) AS tr FROM raw),
+      |model AS (
+      |  SELECT raw.b, ln(
+      |    CAST((COALESCE(tgt.ct, 0) + 1) * (tr.tr + $DsirBuckets) AS DOUBLE)
+      |    / CAST((raw.cr + 1) * (tt.tt + $DsirBuckets) AS DOUBLE)) AS lr
+      |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tt CROSS JOIN tr)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |       round(sum(CAST(c AS DOUBLE) * lr) / sum(c), 4) AS score
+      |FROM docb JOIN model USING (b)
+      |WHERE NOT is_tgt
+      |GROUP BY doc_id
+      |ORDER BY score DESC, doc_id ASC
+      |LIMIT $DsirTopK""".stripMargin
+
+  // ---------------------------------------------------------------- q183
+  /** UniMax mixture allocation (Chung et al. 2023, "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual Pretraining")
+    * — the budget-allocation step between per-language counting (q129's
+    * uniform-share rebalance) and epoch sharding (q132): give every
+    * language up to [[UniEpochCap]] epochs of its own characters, never
+    * more, and split the remaining character budget EVENLY among the
+    * languages too large to cap — exactly the published greedy, which is
+    * the water-filling solution alloc_l = min(capacity_l, θ) with θ chosen
+    * so Σ alloc = B. Closed form, not a sequential loop: sort languages by
+    * capacity ascending; the capped set is a PREFIX (proof in scaladoc
+    * below), found by the exact-integer test capacity·(k−i+1) ≤ B−prefix
+    * and made explicitly monotone with a running min; θ is then one
+    * integer division. Budget B = ⌊3T/2⌋ of total chars T (chosen so the
+    * corpus's minority languages cap and `en` down-samples — the UniMax
+    * regime — at every sf, since GenData replicas preserve lang shares).
+    *
+    * Prefix proof: ascending capacities, r_i = (B−C_{i−1})/(k−i+1) the
+    * water level were languages i..k all uncapped. If c_i > r_i then
+    * r_{i+1} = (r_i(k−i+1) − c_i)/(k−i) < r_i ≤ c_i ≤ c_{i+1} — once the
+    * test fails it fails forever, so min-so-far(flag) is exact, not a
+    * heuristic.
+    *
+    * Scale shape: ONE per-language aggregate (partial, k rows out of the
+    * scan); everything after is a k-row model table — the unpartitioned
+    * windows and single-row cross joins the blanket sweep whitelists as
+    * language-cardinality state (the q178/q100 class). Cross-engine
+    * exactness: every comparison and division is BIGINT (`div`/`//` floor
+    * division — positive operands, identical results); no float is ever
+    * computed, so there is no boundary to disagree on. capacity·k ≈
+    * 2·chars·k stays far below 2⁶³ even at 100 TB (≈8e14 for k=10). */
+  private val UniEpochCap = 2
+
+  def unimaxAlloc(s: SparkSession, d: String): DataFrame = {
+    val cap = Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+      .withColumn("capacity", col("chars") * UniEpochCap)
+    val tot = cap.agg(sum("chars").as("t_chars"), count(lit(1)).as("k_langs"))
+    // ROWS frame explicitly: (capacity, lang) is a total order so RANGE
+    // and ROWS coincide, but the default RANGE frame includes peers and
+    // the oracle spells ROWS — keep the two plans textually aligned
+    val w = Window.orderBy(col("capacity"), col("lang"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = cap.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("(3 * t_chars) div 2"))
+      .withColumn("i", row_number().over(
+        Window.orderBy(col("capacity"), col("lang"))).cast("long"))
+      .withColumn("cprefix", sum("capacity").over(w))
+      .withColumn("flag",
+        when(col("capacity") * (col("k_langs") - col("i") + 1) <=
+          col("budget") - (col("cprefix") - col("capacity")), 1L).otherwise(0L))
+      .withColumn("capped", min("flag").over(w) === 1L)
+    val ms = ranked.agg(
+      sum(when(col("capped"), col("capacity")).otherwise(0L)).as("c_capped"),
+      sum(when(col("capped"), 1L).otherwise(0L)).as("m"))
+    ranked.crossJoin(broadcast(ms))
+      .withColumn("alloc_chars", when(col("capped"), col("capacity"))
+        .otherwise(expr("(budget - c_capped) div (k_langs - m)")))
+      .select(col("lang"), col("n_docs"), col("chars"), col("capacity"),
+        col("alloc_chars"),
+        expr("(alloc_chars * 10000) div chars").as("epochs_bp"))
+  }
+
+  val unimaxAllocSql: String =
+    s"""WITH cap AS (
+      |  SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars,
+      |         CAST(sum(n_chars) AS BIGINT) * $UniEpochCap AS capacity
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(sum(chars) AS BIGINT) AS t_chars,
+      |               count(*) AS k_langs FROM cap),
+      |rk AS (
+      |  SELECT cap.*, (3 * t.t_chars) // 2 AS budget, t.k_langs,
+      |         CAST(row_number() OVER (ORDER BY capacity, lang) AS BIGINT) AS i,
+      |         CAST(sum(capacity) OVER (ORDER BY capacity, lang
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |           AS cprefix
+      |  FROM cap CROSS JOIN tot t),
+      |fl AS (
+      |  SELECT *, CASE WHEN capacity * (k_langs - i + 1)
+      |                      <= budget - (cprefix - capacity)
+      |                 THEN 1 ELSE 0 END AS flag
+      |  FROM rk),
+      |cp AS (
+      |  SELECT *, min(flag) OVER (ORDER BY capacity, lang
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS capped
+      |  FROM fl),
+      |ms AS (SELECT CAST(sum(CASE WHEN capped THEN capacity ELSE 0 END) AS BIGINT)
+      |                AS c_capped,
+      |              CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT) AS m
+      |       FROM cp)
+      |SELECT lang, n_docs, chars, capacity,
+      |       CASE WHEN capped THEN capacity
+      |            ELSE (budget - c_capped) // (k_langs - m) END AS alloc_chars,
+      |       (CASE WHEN capped THEN capacity
+      |             ELSE (budget - c_capped) // (k_langs - m) END * 10000) // chars
+      |         AS epochs_bp
+      |FROM cp CROSS JOIN ms""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q163_weighted_sample", weightedSample _, Some(weightedSampleSql)),
     GraftQuery("q172_neyman_sample", neymanSample _, Some(neymanSampleSql)),
@@ -890,5 +1079,7 @@ object Curation {
       (s: SparkSession, d: String) => curate(s, d, candidates = "minhash"),
       Some(curateSql)),
     GraftQuery("q179_quality_train", qualityTrain _,
-      Some(graft.core.Goldens.load("q179_quality_train"))))
+      Some(graft.core.Goldens.load("q179_quality_train"))),
+    GraftQuery("q181_dsir_select", dsirSelect _, Some(dsirSelectSql)),
+    GraftQuery("q183_unimax_alloc", unimaxAlloc _, Some(unimaxAllocSql)))
 }

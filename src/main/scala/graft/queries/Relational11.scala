@@ -512,6 +512,117 @@ object Relational11 {
       |       round(sum(value), 2) AS sum_value
       |FROM w GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q182
+  /** Label-propagation community detection over the customer–supplier
+    * co-purchase graph — the graph-clustering sibling of q167's PageRank
+    * and q69's connected components (LPA finds DENSE groups, components
+    * only find CONNECTED ones). Nodes are customers (2·custkey) and
+    * suppliers (2·suppkey+1 — injective interleave, no id collision at
+    * any scale); edges are distinct trading pairs weighted by lineitem
+    * count (BIGINT — integer weights make every argmax exact on both
+    * engines, the reason revenue weights were rejected). [[LpaRounds]]
+    * full rounds of the BIPARTITE schedule: suppliers adopt the
+    * plurality label of their customers, then customers of their
+    * (updated) suppliers — the standard alternating update that cannot
+    * oscillate on a bipartite graph, and fixed-count so the oracle is a
+    * bounded unrolled-CTE chain (the q167 contract). Ties break to the
+    * smallest label; a node with no edges keeps its own label.
+    *
+    * Scale shape: the data-scale work is the edge build (q03-class join,
+    * one groupBy on (cust,supp)); each phase is then node-cardinality —
+    * a broadcast of the label frame into the edge join, a keyed
+    * aggregate, a keyed window. At 10⁹ nodes the label broadcast becomes
+    * a co-partitioned join on src and the lazy chain re-checkpoints
+    * every few phases to cap plan depth — per-phase PLAN unchanged
+    * (q167's documented trade). */
+  private val LpaRounds = 5
+
+  private def q182(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("cust"),
+        (col("l_suppkey") * 2 + 1).as("supp"))
+      .agg(count(lit(1)).as("w"))
+    val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"), col("w"))
+      .union(pairs.select(col("supp").as("src"), col("cust").as("dst"), col("w")))
+      .localCheckpoint(true)
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var labels = nodes.select(col("node"), col("node").as("lbl"))
+    // checkpoint each round: unlike q167's 25-node chain, TEN nested
+    // join+window+join phases drive Catalyst's analyzer into exponential
+    // tree-walks (measured: >10 min of driver CPU in TreeNode.exists on
+    // the fully-lazy plan vs seconds checkpointed) — this is the "re-add
+    // a checkpoint every few rounds to cap plan depth" trade applied at
+    // test scale, and the label frame is node-cardinality so the eager
+    // materialization is cheap
+    for (_ <- 1 to LpaRounds; side <- Seq(1, 0)) {
+      val contrib = broadcast(labels)
+        .join(edges, col("node") === col("src"))
+        .filter(pmod(col("dst"), lit(2)) === side)
+        .groupBy(col("dst"), col("lbl")).agg(sum("w").as("wsum"))
+      val wn = Window.partitionBy("dst")
+        .orderBy(col("wsum").desc, col("lbl").asc)
+      val best = contrib.withColumn("rn", row_number().over(wn))
+        .filter(col("rn") === 1)
+        .select(col("dst"), col("lbl").as("new_lbl"))
+      labels = labels.join(broadcast(best), col("node") === col("dst"), "left")
+        .select(col("node"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+      // per-round cadence measured best at sf0.1: 11.6 s vs 15.8 s
+      // checkpointing every 2 rounds — each phase references `labels`
+      // TWICE (contrib + the keep-label join), so an unmaterialized
+      // chain doubles both the analyzer tree and subplan re-execution
+      // per phase; 2^phases beats the saved job latency almost
+      // immediately
+      if (side == 0) labels = labels.localCheckpoint(true)
+    }
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, "lbl")
+      .select(col("node").cast("long").as("node"),
+        col("lbl").cast("long").as("community"), col("community_size"))
+  }
+
+  /** Phase CTEs generated by the same (round, side) loop as the Spark
+    * plan — unrolled, not recursive, for the q167 reason (per-phase
+    * plurality + keep-when-isolated isn't single-reference expressible).
+    * Each label CTE is MATERIALIZED: l(i) is referenced twice (by b(i+1)
+    * and l(i+1)), and DuckDB's default inlining would re-evaluate the
+    * whole chain 2^phases times — measured as a >9-minute hang at
+    * sf0.01 vs sub-second materialized. */
+  private val q182Sql: String = {
+    val phases = (for (r <- 1 to LpaRounds; side <- Seq(1, 0)) yield {
+      val i = (r - 1) * 2 + (if (side == 1) 1 else 2)
+      s"""b$i AS (
+         |  SELECT dst, lbl AS new_lbl FROM (
+         |    SELECT dst, lbl, row_number() OVER (
+         |      PARTITION BY dst ORDER BY wsum DESC, lbl ASC) AS rn
+         |    FROM (SELECT e.dst, p.lbl, CAST(sum(e.w) AS BIGINT) AS wsum
+         |          FROM l${i - 1} p JOIN edges e ON p.node = e.src
+         |          WHERE e.dst % 2 = $side GROUP BY 1, 2) z) t WHERE rn = 1),
+         |l$i AS MATERIALIZED (
+         |  SELECT x.node, COALESCE(b.new_lbl, x.lbl) AS lbl
+         |  FROM l${i - 1} x LEFT JOIN b$i b ON x.node = b.dst)""".stripMargin
+    }).mkString(",\n")
+    val last = LpaRounds * 2
+    s"""WITH pairs AS (
+      |  SELECT o.o_custkey * 2 AS cust, l.l_suppkey * 2 + 1 AS supp,
+      |         count(*) AS w
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  GROUP BY 1, 2),
+      |edges AS (
+      |  SELECT cust AS src, supp AS dst, CAST(w AS BIGINT) AS w FROM pairs
+      |  UNION ALL
+      |  SELECT supp AS src, cust AS dst, CAST(w AS BIGINT) AS w FROM pairs),
+      |nodes AS (SELECT DISTINCT src AS node FROM edges),
+      |l0 AS MATERIALIZED (SELECT node, node AS lbl FROM nodes),
+      |$phases
+      |SELECT CAST(node AS BIGINT) AS node, CAST(lbl AS BIGINT) AS community,
+      |       community_size
+      |FROM l$last JOIN (
+      |  SELECT lbl, count(*) AS community_size FROM l$last GROUP BY 1
+      |) s USING (lbl)""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q108_zscore_outliers", q108, Some(q108Sql)),
     GraftQuery("q109_funnel", q109, Some(q109Sql)),
@@ -525,5 +636,6 @@ object Relational11 {
     GraftQuery("q164_mad_outliers", q164, Some(q164Sql)),
     GraftQuery("q165_decay_score", q165, Some(q165Sql)),
     GraftQuery("q167_pagerank", q167, Some(q167Sql)),
-    GraftQuery("q175_sliding_window", q175, Some(q175Sql)))
+    GraftQuery("q175_sliding_window", q175, Some(q175Sql)),
+    GraftQuery("q182_label_prop", q182, Some(q182Sql)))
 }

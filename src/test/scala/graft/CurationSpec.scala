@@ -245,6 +245,63 @@ class CurationSpec extends AnyFunSuite {
     assert(got == expected, "KL drift diverges from the plain-Scala recompute")
   }
 
+  test("q181: DSIR selects candidates only, in score order, deterministically") {
+    val out = Curation.dsirSelect(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty && out.length <= 200)
+    // selection is FROM the candidate pool (below the target gate)
+    val chars = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.forall { case (id, _, _) => chars(id) < 350 },
+      "DSIR must never select a target-slice document")
+    // emitted in (score desc, doc_id asc) order — the rounded-cut contract
+    assert(out.sliding(2).forall { case Array((i1, _, s1), (i2, _, s2)) =>
+      s1 > s2 || (s1 == s2 && i1 < i2) },
+      "selection must be totally ordered by (rounded score, doc_id)")
+    val again = Curation.dsirSelect(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.sameElements(again), "DSIR must be deterministic across runs")
+  }
+
+  test("q183: UniMax water-fill matches a plain-Scala reference and conserves budget") {
+    val out = Curation.unimaxAlloc(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    // reference: independent plain-Scala closed-form water-fill (exact
+    // integers, ascending-capacity prefix scan)
+    val pl = graft.core.Tables.documents(spark, sf)
+      .groupBy("lang").agg(count(lit(1)).as("n"), sum("n_chars").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val b = 3 * pl.map(_._3).sum / 2
+    val asc = pl.map { case (l, n, c) => (l, n, c, 2 * c) }.sortBy(x => (x._4, x._1))
+    val k = asc.length
+    var prefix = 0L; var capped = true
+    val expected = asc.zipWithIndex.map { case ((l, n, c, cap), i) =>
+      capped = capped && cap * (k - i) <= b - prefix
+      prefix += (if (capped) cap else 0L)
+      (l, n, c, cap, capped)
+    }
+    val cCapped = expected.filter(_._5).map(_._4).sum
+    val m = expected.count(_._5)
+    val theta = (b - cCapped) / (k - m)
+    val ref = expected.map { case (l, n, c, cap, isCapped) =>
+      val a = if (isCapped) cap else theta
+      (l, n, c, cap, a, a * 10000 / c)
+    }.sortBy(_._1)
+    assert(out.toSeq == ref.toSeq, "UniMax diverges from the reference water-fill")
+    // budget conservation: within k of B (floor remainder), never over
+    val total = out.map(_._5).sum
+    assert(total <= b && b - total < k,
+      "uncapped floor-division remainder is the only unallocated budget")
+    // UniMax regime holds on this corpus: some language capped at full
+    // epochs AND some down-sampled below cap (else the constants are
+    // degenerate and the operator tests nothing)
+    assert(out.exists(r => r._5 == r._4) && out.exists(r => r._5 < r._4))
+    assert(out.filter(r => r._5 < r._4).map(_._5).distinct.length == 1,
+      "all uncapped languages must share one water level")
+  }
+
   test("q179: trained weights match a plain-Scala reference GD, loss improves") {
     // reference implementation: same features, same decimal(28,12)
     // per-row rounding (HALF_UP, the cast's mode), same BigDecimal sums —

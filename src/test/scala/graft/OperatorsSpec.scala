@@ -513,6 +513,40 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("q182: bipartite LPA matches a plain-Scala reference schedule") {
+    val sf = "/root/testdata/sf0.001"
+    // reference: the same alternating plurality update, exact integer
+    // weights, (wsum desc, label asc) argmax, replayed with plain maps
+    val om = graft.core.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = scala.collection.mutable.Map[(Long, Long), Long]().withDefaultValue(0L)
+    graft.core.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_suppkey").collect()
+      .foreach { r =>
+        val k = (om(r.getLong(0)) * 2, r.getLong(1) * 2 + 1)
+        w(k) += 1
+      }
+    val edges = w.toSeq.flatMap { case ((c, s), wt) => Seq((c, s, wt), (s, c, wt)) }
+    var lbl = edges.map(_._1).distinct.map(n => n -> n).toMap
+    for (_ <- 1 to 5; side <- Seq(1, 0)) {
+      val upd = edges.filter(_._2 % 2 == side)
+        .groupBy(_._2)
+        .map { case (dst, es) =>
+          val byLbl = es.groupBy(e => lbl(e._1)).view.mapValues(_.map(_._3).sum)
+          dst -> byLbl.toSeq.minBy { case (l, ws) => (-ws, l) }._1
+        }
+      lbl = lbl.map { case (n, old) => n -> upd.getOrElse(n, old) }
+    }
+    val sizes = lbl.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = lbl.map { case (n, l) => (n, l, sizes(l)) }.toSet
+    val got = SparkEntry.queries("q182_label_prop")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected, s"LPA diverges from reference (got ${got.size} rows)")
+    // communities partition the node set
+    assert(got.groupBy(_._2).map(_._2.size).sum == lbl.size)
+  }
+
   test("custom expressions register at the SQL surface") {
     GraftExtensions.install(spark)
     val h = spark.sql("SELECT rolling_hash('hello world') AS h").collect().head.getLong(0)

@@ -490,7 +490,20 @@ class PlanQualitySpec extends AnyFunSuite {
       // count) — the q100/q86 pattern; the top-k is TakeOrderedAndProject,
       // and every window is keyed.
       ("q178_pmi_collocations", "nested-loop"),
-      ("q180_kn_bigram_lm", "nested-loop"))
+      ("q180_kn_bigram_lm", "nested-loop"),
+      // DSIR (q181): the nested-loops are the two SINGLE-ROW grand-total
+      // broadcasts (target/raw token totals) crossed into the 256-row
+      // model table — the q178/q100 pattern; the candidate-side join is
+      // a broadcast equi-join on bucket and the top-k is
+      // TakeOrderedAndProject.
+      ("q181_dsir_select", "nested-loop"),
+      // UniMax (Curation q183): everything after the ONE per-language
+      // aggregate is a k-row model table (k = language cardinality, 5
+      // here, O(100) in any real corpus) — the water-filling windows rank
+      // and prefix-sum that k-row frame, and the nested-loops are the
+      // single-row totals/capped-stats broadcasts (the q172 pattern).
+      ("q183_unimax_alloc", "global-window"),
+      ("q183_unimax_alloc", "nested-loop"))
     def offenders(df: DataFrame): Seq[String] = {
       // manual subquery recursion: collectWithSubqueries casts every
       // PlanExpression plan to SparkPlan, but at the sparkPlan stage
