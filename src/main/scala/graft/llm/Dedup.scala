@@ -630,6 +630,105 @@ object Dedup {
       |  JOIN sizes sb ON i.b_id = sb.doc_id)
       |WHERE jaccard >= 0.5""".stripMargin
 
+  // ---------------------------------------------------------------- q184
+  /** Sorted-neighborhood blocking dedup (Hernández & Stolfo 1995, the
+    * merge/purge method) — the THIRD blocking family next to content
+    * blocking (q55/q159's shingle postings, q177's df cap) and signature
+    * blocking (q36 MinHash bands, q37 SimHash chunks): sort the corpus by
+    * a cheap normalized key, slide a fixed window of [[SnWindow]] ranks,
+    * and verify ONLY rank-adjacent pairs. Candidate count is exactly
+    * ≤ N·(W−1) by construction — the only blocking scheme here whose
+    * candidate volume is corpus-linear INDEPENDENT of content skew (a
+    * hot shingle blows up q55's Σdf² and fills q36's band buckets; SNM
+    * cannot blow up, it can only MISS pairs whose keys sort far apart —
+    * the stated recall trade of the method). Output contract: pairs
+    * within the rank window with exact trigram Jaccard ≥ [[SnThreshold]],
+    * plus the rank gap.
+    *
+    * Scale shape: the global sort rank is Layout.stableRowIds' two-pass
+    * range-partition prefix scheme (the q115 machinery — NO unpartitioned
+    * window, no single-task funnel); the window pairing is an EQUI-join
+    * on ⌊rank/W⌋ buckets (each probe row emits its own and the previous
+    * bucket id — 2 keys/row, never an inequality theta join); and
+    * verification is per-pair array intersection, map-side after the
+    * bucket join, each side's shingle array bounded by document length.
+    * Every stage is linear in N at fixed W. The skey/doc_id sort is a
+    * total order, so ranks — hence the candidate SET — are deterministic
+    * and engine-independent (the q59 contract, via order not hashes). */
+  private val SnWindow = 8
+  private val SnThreshold = 0.4
+  private val SnKeyLen = 40
+
+  def sortedNeighborhood(s: SparkSession, d: String): DataFrame = {
+    val shards = s.sparkContext.defaultParallelism
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    // rank a NARROW (doc_id, skey) frame: stableRowIds crosses an RDD
+    // boundary (row-serialized, off the Tungsten path — the two-pass
+    // prefix trade), so the shingle arrays must not ride through it; and
+    // the ranked frame is referenced by BOTH pair sides, so materialize
+    // it eagerly once (16 bytes/row — the first measured cut of this
+    // query was exactly this frame's lineage replaying 4×)
+    val ranked = graft.operators.Layout.stableRowIds(
+        docs.filter(size(split(col("text"), " ")) >= 3)
+          .select(col("doc_id"),
+            substring(regexp_replace(lower(col("text")), "[^a-z0-9]", ""),
+              1, SnKeyLen).as("skey")),
+        shards, "skey", "doc_id")
+      .select(col("doc_id"), col("row_id"),
+        expr(s"row_id div $SnWindow").as("bucket"))
+      .localCheckpoint(true)
+    val a = ranked.select(col("row_id").as("ra"), col("doc_id").as("ad"), col("bucket"))
+    // probe side emits its own bucket and the previous one: a pair with
+    // rank gap in [1, W-1] spans at most one bucket boundary, so the
+    // 2-key emit makes the range condition an exact equi-join residual
+    val b = ranked.select(col("row_id").as("rb"), col("doc_id").as("bd"),
+      explode(array(col("bucket"), col("bucket") - 1)).as("bucket"))
+      .filter(col("bucket") >= 0)
+    val pairs = a.join(b, Seq("bucket"))
+      .filter(col("rb") > col("ra") && col("rb") < col("ra") + SnWindow)
+      .select(col("ad"), col("bd"), (col("rb") - col("ra")).as("gap"))
+    // verification joins the shingle arrays onto the ≤ N·(W−1) candidate
+    // rows only — each side one Tungsten equi-join on doc_id; sh has no
+    // shuffle in its lineage, so the double reference is two map-side
+    // rebuilds, not two shuffles
+    val sh = shingledN(docs, 3)
+    pairs
+      .join(sh.select(col("doc_id").as("ad"), col("sh").as("sa")), "ad")
+      .join(sh.select(col("doc_id").as("bd"), col("sh").as("sb")), "bd")
+      .withColumn("ni", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", round(col("ni").cast("double")
+        / (size(col("sa")) + size(col("sb")) - col("ni")), 4))
+      .filter(col("jaccard") >= SnThreshold)
+      .select(least(col("ad"), col("bd")).as("a_id"),
+        greatest(col("ad"), col("bd")).as("b_id"),
+        col("gap"), col("jaccard"))
+  }
+
+  val sortedNeighborhoodSql: String =
+    s"""WITH base AS (
+      |  SELECT doc_id,
+      |         substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+      |                   1, $SnKeyLen) AS skey,
+      |         string_split(text, ' ') AS t
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT doc_id, skey,
+      |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |                        for i in range(1, len(t) - 1)]) AS s
+      |  FROM base),
+      |rk AS (SELECT doc_id, s,
+      |              row_number() OVER (ORDER BY skey, doc_id) AS rn FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS ad, b.doc_id AS bd, b.rn - a.rn AS gap,
+      |         len(list_intersect(a.s, b.s)) AS ni,
+      |         len(a.s) AS na, len(b.s) AS nb
+      |  FROM rk a JOIN rk b ON b.rn > a.rn AND b.rn < a.rn + $SnWindow)
+      |SELECT least(ad, bd) AS a_id, greatest(ad, bd) AS b_id,
+      |       CAST(gap AS BIGINT) AS gap,
+      |       round(ni::DOUBLE / (na + nb - ni), 4) AS jaccard
+      |FROM pairs
+      |WHERE round(ni::DOUBLE / (na + nb - ni), 4) >= $SnThreshold""".stripMargin
+
   // ---------------------------------------------------------------- pipeline
   /** The COMPLETE near-dup removal pipeline, end-to-end: pair generation
     * (exact trigram Jaccard) → connected components (transitive closure) →
@@ -1108,6 +1207,8 @@ object Dedup {
     GraftQuery("q55_ngram_jaccard", ngramJaccard _, Some(ngramJaccardSql)),
     GraftQuery("q159_ppjoin_neardup", ppjoinNearDup _, Some(ppjoinNearDupSql)),
     GraftQuery("q177_dfcap_neardup", dfCapNearDup _, Some(dfCapNearDupSql)),
+    GraftQuery("q184_sorted_neighborhood", sortedNeighborhood _,
+      Some(sortedNeighborhoodSql)),
     GraftQuery("q169_containment", containment _, Some(containmentSql)),
     GraftQuery("q169b_containment_prefix", containmentPrefix _, Some(containmentSql)),
     GraftQuery("q124_dup_spans", dupSpans _, Some(dupSpansSql)),

@@ -446,6 +446,38 @@ class LlmSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "test corpus should contain bigram near-dups")
   }
 
+  test("sorted-neighborhood pairs == plain-Scala window replay, and embed in q55 (q184)") {
+    // reference: same normalized key, same total order, same W=8 window,
+    // same trigram-Jaccard verification with the 4-dp half-up rounding
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .filter(_._2.split(" ").length >= 3)
+      .map { case (id, text) =>
+        val skey = text.toLowerCase.replaceAll("[^a-z0-9]", "").take(40)
+        val sh = text.split(" ").sliding(3).map(_.mkString(" ")).toSet
+        (skey, id, sh)
+      }.sortBy(x => (x._1, x._2))
+    val expected = (for {
+      i <- docs.indices; j <- (i + 1) until math.min(i + 8, docs.length)
+      (_, ai, sa) = docs(i); (_, bi, sb) = docs(j)
+      ni = (sa & sb).size
+      jac = math.floor(ni.toDouble / (sa.size + sb.size - ni) * 10000 + 0.5) / 10000
+      if jac >= 0.4
+    } yield (math.min(ai, bi), math.max(ai, bi), (j - i).toLong, jac)).toSet
+    val got = Dedup.sortedNeighborhood(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(expected.nonEmpty, "corpus should contain window-adjacent near-dups")
+    assert(got == expected,
+      s"SNM diverges from replay: ${got.diff(expected)} extra, ${expected.diff(got)} missing")
+    // blocking soundness: SNM never invents a pair the exhaustive exact
+    // join (same universe, same threshold) doesn't have
+    val full = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.forall(p => full.contains((p._1, p._2))),
+      "SNM emitted a pair outside the exact-Jaccard pair set")
+  }
+
   test("asymmetric prefix containment is lossless: identical to the direct counting join") {
     val docs = graft.core.Tables.documents(spark, sf)
     def asSet(df: org.apache.spark.sql.DataFrame) =
