@@ -776,6 +776,149 @@ object Dedup {
         |  FROM groups g JOIN documents d ON g.doc_id = d.doc_id)
         |WHERE rk = 1""".stripMargin)
 
+  // ---------------------------------------------------------------- soft dedup
+  /** Duplicate-aware SOFT reweighting — keep every document but scale its
+    * training weight by 1/|duplicate cluster| (the "don't delete,
+    * down-weight" alternative to q114's removal pipeline, per the soft
+    * deduplication line of work: repeated content contributes one
+    * document's worth of expected gradient mass instead of being either
+    * excised or over-sampled). Clusters are q114's exact-Jaccard
+    * connected components; singletons (no near-dup edge) form their own
+    * cluster and keep weight 1.0. Output: every document with its
+    * cluster id, cluster size, and sampling weight — Σ weight = the
+    * effective (deduplicated) corpus size by construction.
+    *
+    * Plan shape: the expensive stage is q55's pair join (materialized
+    * once, the q114 contract); the closure runs on the near-dup subgraph
+    * only (pair-cardinality, tiny relative to corpus); the final pass is
+    * one LEFT join of the corpus onto the label frame plus one keyed
+    * count — both hash-partitioned on doc_id/group_id, nothing
+    * corpus-quadratic. At 100 TB the weight table is exactly the corpus
+    * row count and joins back onto the training stream by doc_id. */
+  def softDedup(s: SparkSession, d: String): DataFrame = {
+    val pairs = ngramJaccard(s, d).select("a_id", "b_id").localCheckpoint(true)
+    val groups = dedupGroupsFromPairs(pairs) // (doc_id, group_id), edged nodes only
+    val docs = Tables.documents(s, d).select("doc_id")
+    val labeled = docs.join(groups, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("group_id"), col("doc_id")).as("group_id"))
+    val sizes = labeled.groupBy("group_id").agg(count(lit(1)).as("n_members"))
+    labeled.join(sizes, "group_id")
+      // floor-spelled rounding (the q89/q124 contract): 1/n lands on exact
+      // decimal ties (1/8000 = 0.000125) where round() half-even flips
+      .withColumn("weight",
+        floor(lit(1.0) / col("n_members") * 10000 + 0.5) / 10000.0)
+      .select("doc_id", "group_id", "n_members", "weight")
+  }
+
+  /** Oracle: q69's reachability closure, extended over the FULL corpus
+    * (left join; singletons self-label) — same anchor-rewrite contract as
+    * q114, guarded by the same require below. */
+  private val SoftDedupFinalSelect =
+    "SELECT node AS doc_id, min(label) AS group_id FROM walk GROUP BY node"
+  val softDedupSql: String =
+    dedupGroupsSql.replace(
+      SoftDedupFinalSelect,
+      """, groups AS (SELECT node AS doc_id, min(label) AS group_id FROM walk GROUP BY node),
+        |alldocs AS (
+        |  SELECT d.doc_id, COALESCE(g.group_id, d.doc_id) AS group_id
+        |  FROM documents d LEFT JOIN groups g ON d.doc_id = g.doc_id),
+        |sizes AS (SELECT group_id, count(*) AS n_members FROM alldocs GROUP BY 1)
+        |SELECT a.doc_id, a.group_id, s.n_members,
+        |       floor(1.0 / s.n_members * 10000 + 0.5) / 10000.0 AS weight
+        |FROM alldocs a JOIN sizes s USING (group_id)""".stripMargin)
+  require(dedupGroupsSql.contains(SoftDedupFinalSelect),
+    "dedupGroupsSql final SELECT changed — update softDedupSql's rewrite anchor")
+
+  // ---------------------------------------------------------------- winnowing
+  /** Winnowing fingerprint overlap (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): hash every [[WinK]]-token gram,
+    * slide a window of [[WinW]] consecutive gram hashes, select the
+    * window minimum (rightmost on ties — the paper's robust-winnowing
+    * rule), and fingerprint each document by its distinct selected
+    * hashes. Guarantee: any shared run of WinK + WinW − 1 tokens yields
+    * at least one shared fingerprint, at expected density 2/(WinW+1) —
+    * a position-aware sampler, unlike q36's MinHash (set-level, order
+    * blind) or q124's exhaustive span table (every window, no
+    * selection). Output: document pairs sharing ≥ [[WinShared]]
+    * fingerprints with the shared count and containment-style overlap.
+    *
+    * Plan shape: gram hashing AND window selection are higher-order
+    * functions over the per-document token array — zero rows leave the
+    * map side until the distinct fingerprint EXPLODE, which emits ~2n/(W+1)
+    * rows per n-token document (the density bound is the scale contract:
+    * 60% fewer postings than q124's span stream at W=4 before any join).
+    * The pair stage is the q55 counting join on the fingerprint key —
+    * bounded by Σdf² over SELECTED hashes, and selection is exactly what
+    * keeps df flat (min-of-md5 spreads selections uniformly; measured
+    * max df 7 / mean 1.4 at sf0.01 vs the hottest raw shingle's 100+).
+    * Cross-engine determinism: the md5-hex-prefix hash (q59/q181
+    * contract) and the (hash ASC, pos DESC) tie rule are total orders
+    * both engines evaluate identically. */
+  private val WinK = 3       // tokens per gram
+  private val WinW = 4       // gram hashes per window
+  private val WinShared = 5  // min shared fingerprints to emit a pair
+
+  def winnowing(s: SparkSession, d: String): DataFrame = {
+    val minTok = WinK + WinW - 1
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= minTok)
+    // grams: 1-based positions; g[j] = hash of tokens j..j+K-1
+    val withFp = toks
+      .withColumn("g", expr(
+        s"""transform(sequence(1, size(t) - ${WinK - 1}),
+           |  i -> struct(substring(md5(concat_ws(' ', slice(t, i, $WinK))), 1, 8) AS h,
+           |              i AS pos))""".stripMargin))
+      // full windows only: j = 1 .. n_grams − W + 1; min by (h asc, pos desc)
+      .withColumn("fp", array_distinct(expr(
+        s"""transform(sequence(1, size(g) - ${WinW - 1}),
+           |  j -> aggregate(slice(g, j, $WinW), g[j - 1],
+           |    (acc, x) -> CASE WHEN x.h < acc.h OR (x.h = acc.h AND x.pos > acc.pos)
+           |                THEN x ELSE acc END).h)""".stripMargin)))
+      .select(col("doc_id"), col("fp"), size(col("fp")).as("nfp"))
+      .localCheckpoint(true) // referenced by both pair sides + size lookups
+    val posts = withFp.select(col("doc_id"), explode(col("fp")).as("h"))
+    val shared = posts.join(posts.select(col("doc_id").as("b_id"), col("h")), "h")
+      .filter(col("doc_id") < col("b_id"))
+      .groupBy(col("doc_id").as("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinShared)
+    shared
+      .join(withFp.select(col("doc_id").as("a_id"), col("nfp").as("na")), "a_id")
+      .join(withFp.select(col("doc_id").as("b_id"), col("nfp").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("n_shared"),
+        round(col("n_shared") / least(col("na"), col("nb")), 4).as("overlap"))
+  }
+
+  val winnowingSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= ${WinK + WinW - 1}),
+      |grams AS (
+      |  SELECT doc_id, unnest([{'pos': i,
+      |           'h': substring(md5(array_to_string(t[i:i+${WinK - 1}], ' ')), 1, 8)}
+      |          for i in range(1, len(t) - ${WinK - 2})], recursive := true)
+      |  FROM toks),
+      |ng AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+      |win AS (
+      |  SELECT g.doc_id, z.ws, g.h, g.pos
+      |  FROM (SELECT doc_id, pos, unnest([pos - k for k in range(0, $WinW)]) AS ws
+      |        FROM grams) z
+      |  JOIN grams g ON g.doc_id = z.doc_id AND g.pos = z.pos
+      |  JOIN ng ON ng.doc_id = z.doc_id
+      |  WHERE z.ws >= 1 AND z.ws <= ng.n - ${WinW - 1}),
+      |sel AS (SELECT doc_id, ws, min(h) AS mh FROM win GROUP BY 1, 2),
+      |fp AS (SELECT DISTINCT doc_id, mh AS h FROM sel),
+      |nfp AS (SELECT doc_id, count(*) AS nfp FROM fp GROUP BY 1),
+      |shared AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+      |  FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING count(*) >= $WinShared)
+      |SELECT s.a_id, s.b_id, s.n_shared,
+      |       round(s.n_shared / least(na.nfp, nb.nfp), 4) AS overlap
+      |FROM shared s JOIN nfp na ON na.doc_id = s.a_id
+      |JOIN nfp nb ON nb.doc_id = s.b_id""".stripMargin
+
   // ---------------------------------------------------------------- dup spans
   /** Substring-level duplicate-span profile — the n-gram window form of
     * suffix-array training-data dedup (Lee et al. 2022, "Deduplicating
@@ -1217,7 +1360,9 @@ object Dedup {
     GraftQuery("q128_incremental_neardup", incrementalNearDup _,
       Some(incrementalNearDupSql)),
     GraftQuery("q69_dedup_groups", dedupGroups _, Some(dedupGroupsSql)),
-    GraftQuery("q114_dedup_pipeline", dedupPipeline _, Some(dedupPipelineSql)))
+    GraftQuery("q114_dedup_pipeline", dedupPipeline _, Some(dedupPipelineSql)),
+    GraftQuery("q187_soft_dedup", softDedup _, Some(softDedupSql)),
+    GraftQuery("q188_winnowing", winnowing _, Some(winnowingSql)))
   // prefixJaccard's FULL-corpus form stays out of the registry: this
   // uniform synthetic corpus is its adversarial case (no df skew ⇒
   // prefixes prune nothing ⇒ it pays q55's cost plus the prefix overhead,

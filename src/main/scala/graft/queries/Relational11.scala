@@ -623,6 +623,176 @@ object Relational11 {
       |) s USING (lbl)""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q185
+  /** Degree-oriented triangle counting over the part co-purchase graph
+    * (Suri & Vassilvitskii 2011's "curse of the last reducer" fix, the
+    * MapReduce-era classic every distributed graph engine reimplements) —
+    * the LOCAL-density sibling of q167 (global importance) and q182
+    * (community structure). Nodes are parts; an undirected edge requires
+    * co-occurrence in ≥ [[TriMinCo]] distinct orders (the support prune
+    * that keeps the graph sparse — without it the sf0.01 graph is 116 k
+    * edges at near-saturation density and wedge volume explodes). Output:
+    * per-node triangle participation + local clustering coefficient for
+    * every node in ≥ 1 triangle.
+    *
+    * The scale argument IS the orientation: each undirected edge is
+    * directed from its (degree, id)-lexicographically smaller endpoint,
+    * so every triangle u≺v≺w materializes exactly once as the wedge
+    * (u→v, u→w) closed by the oriented edge v→w, and per-node wedge
+    * fan-out is capped by ORIENTED out-degree ≤ O(√m) — Σ wedges is
+    * O(m^{3/2}) worst-case instead of Σ deg² (a hub with degree 10⁶
+    * produces zero wedges as a destination-heavy node; the naive
+    * wedge-at-every-node plan dies on exactly that hub). Every stage is
+    * an equi-join: per-order pairing on orderkey, degree attach on node
+    * id, wedge build on src, closure on the (v,w) composite key. The
+    * per-order pair fan-out is Σ items² — bounded by the basket-size
+    * cap the q09 banding argument documents, and the support prune
+    * collapses it before any quadratic stage. */
+  private val TriMinCo = 2
+
+  private def q185(s: SparkSession, d: String): DataFrame = {
+    val io = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = io.join(io.select(col("o"), col("p").as("p2")), "o")
+      .filter(col("p") < col("p2"))
+      .groupBy(col("p").as("pa"), col("p2").as("pb"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= TriMinCo)
+      .select("pa", "pb")
+      // referenced by degree build + orientation + closure probe: one
+      // eager materialization, three map-side reuses (the q184 lesson —
+      // an unmaterialized pair join replays its lineage per reference)
+      .localCheckpoint(true)
+    val deg = e.select(col("pa").as("n")).union(e.select(col("pb").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("dg"))
+    // orient each edge small→large in (deg, id) lex order; keep the
+    // destination's (deg, id) so the wedge join can compare ≺ without a
+    // second degree attach
+    val ed = e.join(deg.withColumnRenamed("n", "pa").withColumnRenamed("dg", "da"), "pa")
+      .join(deg.withColumnRenamed("n", "pb").withColumnRenamed("dg", "db"), "pb")
+    val aFirst = col("da") < col("db") || (col("da") === col("db") && col("pa") < col("pb"))
+    val oe = ed.select(
+      when(aFirst, col("pa")).otherwise(col("pb")).as("src"),
+      when(aFirst, col("pb")).otherwise(col("pa")).as("dst"),
+      when(aFirst, col("db")).otherwise(col("da")).as("ddg"))
+    // wedges at u: out-neighbor pairs (v ≺ w); closure = oriented edge
+    // v→w existing — a two-column equi-join, never an OR-of-directions
+    val vBefore = col("ddg") < col("ddg2") ||
+      (col("ddg") === col("ddg2") && col("dst") < col("dst2"))
+    val wedges = oe.join(
+        oe.select(col("src"), col("dst").as("dst2"), col("ddg").as("ddg2")), "src")
+      .filter(col("dst") =!= col("dst2")).filter(vBefore)
+    val tri = wedges.join(
+        oe.select(col("src").as("w_src"), col("dst").as("w_dst")),
+        col("dst") === col("w_src") && col("dst2") === col("w_dst"))
+      .select(col("src").as("u"), col("dst").as("v"), col("dst2").as("w"))
+    val perNode = tri.select(explode(array(col("u"), col("v"), col("w"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("tri"))
+    perNode.join(deg, "n")
+      .select(col("n").cast("long").as("partkey"), col("dg").as("degree"),
+        col("tri").as("n_triangles"),
+        round(col("tri") * 2.0 / (col("dg") * (col("dg") - 1)), 4).as("clust_coef"))
+  }
+
+  private val q185Sql =
+    s"""WITH io AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e AS (
+      |  SELECT a.p AS pa, b.p AS pb FROM io a JOIN io b
+      |  ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING count(*) >= $TriMinCo),
+      |deg AS (
+      |  SELECT n, count(*) AS dg FROM (
+      |    SELECT pa AS n FROM e UNION ALL SELECT pb AS n FROM e) z GROUP BY 1),
+      |oe AS (
+      |  SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND pa < pb)
+      |              THEN pa ELSE pb END AS src,
+      |         CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND pa < pb)
+      |              THEN pb ELSE pa END AS dst,
+      |         CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND pa < pb)
+      |              THEN db.dg ELSE da.dg END AS ddg
+      |  FROM e JOIN deg da ON da.n = e.pa JOIN deg db ON db.n = e.pb),
+      |tri AS (
+      |  SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
+      |  FROM oe o1 JOIN oe o2 ON o1.src = o2.src AND o1.dst <> o2.dst
+      |  JOIN oe o3 ON o3.src = o1.dst AND o3.dst = o2.dst
+      |  WHERE o1.ddg < o2.ddg OR (o1.ddg = o2.ddg AND o1.dst < o2.dst)),
+      |pn AS (
+      |  SELECT n, count(*) AS tri FROM (
+      |    SELECT u AS n FROM tri UNION ALL SELECT v FROM tri
+      |    UNION ALL SELECT w FROM tri) z GROUP BY 1)
+      |SELECT CAST(n AS BIGINT) AS partkey, dg AS degree, tri AS n_triangles,
+      |       round(tri * 2.0 / (dg * (dg - 1)), 4) AS clust_coef
+      |FROM pn JOIN deg USING (n)""".stripMargin
+
+  // ---------------------------------------------------------------- q186
+  /** Market-basket association rules (Agrawal & Srikant's Apriori,
+    * VLDB 1994) over order line items: for every part pair co-occurring
+    * in ≥ [[ArMinPair]] orders, both directed rules a→b with
+    * support count, confidence = c_ab / c_a, and lift =
+    * N · c_ab / (c_a · c_b), kept at confidence ≥ [[ArMinConf]]. The
+    * q65/q178 frequency family applied to BASKETS instead of tokens —
+    * and the one the reference's retail-ish star schema exists to ask.
+    *
+    * The Apriori downward-closure prune is the plan's scale lever and is
+    * EXACT, not approximate: a pair in ≥ s orders forces both items into
+    * ≥ s orders, so restricting the self-join to items that individually
+    * clear the support floor drops no qualifying pair while collapsing
+    * the quadratic per-order fan-out to frequent items only (on a
+    * Zipf-tailed catalog that is the difference between Σ basket² over
+    * the full catalog and over its frequent head). Shape: one distinct
+    * scan → per-item counts (broadcast floor filter back) → per-order
+    * frequent-item self-join → (pa, pb) count → rule algebra map-side
+    * under broadcast item counts. No window, no driver state; the only
+    * corpus-scale shuffles are the distinct and the two keyed counts. */
+  private val ArMinPair = 3
+  private val ArMinConf = 0.10
+
+  private def q186(s: SparkSession, d: String): DataFrame = {
+    val io = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .localCheckpoint(true)
+    val nOrders = Tables.orders(s, d).select("o_orderkey").count()
+    val items = io.groupBy("p").agg(count(lit(1)).as("ci"))
+    val freq = items.filter(col("ci") >= ArMinPair)
+    // downward closure: only frequent items can form a frequent pair
+    val fio = io.join(broadcast(freq.select("p")), "p")
+    val pairs = fio.join(fio.select(col("o"), col("p").as("p2")), "o")
+      .filter(col("p") < col("p2"))
+      .groupBy(col("p").as("pa"), col("p2").as("pb"))
+      .agg(count(lit(1)).as("cab")).filter(col("cab") >= ArMinPair)
+    val rules = pairs.select(col("pa").as("a"), col("pb").as("b"), col("cab"))
+      .union(pairs.select(col("pb").as("a"), col("pa").as("b"), col("cab")))
+    rules
+      .join(broadcast(freq.select(col("p").as("a"), col("ci").as("ca"))), "a")
+      .join(broadcast(freq.select(col("p").as("b"), col("ci").as("cb"))), "b")
+      .withColumn("confidence", round(col("cab") / col("ca"), 4))
+      .filter(col("confidence") >= ArMinConf)
+      .select(col("a").cast("long").as("antecedent"),
+        col("b").cast("long").as("consequent"),
+        col("cab").as("pair_orders"), col("confidence"),
+        round(lit(nOrders) * col("cab") / (col("ca") * col("cb")), 4).as("lift"))
+  }
+
+  private val q186Sql =
+    s"""WITH io AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |n AS (SELECT count(*) AS n_orders FROM orders),
+      |items AS (SELECT p, count(*) AS ci FROM io GROUP BY 1),
+      |freq AS (SELECT * FROM items WHERE ci >= $ArMinPair),
+      |fio AS (SELECT io.* FROM io JOIN freq USING (p)),
+      |pairs AS (
+      |  SELECT a.p AS pa, b.p AS pb, count(*) AS cab
+      |  FROM fio a JOIN fio b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING count(*) >= $ArMinPair),
+      |rules AS (
+      |  SELECT pa AS a, pb AS b, cab FROM pairs
+      |  UNION ALL SELECT pb AS a, pa AS b, cab FROM pairs)
+      |SELECT CAST(a AS BIGINT) AS antecedent, CAST(b AS BIGINT) AS consequent,
+      |       cab AS pair_orders, round(cab / ca.ci, 4) AS confidence,
+      |       round(n.n_orders * cab / (ca.ci * cb.ci), 4) AS lift
+      |FROM rules
+      |JOIN freq ca ON ca.p = rules.a JOIN freq cb ON cb.p = rules.b
+      |CROSS JOIN n
+      |WHERE round(cab / ca.ci, 4) >= $ArMinConf""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q108_zscore_outliers", q108, Some(q108Sql)),
     GraftQuery("q109_funnel", q109, Some(q109Sql)),
@@ -637,5 +807,7 @@ object Relational11 {
     GraftQuery("q165_decay_score", q165, Some(q165Sql)),
     GraftQuery("q167_pagerank", q167, Some(q167Sql)),
     GraftQuery("q175_sliding_window", q175, Some(q175Sql)),
-    GraftQuery("q182_label_prop", q182, Some(q182Sql)))
+    GraftQuery("q182_label_prop", q182, Some(q182Sql)),
+    GraftQuery("q185_triangle_count", q185, Some(q185Sql)),
+    GraftQuery("q186_basket_rules", q186, Some(q186Sql)))
 }

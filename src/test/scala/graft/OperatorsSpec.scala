@@ -547,6 +547,71 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.groupBy(_._2).map(_._2.size).sum == lbl.size)
   }
 
+  test("triangle counting == brute-force closure on the collected graph (q185)") {
+    val sf = "/root/testdata/sf0.001"
+    // rebuild the edge set exactly as the query defines it, then count
+    // triangles the O(n³) way on the driver — correct by inspection, the
+    // oracle the orientation trick must reproduce
+    val li = graft.core.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    // NB: .filter(...).keys, NOT .collect { case (e, _) => e } — a Map
+    // collect yielding a tuple rebuilds a MAP and silently collapses the
+    // edge set by its first component
+    val edges = li.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).filter(_._2.size >= 2).keys.toSet
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      .withDefaultValue(Set.empty[Long])
+    def linked(a: Long, b: Long) = edges.contains((math.min(a, b), math.max(a, b)))
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val triPerNode = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for (u <- nodes; v <- adj(u); w <- adj(u) if v < w && linked(v, w)) {
+      triPerNode(u) += 1; triPerNode(v) += 1; triPerNode(w) += 1
+    }
+    val got = SparkEntry.queries("q185_triangle_count")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got.keySet == triPerNode.filter(_._2 > 0).keySet)
+    got.foreach { case (n, (dg, tri)) =>
+      assert(dg == deg(n) && tri == triPerNode(n), s"node $n: got ($dg,$tri)")
+    }
+    // every triangle contributes to exactly 3 nodes
+    assert(got.values.map(_._2).sum % 3 == 0)
+  }
+
+  test("basket rules: plain-Scala replay + lift symmetry (q186)") {
+    val sf = "/root/testdata/sf0.001"
+    val li = graft.core.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nOrders = graft.core.Tables.orders(spark, sf).count()
+    val itemC = li.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val pairC = li.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // HALF_UP, matching Spark/DuckDB round() — math.rint is half-even and
+    // flips exact quarters like 5/32 = 0.15625
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val expected = pairC.toSeq.filter(_._2 >= 3).flatMap { case ((a, b), cab) =>
+      Seq((a, b, cab), (b, a, cab))
+    }.map { case (a, b, cab) =>
+      (a, b, cab, r4(cab.toDouble / itemC(a)),
+        r4(nOrders.toDouble * cab / (itemC(a) * itemC(b))))
+    }.filter(_._4 >= 0.10).toSet
+    val got = SparkEntry.queries("q186_basket_rules")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSet
+    assert(got == expected, s"rules diverge: got ${got.size}, want ${expected.size}")
+    // lift is direction-symmetric; confidence is a probability
+    val lifts = got.groupBy(t => (math.min(t._1, t._2), math.max(t._1, t._2)))
+    lifts.values.foreach { rs => assert(rs.map(_._5).size <= 2 && rs.map(_._5).toSeq.distinct.size == 1) }
+    got.foreach(t => assert(t._4 > 0 && t._4 <= 1.0))
+  }
+
   test("custom expressions register at the SQL surface") {
     GraftExtensions.install(spark)
     val h = spark.sql("SELECT rolling_hash('hello world') AS h").collect().head.getLong(0)
