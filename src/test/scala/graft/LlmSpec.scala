@@ -519,6 +519,62 @@ class LlmSpec extends AnyFunSuite {
     assert(expected.values.toSet.size < expected.size, "corpus should have a multi-node group")
   }
 
+  test("soft dedup: weights are 1/|component|, partition the corpus, sum to effective size (q187)") {
+    val docs = graft.core.Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val groups = Dedup.dedupGroups(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap // edged nodes only (spec'd correct above)
+    val got = SparkEntry.queries("q187_soft_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getLong(2), r.getDouble(3)))
+    // every document exactly once
+    assert(got.map(_._2).toSet == docs && got.length == docs.size)
+    val byGroup = got.groupBy(_._1)
+    got.foreach { case (g, doc, n, w) =>
+      // label agrees with the component closure; singletons self-label
+      assert(g == groups.getOrElse(doc, doc))
+      assert(n == byGroup(g).length, s"group $g size mismatch")
+      assert(w == math.floor(1.0 / n * 10000 + 0.5) / 10000)
+    }
+    // sum of weights == number of clusters (each cluster contributes ~1)
+    val eff = got.map(_._4).sum
+    assert(math.abs(eff - byGroup.size) < 0.01 * byGroup.size + 1e-6)
+  }
+
+  test("winnowing pairs == plain-Scala fingerprint replay (q188)") {
+    val (k, w, minShared) = (3, 4, 5)
+    def md5hex8(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+    val texts = graft.core.Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val fp = texts.collect { case (id, t) if t.length >= k + w - 1 =>
+      val grams = (0 to t.length - k)
+        .map(i => (md5hex8(t.slice(i, i + k).mkString(" ")), i))
+      val sel = (0 to grams.length - w).map { j =>
+        grams.slice(j, j + w).minBy { case (h, pos) => (h, -pos) }._1
+      }
+      id -> sel.distinct.toSet
+    }.toMap
+    val expected = (for {
+      (a, fa) <- fp.toSeq; (b, fb) <- fp.toSeq if a < b
+      shared = (fa & fb).size if shared >= minShared
+    } yield (a, b, shared.toLong,
+      math.rint(shared.toDouble / math.min(fa.size, fb.size) * 10000) / 10000)).toSet
+    val got = SparkEntry.queries("q188_winnowing")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // overlap rounding: compare counts exactly, overlap to 3dp (rint vs
+    // HALF_UP can differ in the 4th place on exact ties)
+    assert(got.map(t => (t._1, t._2, t._3)) == expected.map(t => (t._1, t._2, t._3)),
+      s"pair sets diverge: got ${got.size}, want ${expected.size}")
+    val expOv = expected.map(t => (t._1, t._2) -> t._4).toMap
+    got.foreach(t => assert(math.abs(t._4 - expOv((t._1, t._2))) < 5e-4))
+    // density sanity: every doc's fingerprint count obeys the 2/(w+1) regime
+    val nfp = fp.view.mapValues(_.size).toMap
+    val nWin = texts.collect { case (id, t) if t.length >= k + w - 1 =>
+      id -> (t.length - k - w + 2) }.toMap
+    nfp.foreach { case (id, n) => assert(n >= 1 && n <= nWin(id)) }
+  }
+
   test("binaryFile source ingests raw files as binary rows with metadata") {
     val dir = "/root/reference/messages"
     val n = new java.io.File(dir).listFiles().count(_.getName.endsWith(".txt"))
