@@ -405,6 +405,217 @@ object TextAnalysis {
       |SELECT rk AS k, round(cum::DOUBLE / total, 4) AS coverage
       |FROM ranked, tot WHERE rk IN (10, 20, 40, 80)""".stripMargin
 
+  // ---------------------------------------------------------------- zipf
+  /** Zipf's-law slope fit over the corpus frequency spectrum: rank the
+    * vocabulary by frequency, fit ln(freq) ~ slope·ln(rank) + b by OLS over
+    * ranks [[ZipfSkipHead]]+1..[[ZipfFitRanks]], report slope / intercept /
+    * R². Natural text sits near slope −1 (Zipf 1949); a corpus whose slope
+    * drifts toward 0 is template/boilerplate-heavy and one that steepens
+    * past −1.3 is vocabulary-collapsed — the cheap corpus-health dial next
+    * to q147's divergence and q89's entropy, and the direct measurement of
+    * the df-skew regime the q177/q159 levers exist for.
+    *
+    * Scale shape is the q100 lesson verbatim: the top-R spectrum comes from
+    * orderBy+limit (TakeOrderedAndProject: per-partition heaps, R-row
+    * merge), NEVER a full-vocabulary window — web-corpus vocabulary is
+    * unbounded, R is a constant. The rank window then runs over exactly R
+    * rows and the OLS is one regr_* aggregate over them. Head ranks are
+    * excluded from the fit (the flat head is where Zipf notoriously bends);
+    * the tiebreak (freq desc, word asc) makes rank assignment — and so the
+    * fit — engine-identical. */
+  private val ZipfFitRanks = 500
+  private val ZipfSkipHead = 10
+
+  def zipfSlope(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Retrieval.tokenStream(s, d)
+      .groupBy("word").agg(count(lit(1)).as("c"))
+    val top = counts.orderBy(col("c").desc, col("word")).limit(ZipfFitRanks)
+    val w = Window.orderBy(col("c").desc, col("word"))
+    top.withColumn("rank", row_number().over(w))
+      .filter(col("rank") > ZipfSkipHead)
+      .agg(
+        count(lit(1)).as("n_fit"),
+        round(regr_slope(log(col("c")), log(col("rank"))), 4).as("zipf_slope"),
+        round(regr_intercept(log(col("c")), log(col("rank"))), 4).as("ln_c1"),
+        round(regr_r2(log(col("c")), log(col("rank"))), 4).as("r2"))
+  }
+
+  val zipfSlopeSql: String =
+    s"""WITH toks AS (
+      |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents),
+      |counts AS (
+      |  SELECT word, count(*) AS c FROM toks WHERE word <> '' GROUP BY 1),
+      |top AS (SELECT word, c FROM counts ORDER BY c DESC, word LIMIT $ZipfFitRanks),
+      |ranked AS (
+      |  SELECT c, row_number() OVER (ORDER BY c DESC, word) AS rank FROM top)
+      |SELECT count(*) AS n_fit,
+      |       round(regr_slope(ln(c), ln(rank)), 4) AS zipf_slope,
+      |       round(regr_intercept(ln(c), ln(rank)), 4) AS ln_c1,
+      |       round(regr_r2(ln(c), ln(rank)), 4) AS r2
+      |FROM ranked WHERE rank > $ZipfSkipHead""".stripMargin
+
+  // ---------------------------------------------------------------- heaps
+  /** Heaps'-law vocabulary growth curve: walk the corpus in doc_id order,
+    * record cumulative distinct-word count V against cumulative token count
+    * N at [[HeapsBuckets]] checkpoints, and fit ln V ~ β·ln N + ln K — the
+    * V = K·N^β law (Heaps 1978) that prices a tokenizer's vocab budget
+    * before a 100 TB run: β near 0.5 is natural text, β near 1 means the
+    * corpus never stops minting new types (ids, hashes — a red flag the
+    * q160 rules can't see because it only exists ACROSS documents).
+    *
+    * "Cumulative distinct" is made distributed by the first-occurrence
+    * trick: a word contributes to V exactly at its min(doc_id), so the
+    * curve needs only (a) per-bucket token counts and (b) per-bucket
+    * first-occurrence counts — two keyed aggregates, no global dedup state.
+    * Checkpoints are fixed-width doc_id ranges (width from max(doc_id),
+    * broadcast); the running sums then run over ≤ [[HeapsBuckets]]+1 rows —
+    * the q173 bounded-window precedent, whitelisted on that argument. */
+  private val HeapsBuckets = 50
+
+  def heapsLaw(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val widthDf = Tables.documents(s, d)
+      .agg(greatest(lit(1L),
+        ceil((max(col("doc_id")) + 1).cast("double") / HeapsBuckets).cast("long"))
+        .as("width"))
+    val tokens = Retrieval.tokenStream(s, d)
+    val tokPerBucket = tokens.crossJoin(broadcast(widthDf))
+      .groupBy(floor(col("doc_id") / col("width")).as("bucket"))
+      .agg(count(lit(1)).as("toks"))
+    val newPerBucket = tokens.groupBy("word").agg(min("doc_id").as("first_doc"))
+      .crossJoin(broadcast(widthDf))
+      .groupBy(floor(col("first_doc") / col("width")).as("bucket"))
+      .agg(count(lit(1)).as("new_words"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = tokPerBucket
+      .join(newPerBucket, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("toks", "new_words"))
+      .withColumn("cum_toks", sum("toks").over(w))
+      .withColumn("cum_vocab", sum("new_words").over(w))
+    val fit = curve.agg(
+      round(regr_slope(log(col("cum_vocab")), log(col("cum_toks"))), 4).as("beta"),
+      round(exp(regr_intercept(log(col("cum_vocab")), log(col("cum_toks")))), 4).as("k"))
+    curve.select("bucket", "cum_toks", "cum_vocab").crossJoin(broadcast(fit))
+  }
+
+  val heapsLawSql: String =
+    s"""WITH width AS (
+      |  SELECT greatest(1, CAST(ceil((max(doc_id) + 1) / $HeapsBuckets.0) AS BIGINT))
+      |         AS width FROM documents),
+      |toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      |  FROM documents),
+      |tok AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+      |tpb AS (
+      |  SELECT CAST(floor(doc_id / width) AS BIGINT) AS bucket, count(*) AS toks
+      |  FROM tok CROSS JOIN width GROUP BY 1),
+      |npb AS (
+      |  SELECT CAST(floor(first_doc / width) AS BIGINT) AS bucket,
+      |         count(*) AS new_words
+      |  FROM (SELECT word, min(doc_id) AS first_doc FROM tok GROUP BY 1)
+      |  CROSS JOIN width GROUP BY 1),
+      |curve AS (
+      |  SELECT COALESCE(tpb.bucket, npb.bucket) AS bucket,
+      |         CAST(sum(COALESCE(toks, 0)) OVER (ORDER BY COALESCE(tpb.bucket, npb.bucket)
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_toks,
+      |         CAST(sum(COALESCE(new_words, 0)) OVER (ORDER BY COALESCE(tpb.bucket, npb.bucket)
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+      |  FROM tpb FULL OUTER JOIN npb ON tpb.bucket = npb.bucket),
+      |fit AS (
+      |  SELECT round(regr_slope(ln(cum_vocab), ln(cum_toks)), 4) AS beta,
+      |         round(exp(regr_intercept(ln(cum_vocab), ln(cum_toks))), 4) AS k
+      |  FROM curve)
+      |SELECT bucket, cum_toks, cum_vocab, beta, k FROM curve CROSS JOIN fit""".stripMargin
+
+  // ---------------------------------------------------------------- nb
+  /** Multinomial naive-Bayes language classifier, trained and applied in
+    * one plan (McCallum & Nigam 1998's event model — what fastText's
+    * linear classifier reduces to with count features): per-language word
+    * likelihoods with add-one smoothing, log-prior from class frequencies,
+    * and argmax posterior over the [[NbScoreDocs]]-doc scoring slice with
+    * the true label joined back for an accuracy audit. The TRAINED
+    * counterpart of q33's fixed-stopword heuristic and q179's logit (whose
+    * labels come from a rule; here the label IS the supervision) — the
+    * shape a fastText-quality language-ID filter takes before a 100 TB
+    * tokenization run.
+    *
+    * Closed-form training = two keyed aggregates: the (lang, word) count
+    * table (the model — vocabulary×languages rows, the only corpus-scale
+    * state) and per-language totals. Scoring joins the scored slice's
+    * (doc, word, tf) against the model on (lang, word) after crossing with
+    * the LANGUAGE-cardinality side table (constant ~O(100) rows,
+    * broadcast); unseen words keep the smoothing floor via the left join's
+    * ln(0+1)=0 path, so no dense vocab×langs completion is ever built. The
+    * argmax is a per-doc window over |langs| rows ranked on the ROUNDED
+    * score (the q86 tie lesson) + lang tiebreak. */
+  private val NbScoreDocs = 50
+
+  def naiveBayes(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val tok = docs
+      .select(col("doc_id"), col("lang"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val cwl = tok.groupBy("lang", "w").agg(count(lit(1)).as("c"))
+    val tl = cwl.groupBy("lang").agg(sum("c").as("tl"))
+    val v = tok.agg(countDistinct("w").as("v"))
+    val pri = docs.groupBy("lang").agg(count(lit(1)).as("nd"))
+    val ndoc = docs.agg(count(lit(1)).as("n"))
+    val langs = tl.join(pri, "lang").crossJoin(broadcast(ndoc))
+      .select(col("lang"), col("tl"),
+        log(col("nd").cast("double") / col("n")).as("logprior"))
+    val dw = tok.filter(col("doc_id") < NbScoreDocs)
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val scored = dw.crossJoin(broadcast(langs))
+      .join(cwl, Seq("lang", "w"), "left")
+      .crossJoin(broadcast(v))
+      .groupBy("doc_id", "lang")
+      .agg((sum(col("tf") * (log(coalesce(col("c"), lit(0L)) + 1)
+            - log(col("tl") + col("v"))))
+          + first("logprior")).as("score"))
+    val wn = Window.partitionBy("doc_id")
+      .orderBy(round(col("score"), 4).desc, col("lang"))
+    scored.withColumn("rn", row_number().over(wn)).filter(col("rn") === 1)
+      .join(docs.select(col("doc_id"), col("lang").as("true_lang")), "doc_id")
+      .select(col("doc_id"), col("lang").as("pred_lang"), col("true_lang"),
+        round(col("score"), 4).as("score"),
+        when(col("lang") === col("true_lang"), 1).otherwise(0).as("correct"))
+  }
+
+  val naiveBayesSql: String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+      |  FROM documents),
+      |t AS (SELECT doc_id, lang, w FROM tok WHERE w <> ''),
+      |cwl AS (SELECT lang, w, count(*) AS c FROM t GROUP BY 1, 2),
+      |tl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tl FROM cwl GROUP BY 1),
+      |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM t),
+      |pri AS (SELECT lang, count(*) AS nd FROM documents GROUP BY 1),
+      |ndoc AS (SELECT count(*) AS n FROM documents),
+      |langs AS (
+      |  SELECT tl.lang, tl.tl, ln(pri.nd * 1.0 / ndoc.n) AS logprior
+      |  FROM tl JOIN pri ON pri.lang = tl.lang CROSS JOIN ndoc),
+      |dw AS (
+      |  SELECT doc_id, w, count(*) AS tf FROM t
+      |  WHERE doc_id < $NbScoreDocs GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT dw.doc_id, langs.lang,
+      |         sum(dw.tf * (ln(COALESCE(cwl.c, 0) + 1) - ln(langs.tl + v.v)))
+      |           + any_value(langs.logprior) AS score
+      |  FROM dw CROSS JOIN langs CROSS JOIN v
+      |  LEFT JOIN cwl ON cwl.lang = langs.lang AND cwl.w = dw.w
+      |  GROUP BY 1, 2),
+      |pred AS (
+      |  SELECT doc_id, lang, round(score, 4) AS score,
+      |         row_number() OVER (PARTITION BY doc_id
+      |                            ORDER BY round(score, 4) DESC, lang) AS rn
+      |  FROM sc)
+      |SELECT p.doc_id, p.lang AS pred_lang, d.lang AS true_lang, p.score,
+      |       CASE WHEN p.lang = d.lang THEN 1 ELSE 0 END AS correct
+      |FROM pred p JOIN documents d USING (doc_id) WHERE rn = 1""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q30_text_stats", textStats _, Some(textStatsSql)),
     GraftQuery("q31_token_count", tokenCount _, Some(tokenCountSql)),
@@ -417,5 +628,8 @@ object TextAnalysis {
     GraftQuery("q100_vocab", vocab _, Some(vocabSql)),
     GraftQuery("q140_oov_rate", oovRate _, Some(oovRateSql)),
     GraftQuery("q160_gopher_rules", gopherRules _, Some(gopherRulesSql)),
-    GraftQuery("q173_vocab_coverage", vocabCoverage _, Some(vocabCoverageSql)))
+    GraftQuery("q173_vocab_coverage", vocabCoverage _, Some(vocabCoverageSql)),
+    GraftQuery("q189_zipf_slope", zipfSlope _, Some(zipfSlopeSql)),
+    GraftQuery("q190_heaps_law", heapsLaw _, Some(heapsLawSql)),
+    GraftQuery("q192_naive_bayes", naiveBayes _, Some(naiveBayesSql)))
 }

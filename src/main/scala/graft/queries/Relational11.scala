@@ -793,6 +793,85 @@ object Relational11 {
       |CROSS JOIN n
       |WHERE round(cab / ca.ci, 4) >= $ArMinConf""".stripMargin
 
+  // ---------------------------------------------------------------- q191
+  /** k-core decomposition (Seidman 1983; the distributed peeling form of
+    * Montresor et al. 2013) of the customer–supplier trade graph: repeatedly
+    * delete nodes of degree < [[KcK]] until the remainder stabilizes — the
+    * surviving [[KcK]]-core is the "dense backbone" community detectors and
+    * graph-sampling pipelines start from, and the third member of the graph
+    * family (q167 global importance, q182 communities, q185 local density).
+    * Edges require ≥ [[KcMinW]] co-orders (the q185 support prune — on the
+    * unpruned graph the min degree is already ≥ k and peeling is vacuous).
+    *
+    * Peeling is the Pregel shape with NO per-node state carried between
+    * rounds: each round is one degree count plus two node-keyed semi-joins
+    * (src alive, dst alive), all equi-joins on node id. Rounds are a fixed
+    * [[KcRounds]] (measured: this graph stabilizes in 3; a production run
+    * loops until `alive` stops shrinking — one count per round). The alive
+    * set is node-cardinality and broadcast like q182's label frame; at
+    * 1000-executor scale it becomes a shuffle semi-join on the same key the
+    * edge list is already partitioned by. Edge frame is checkpointed per
+    * round (the q182 lesson: each round references it three times, and an
+    * unmaterialized chain re-executes 3^rounds subplans). */
+  private val KcMinW = 3
+  private val KcK = 3
+  private val KcRounds = 5
+
+  private def q191(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("cust"),
+        (col("l_suppkey") * 2 + 1).as("supp"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= KcMinW)
+    var e = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+      .union(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+      .localCheckpoint(true)
+    for (_ <- 1 to KcRounds) {
+      val alive = e.groupBy("src").agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= KcK).select("src")
+      e = e.join(broadcast(alive), "src")
+        .join(broadcast(alive.withColumnRenamed("src", "dst")), "dst")
+        .select("src", "dst")
+        .localCheckpoint(true)
+    }
+    e.groupBy("src").agg(count(lit(1)).as("core_degree"))
+      .select(col("src").cast("long").as("node"),
+        when(pmod(col("src"), lit(2)) === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("kind"),
+        when(pmod(col("src"), lit(2)) === 0, col("src") / 2)
+          .otherwise((col("src") - 1) / 2).cast("long").as("entity_id"),
+        col("core_degree"))
+  }
+
+  /** Unrolled peel rounds, every stage MATERIALIZED (each e(i) is
+    * referenced by d(i+1) and twice by e(i+1) — the q182 inlining-blowup
+    * reason). */
+  private val q191Sql: String = {
+    val rounds = (1 to KcRounds).map { i =>
+      s"""a$i AS MATERIALIZED (
+        |  SELECT src FROM (SELECT src, count(*) AS dg FROM e${i - 1} GROUP BY 1)
+        |  WHERE dg >= $KcK),
+        |e$i AS MATERIALIZED (
+        |  SELECT e.src, e.dst FROM e${i - 1} e
+        |  JOIN a$i s ON e.src = s.src JOIN a$i t ON e.dst = t.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+      |  SELECT o.o_custkey * 2 AS cust, l.l_suppkey * 2 + 1 AS supp
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  GROUP BY 1, 2 HAVING count(*) >= $KcMinW),
+      |e0 AS MATERIALIZED (
+      |  SELECT cust AS src, supp AS dst FROM pairs
+      |  UNION ALL SELECT supp AS src, cust AS dst FROM pairs),
+      |$rounds
+      |SELECT CAST(src AS BIGINT) AS node,
+      |       CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+      |       CAST(CASE WHEN src % 2 = 0 THEN src / 2 ELSE (src - 1) / 2 END
+      |            AS BIGINT) AS entity_id,
+      |       core_degree
+      |FROM (SELECT src, count(*) AS core_degree FROM e$KcRounds GROUP BY 1)""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q108_zscore_outliers", q108, Some(q108Sql)),
     GraftQuery("q109_funnel", q109, Some(q109Sql)),
@@ -809,5 +888,6 @@ object Relational11 {
     GraftQuery("q175_sliding_window", q175, Some(q175Sql)),
     GraftQuery("q182_label_prop", q182, Some(q182Sql)),
     GraftQuery("q185_triangle_count", q185, Some(q185Sql)),
-    GraftQuery("q186_basket_rules", q186, Some(q186Sql)))
+    GraftQuery("q186_basket_rules", q186, Some(q186Sql)),
+    GraftQuery("q191_kcore", q191, Some(q191Sql)))
 }

@@ -503,7 +503,21 @@ class PlanQualitySpec extends AnyFunSuite {
       // and prefix-sum that k-row frame, and the nested-loops are the
       // single-row totals/capped-stats broadcasts (the q172 pattern).
       ("q183_unimax_alloc", "global-window"),
-      ("q183_unimax_alloc", "nested-loop"))
+      ("q183_unimax_alloc", "nested-loop"),
+      // Zipf slope (TextAnalysis q189): rank window runs
+      // post-TakeOrderedAndProject (≤ 500 rows, a constant) — the
+      // q100/q173 pattern; the OLS is one regr_* aggregate over them.
+      ("q189_zipf_slope", "global-window"),
+      // Heaps law (TextAnalysis q190): cumulative windows run over the
+      // ≤ HeapsBuckets+1 checkpoint rows (a constant); the nested-loops
+      // are the single-row width/fit scalar broadcasts (q100 pattern).
+      ("q190_heaps_law", "global-window"),
+      ("q190_heaps_law", "nested-loop"),
+      // Naive Bayes (TextAnalysis q192): the nested-loops are the
+      // language-cardinality model-side crossJoin (constant ~O(100) rows,
+      // 5 here) and the single-row vocab/doc-count broadcasts — the
+      // q172/q183 side-table pattern; the argmax window is keyed by doc.
+      ("q192_naive_bayes", "nested-loop"))
     def offenders(df: DataFrame): Seq[String] = {
       // manual subquery recursion: collectWithSubqueries casts every
       // PlanExpression plan to SparkPlan, but at the sparkPlan stage
