@@ -462,6 +462,74 @@ object Multimodal {
           * 10000 + 0.5) / 10000.0).as("mean_luma"))
   }
 
+  /** q193 — REAL spectral feature extraction: decoded PCM → [[DftN]]-point
+    * naive DFT over bins 1..[[DftBins]] → dominant-bin detection — the
+    * audio analogue of q155's pixel resample (decode THEN numeric
+    * transform), and the shape every audio-quality filter (silence/tone
+    * detection, bandwidth estimation) takes before a 100 TB audio corpus
+    * is admitted. Per-clip work is a fixed 32×8 multiply-accumulate —
+    * pure map-side inside the same codec `mapPartitions` loop as q156,
+    * zero data-dependent shuffle.
+    *
+    * Determinism protocol: trig via `StrictMath` (bit-identical across
+    * JVMs/platforms, unlike `Math`'s intrinsics); per-clip powers are
+    * floor'd to Long BEFORE the group-by so every cross-row aggregate is
+    * integer (order-independent) — the q174 mean-luma lesson. Pinned
+    * golden; bin powers are per-row fixed-order accumulation, verified
+    * bit-stable across 2/4/8-CPU dumps. */
+  private val DftN = 32
+  private val DftBins = 8
+
+  /** (dominant bin, floor(peak power), floor(total power)) of the first
+    * [[DftN]] little-endian 16-bit PCM samples — the per-clip kernel,
+    * exposed for the pure-tone correctness spec. */
+  private[graft] def dftProfile(pcm: Array[Byte]): (Int, Long, Long) = {
+    val n = math.min(DftN, pcm.length / 2)
+    val x = new Array[Double](DftN)
+    var i = 0
+    while (i < n) {
+      x(i) = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toDouble
+      i += 1
+    }
+    var best = 1; var bestP = -1.0; var total = 0.0
+    var k = 1
+    while (k <= DftBins) {
+      var re = 0.0; var im = 0.0; var j = 0
+      while (j < DftN) {
+        val ang = -2.0 * StrictMath.PI * k * j / DftN
+        re += x(j) * StrictMath.cos(ang)
+        im += x(j) * StrictMath.sin(ang)
+        j += 1
+      }
+      val p = re * re + im * im
+      total += p
+      if (p > bestP) { bestP = p; best = k }
+      k += 1
+    }
+    (best, StrictMath.floor(bestP).toLong, StrictMath.floor(total).toLong)
+  }
+
+  def audioSpectrumProfile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    media(s, d).filter(col("kind") === "audio")
+      .select(col("media_id")).as[Long]
+      .map(id => (id, synthWav(id)))
+      .toDF("media_id", "payload")
+      .as[(Long, Array[Byte])].mapPartitions { rows =>
+        rows.map { case (id, wav) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(wav))
+          val rate = ais.getFormat.getSampleRate.toInt
+          val (best, peak, total) = dftProfile(ais.readAllBytes())
+          (id, rate, best, peak, total)
+        }
+      }.toDF("media_id", "sample_rate", "dom_bin", "peak_power", "total_power")
+      .groupBy("sample_rate", "dom_bin")
+      .agg(count(lit(1)).as("n_clips"),
+        sum("peak_power").as("sum_peak"),
+        sum("total_power").as("sum_power"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q42_multimodal_features", featureProfile _, Some(featureProfileSql)),
     GraftQuery("q119_frame_sample", frameSampleProfile _, Some(frameSampleProfileSql)),
@@ -473,5 +541,7 @@ object Multimodal {
     GraftQuery("q156_audio_decode", audioDecodeProfile _,
       Some(graft.core.Goldens.load("q156_audio_decode"))),
     GraftQuery("q174_video_frames", videoFramesProfile _,
-      Some(graft.core.Goldens.load("q174_video_frames"))))
+      Some(graft.core.Goldens.load("q174_video_frames"))),
+    GraftQuery("q193_audio_spectrum", audioSpectrumProfile _,
+      Some(graft.core.Goldens.load("q193_audio_spectrum"))))
 }

@@ -77,4 +77,28 @@ class MultimodalCodecSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("DFT kernel finds the bin of a pure tone and Parseval holds (q193)") {
+    val N = 32
+    for (k <- 1 to 8) {
+      // x[j] = A·cos(2πkj/N), amplitude well inside 16-bit range
+      val amp = 10000.0
+      val pcm = new Array[Byte](2 * N)
+      for (j <- 0 until N) {
+        val v = StrictMath.rint(
+          amp * StrictMath.cos(2.0 * StrictMath.PI * k * j / N)).toShort
+        pcm(2 * j) = (v & 0xff).toByte
+        pcm(2 * j + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val (dom, peak, total) = Multimodal.dftProfile(pcm)
+      assert(dom == k, s"pure tone at bin $k detected as $dom")
+      // the tone's power is (A·N/2)² up to rounding of the PCM samples
+      val expect = StrictMath.pow(amp * N / 2.0, 2)
+      assert(StrictMath.abs(peak - expect) / expect < 0.01,
+        s"bin-$k peak power $peak far from ${expect.toLong}")
+      // and concentrates in that one bin (spectral leakage ≈ 0 for an
+      // exact-period tone)
+      assert(peak.toDouble / total > 0.99, s"bin-$k tone leaked: $peak/$total")
+    }
+  }
 }
