@@ -790,6 +790,127 @@ object Retrieval {
       |WHERE doc_id < 50
       |GROUP BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q194
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004 — the
+    * word-graph mode): per document, build the adjacent-word co-occurrence
+    * graph, run [[TrRounds]] damped PageRank iterations over it, emit the
+    * top-3 keywords — the unsupervised keyword tagger that needs no model
+    * table, sitting between q86's corpus-statistical TF-IDF and q167's
+    * global PageRank (same fixpoint, but thousands of INDEPENDENT per-doc
+    * graphs instead of one global one).
+    *
+    * That independence decides the plan shape: a per-document fixpoint
+    * re-expressed as [[TrRounds]] rounds of DISTRIBUTED joins pays R
+    * global stage barriers (plus per-round broadcast/checkpoint jobs) for
+    * work that never crosses a document boundary — measured 7.0 s of pure
+    * fixed overhead at every sf on the join formulation. The right 100 TB
+    * plan is ONE shuffle: groupByKey(doc_id) → per-doc local iterations
+    * inside `flatMapGroups` (contrast q167, where the graph itself is
+    * distributed and the rounds genuinely are global). Per-group state is
+    * one document's token list — bounded by max doc length, the same
+    * contract as the q51 session groups and the q88 chunker's input.
+    * Ranking is on the ROUNDED score + word tiebreak (q86 tie lesson);
+    * the scored slice is [[TrDocs]] docs to keep the gate's output
+    * stable — production drops the filter, the plan is unchanged. */
+  private val TrDocs = 20
+  private val TrRounds = 4
+  private val TrDamp = 0.85
+
+  /** Per-doc local fixpoint, exposed for the spec: positions → adjacency
+    * graph → [[TrRounds]] damped iterations → top-3 (rounded-score desc,
+    * word asc). Rounding is BigDecimal HALF_UP — Spark's `round` — so the
+    * kernel ranks exactly as the SQL oracle does. */
+  private[graft] def textrankDoc(toks: Seq[(Int, String)]): Seq[(Int, String, Double)] = {
+    val byPos = toks.toMap
+    val adj = toks.iterator.flatMap { case (p, w1) =>
+      byPos.get(p + 1) match {
+        case Some(w2) if w2 != w1 => Iterator((w1, w2), (w2, w1))
+        case _                    => Iterator.empty
+      }
+    }.toSet
+    if (adj.isEmpty) return Nil
+    val outdeg = adj.groupBy(_._1).view.mapValues(_.size).toMap
+    val n = outdeg.size
+    var pr = outdeg.map { case (w, _) => w -> 1.0 / n }
+    for (_ <- 1 to TrRounds) {
+      val contrib = new scala.collection.mutable.HashMap[String, Double]()
+      // deterministic accumulation order (sorted edges) — the oracle's
+      // float sums associate differently, hence the 4-dp rank rounding
+      adj.toSeq.sorted.foreach { case (w1, w2) =>
+        contrib(w2) = contrib.getOrElse(w2, 0.0) + pr(w1) / outdeg(w1)
+      }
+      pr = pr.map { case (w, _) =>
+        w -> ((1.0 - TrDamp) / n + TrDamp * contrib.getOrElse(w, 0.0))
+      }
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    pr.toSeq.map { case (w, p) => (w, r4(p)) }
+      .sortBy { case (w, p) => (-p, w) }
+      .take(3).zipWithIndex
+      .map { case ((w, p), i) => (i + 1, w, p) }
+  }
+
+  def textrankKeywords(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).filter(col("doc_id") < TrDocs)
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), " "))).toDF("doc_id", "pos", "w")
+      .filter(col("w") =!= "")
+      .as[(Long, Int, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (doc, rows) =>
+        textrankDoc(rows.map(r => (r._2, r._3)).toSeq)
+          .map { case (rk, w, p) => (doc, rk, w, p) }
+      }
+      .toDF("doc_id", "rk", "word", "score")
+  }
+
+  /** Unrolled damped-PageRank rounds; every stage MATERIALIZED (each
+    * pr(i) feeds c(i+1); DuckDB default inlining re-derives the chain —
+    * the q182 blowup). */
+  val textrankKeywordsSql: String = {
+    val rounds = (1 to TrRounds).map { i =>
+      s"""c$i AS MATERIALIZED (
+        |  SELECT e.doc_id, e.w2 AS w, sum(p.pr / d.outdeg) AS contrib
+        |  FROM edges e JOIN pr${i - 1} p ON p.doc_id = e.doc_id AND p.w = e.w1
+        |  JOIN deg d ON d.doc_id = e.doc_id AND d.w = e.w1
+        |  GROUP BY 1, 2),
+        |pr$i AS MATERIALIZED (
+        |  SELECT p0.doc_id, p0.w,
+        |         (1 - $TrDamp) / nn.n + $TrDamp * COALESCE(c.contrib, 0) AS pr
+        |  FROM pr0 p0 JOIN nn ON p0.doc_id = nn.doc_id
+        |  LEFT JOIN c$i c ON c.doc_id = p0.doc_id AND c.w = p0.w)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tp AS (
+      |  SELECT doc_id, w, pos FROM (
+      |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
+      |           generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+      |    FROM documents WHERE doc_id < $TrDocs) t
+      |  WHERE t.w <> ''),
+      |adj AS (
+      |  SELECT a.doc_id, a.w AS w1, b.w AS w2
+      |  FROM tp a JOIN tp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |  WHERE a.w <> b.w),
+      |edges AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id, w1, w2 FROM (
+      |    SELECT doc_id, w1, w2 FROM adj
+      |    UNION ALL SELECT doc_id, w2, w1 FROM adj)),
+      |deg AS MATERIALIZED (
+      |  SELECT doc_id, w1 AS w, count(*) AS outdeg FROM edges GROUP BY 1, 2),
+      |nn AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM deg GROUP BY 1),
+      |pr0 AS MATERIALIZED (
+      |  SELECT deg.doc_id, deg.w, 1.0 / nn.n AS pr
+      |  FROM deg JOIN nn ON deg.doc_id = nn.doc_id),
+      |$rounds
+      |SELECT doc_id, rk, w AS word, pr AS score FROM (
+      |  SELECT doc_id, w, round(pr, 4) AS pr,
+      |         row_number() OVER (PARTITION BY doc_id
+      |                            ORDER BY round(pr, 4) DESC, w) AS rk
+      |  FROM pr$TrRounds)
+      |WHERE rk <= 3""".stripMargin
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q86_tfidf", tfidf, Some(tfidfSql)),
     GraftQuery("q87_bm25", bm25, Some(bm25Sql)),
@@ -803,5 +924,6 @@ object Retrieval {
     GraftQuery("q138_ppl_buckets", pplBuckets, Some(pplBucketsSql)),
     GraftQuery("q144_pack_assembly", packAssembly, Some(packAssemblySql)),
     GraftQuery("q178_pmi_collocations", pmiCollocations, Some(pmiCollocationsSql)),
-    GraftQuery("q180_kn_bigram_lm", knBigramLm, Some(knBigramLmSql)))
+    GraftQuery("q180_kn_bigram_lm", knBigramLm, Some(knBigramLmSql)),
+    GraftQuery("q194_textrank", textrankKeywords, Some(textrankKeywordsSql)))
 }

@@ -288,4 +288,23 @@ class RetrievalSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == expected, "embedding drift diverges from the centroid recompute")
   }
+
+  test("q194 textrank kernel: hub word wins, leaves tie symmetrically, isolated docs drop") {
+    // "a b c b": edges {(a,b),(b,a),(b,c),(c,b)} — b is the hub
+    val out = graft.llm.Retrieval.textrankDoc(
+      Seq((0, "a"), (1, "b"), (2, "c"), (3, "b")))
+    assert(out.map(_._2) == Seq("b", "a", "c"),
+      s"rank order wrong: $out (hub must win, a/c tie broken by word)")
+    val byWord = out.map(o => o._2 -> o._3).toMap
+    assert(byWord("a") == byWord("c"), "symmetric leaves must score equal")
+    assert(byWord("b") > byWord("a"), "hub must out-score leaves")
+    // damped-PageRank invariant on the complete 3-graph from "x y z x":
+    // all symmetric, pr = 1/3 each, fixpoint from round 0
+    val k3 = graft.llm.Retrieval.textrankDoc(
+      Seq((0, "x"), (1, "y"), (2, "z"), (3, "x")))
+    assert(k3.map(_._3).distinct == Seq(0.3333), s"K3 must stay uniform: $k3")
+    // single token / all-repeat docs have no edges → no keywords
+    assert(graft.llm.Retrieval.textrankDoc(Seq((0, "solo"))).isEmpty)
+    assert(graft.llm.Retrieval.textrankDoc(Seq((0, "w"), (1, "w"))).isEmpty)
+  }
 }
