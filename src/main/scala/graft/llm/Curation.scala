@@ -1058,6 +1058,66 @@ object Curation {
       |         AS epochs_bp
       |FROM cp CROSS JOIN ms""".stripMargin
 
+  // ---------------------------------------------------------------- q197
+  /** Quantile normalization of per-document quality scores ACROSS sources
+    * (the microarray-era calibration trick, Bolstad et al. 2003, applied
+    * to corpus curation): a raw quality signal is not comparable between
+    * a web crawl and a curated wiki — each source's distribution sits on
+    * its own scale, so a single global threshold over- or under-prunes
+    * per source. The fix: replace every doc's score with the POOLED
+    * distribution's value at the doc's within-source rank. After it, all
+    * sources share the corpus-wide score distribution and one threshold
+    * means the same thing everywhere — the calibration step in front of
+    * q134's logit gate and q131's source caps.
+    *
+    * Shape: within-source percent_rank (window keyed by source, totally
+    * ordered via the doc_id tiebreak so ranks — not just scores — are
+    * engine-identical); the pooled scale is ONE exact-percentile
+    * aggregate producing a [[QnGrid]]+1-point grid (constant-size,
+    * broadcast back); each doc maps to its nearest grid point. No global
+    * window anywhere — the grid aggregate is the only corpus-wide
+    * reduction, and it's an O(grid) side table. */
+  private val QnGrid = 20
+
+  def quantileNorm(s: SparkSession, d: String): DataFrame = {
+    val ps = (0 to QnGrid).map(i => i.toDouble / QnGrid)
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        round(col("n_chars").cast("double")
+          / size(split(col("text"), " ")), 4).as("score"))
+    val grid = scored
+      .agg(expr(s"percentile(score, array(${ps.mkString(",")}))").as("qs"))
+      .select(posexplode(col("qs"))).toDF("b", "gval")
+    val wn = Window.partitionBy("source").orderBy(col("score"), col("doc_id"))
+    scored
+      .withColumn("b",
+        round(percent_rank().over(wn) * QnGrid).cast("int"))
+      .join(broadcast(grid), "b")
+      .select(col("doc_id"), col("source"), col("score"), col("b"),
+        round(col("gval"), 4).as("norm_score"))
+  }
+
+  val quantileNormSql: String = {
+    val ps = (0 to QnGrid).map(i => i.toDouble / QnGrid)
+    val gridSelects = ps.zipWithIndex.map { case (p, i) =>
+      s"SELECT $i AS b, percentile_cont($p) WITHIN GROUP (ORDER BY score) AS gval FROM scored"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH scored AS (
+      |  SELECT doc_id, source,
+      |         round(n_chars * 1.0 / len(string_split(text, ' ')), 4) AS score
+      |  FROM documents),
+      |grid AS (
+      |  $gridSelects),
+      |ranked AS (
+      |  SELECT doc_id, source, score,
+      |         CAST(round(percent_rank() OVER (PARTITION BY source
+      |                ORDER BY score, doc_id) * $QnGrid, 0) AS INT) AS b
+      |  FROM scored)
+      |SELECT r.doc_id, r.source, r.score, r.b,
+      |       round(g.gval, 4) AS norm_score
+      |FROM ranked r JOIN grid g ON g.b = r.b""".stripMargin
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q163_weighted_sample", weightedSample _, Some(weightedSampleSql)),
     GraftQuery("q172_neyman_sample", neymanSample _, Some(neymanSampleSql)),
@@ -1081,5 +1141,6 @@ object Curation {
     GraftQuery("q179_quality_train", qualityTrain _,
       Some(graft.core.Goldens.load("q179_quality_train"))),
     GraftQuery("q181_dsir_select", dsirSelect _, Some(dsirSelectSql)),
-    GraftQuery("q183_unimax_alloc", unimaxAlloc _, Some(unimaxAllocSql)))
+    GraftQuery("q183_unimax_alloc", unimaxAlloc _, Some(unimaxAllocSql)),
+    GraftQuery("q197_quantile_norm", quantileNorm _, Some(quantileNormSql)))
 }

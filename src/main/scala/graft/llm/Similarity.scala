@@ -966,6 +966,80 @@ object Similarity {
       |  (CAST(73 AS BIGINT), CAST(0.2954 AS DOUBLE), CAST(5 AS INT)))
       |  AS t(neighbor_id, cosine, rank)""".stripMargin
 
+  // ---------------------------------------------------------------- q196
+  /** Greedy k-center / farthest-point coreset selection (Gonzalez 1985's
+    * 2-approximation — the maximally-DIVERSE-subset selector, where q126's
+    * importance sampler is distribution-matching and q125's SemDeDup prunes
+    * redundancy): seed with the smallest vec_id, then [[KcnPicks]]−1 times
+    * pick the point farthest (squared euclidean) from its nearest selected
+    * center. Output is the pick sequence with each pick's selection radius
+    * — the monotone-decreasing coverage curve that prices "how many more
+    * exemplars buy how much more diversity" for few-shot/eval-set
+    * construction over an embedded corpus.
+    *
+    * Scale shape: the selected set is DRIVER state of k rows (the k-means
+    * centroid class, documented precedent) — each round is one map over
+    * the corpus folding `least(dmin, d²-to-new-center)` with the center as
+    * a broadcast literal (codegen'd DotProduct, no join) plus one
+    * TakeOrderedAndProject(1) argmax; the running dmin frame is
+    * checkpointed per round so round i does one new dot product per row,
+    * not i (O(nk) total — without it the lazy chain re-folds O(nk²)).
+    * Distances are ROUNDED at 4 dp before the argmax and the tiebreak is
+    * vec_id asc, so the pick sequence — not just the distances — is
+    * engine-identical (the q86 lesson applied to selection). */
+  private val KcnPicks = 8
+
+  def kcenterSelect(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = vecs(s, d).withColumn("nn", dot(col("v"), col("v")))
+      .localCheckpoint(true)
+    def d2(cv: Seq[Double], cnn: Double): Column =
+      round(col("nn") + lit(cnn) - lit(2.0) * dot(col("v"), typedlit(cv)), 4)
+    val seed = base.orderBy("vec_id").limit(1).collect()(0)
+    val picks = scala.collection.mutable.ArrayBuffer(
+      (1, seed.getLong(0), seed.getInt(1), 0.0))
+    var cv = seed.getSeq[Double](2); var cnn = seed.getDouble(3)
+    var cur = base.withColumn("dmin", d2(cv, cnn)).localCheckpoint(true)
+    for (i <- 2 to KcnPicks) {
+      val r = cur.orderBy(col("dmin").desc, col("vec_id")).limit(1).collect()(0)
+      picks += ((i, r.getLong(0), r.getInt(1), r.getDouble(4)))
+      cv = r.getSeq[Double](2); cnn = r.getDouble(3)
+      if (i < KcnPicks)
+        cur = cur.withColumn("dmin", least(col("dmin"), d2(cv, cnn)))
+          .localCheckpoint(true)
+    }
+    picks.toSeq.toDF("pick", "vec_id", "label", "radius")
+  }
+
+  /** Unrolled greedy rounds: d(i) folds the running min against center
+    * c(i); every c(i) is a 1-row argmax on the ROUNDED distance. */
+  val kcenterSelectSql: String = {
+    val rounds = (2 to KcnPicks).map { i =>
+      val dprev = s"d${i - 1}"
+      s"""c$i AS (SELECT vec_id, label, v, nn, d AS radius FROM $dprev
+        |  ORDER BY d DESC, vec_id LIMIT 1),
+        |d$i AS (
+        |  SELECT s.vec_id, s.label, s.v, s.nn,
+        |         least(s.d, round(s.nn + c.nn - 2 * list_dot_product(s.v, c.v), 4)) AS d
+        |  FROM $dprev s CROSS JOIN c$i c)""".stripMargin
+    }.mkString(",\n")
+    val union = (2 to KcnPicks)
+      .map(i => s"UNION ALL SELECT CAST($i AS INT), vec_id, label, radius FROM c$i")
+      .mkString("\n")
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings),
+      |sq AS (SELECT vec_id, label, v, list_dot_product(v, v) AS nn FROM e),
+      |c1 AS (SELECT vec_id, label, v, nn, 0.0 AS radius FROM sq
+      |       ORDER BY vec_id LIMIT 1),
+      |d1 AS (
+      |  SELECT s.vec_id, s.label, s.v, s.nn,
+      |         round(s.nn + c.nn - 2 * list_dot_product(s.v, c.v), 4) AS d
+      |  FROM sq s CROSS JOIN c1 c),
+      |$rounds
+      |SELECT CAST(1 AS INT) AS pick, vec_id, label, radius FROM c1
+      |$union""".stripMargin
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q38_cosine_neardup", cosineNearDup _, Some(cosineNearDupSql)),
     GraftQuery("q39_knn_brute", knnBrute _, Some(knnBruteSql)),
@@ -987,5 +1061,6 @@ object Similarity {
       (s: SparkSession, d: String) => bitextMineLsh(s, d),
       Some(graft.core.Goldens.load("q143b_bitext_mine_lsh"))),
     GraftQuery("q125_semdedup", (s: SparkSession, d: String) => semDedup(s, d),
-      Some(graft.core.Goldens.load("q125_semdedup"))))
+      Some(graft.core.Goldens.load("q125_semdedup"))),
+    GraftQuery("q196_kcenter", kcenterSelect _, Some(kcenterSelectSql)))
 }

@@ -872,6 +872,89 @@ object Relational11 {
       |FROM (SELECT src, count(*) AS core_degree FROM e$KcRounds GROUP BY 1)""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q195
+  /** Deterministic DeepWalk-style walk corpus (Perozzi et al., KDD 2014)
+    * over the trade graph: [[DwWalks]] truncated walks of [[DwSteps]] hops
+    * from every node, emitted as path strings — the input corpus a
+    * skip-gram embedding trainer consumes, and the fourth graph-family
+    * member (q167 importance / q182 communities / q185 density / q191
+    * core). "Random" is a seeded integer hash of (current node, walk id,
+    * step) — the q163 reproducibility requirement: the draw replays
+    * bit-identically on both engines and any cluster size. The hash is
+    * pre-reduced modular arithmetic ((cur mod p)·(A mod p) …) so no
+    * product exceeds ~1e12 — the ADVICE-r07 overflow lesson applied at
+    * design time instead of patched later.
+    *
+    * Scale shape: neighbor lists get stable indices from a per-node
+    * window (keyed by src — degree-bounded partitions, never global);
+    * each hop is ONE equi-join of the frontier against the adjacency on
+    * the current node — the Pregel message pattern, frontier size fixed
+    * at nodes×walks throughout (truncated walks never branch). The
+    * adjacency is checkpointed once and reused by all [[DwSteps]] hops. */
+  private val DwWalks = 2
+  private val DwSteps = 4
+  private val DwP = 1000003L
+  private val DwA = 2654435761L % DwP // 427799
+
+  private def q195(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("cust"),
+        (col("l_suppkey") * 2 + 1).as("supp")).distinct()
+    val e = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+      .union(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+    val wdeg = Window.partitionBy("src")
+    val nb = e
+      .withColumn("idx", row_number().over(wdeg.orderBy("dst")) - 1)
+      .withColumn("deg", count(lit(1)).over(wdeg))
+      .localCheckpoint(true)
+    var w = nb.select(col("src").as("node")).distinct()
+      .select(col("node"), explode(array(lit(0), lit(1))).as("wk"))
+      .select(col("node"), col("wk"), col("node").as("cur"),
+        col("node").cast("string").as("path"))
+    for (i <- 1 to DwSteps) {
+      val h = (((col("cur") % DwP) * DwA + col("wk") * 131 + lit(i) * 97)
+        % DwP) % col("deg")
+      // shuffle_hash: SMJ would re-SORT the graph-sized adjacency every
+      // hop (the checkpoint's RDD boundary hides its partitioning); a
+      // hash join pays only the exchange — measured 11.1 → 9.2 s at
+      // sf0.1 (the rest is the iterative family's fixed stage-count
+      // overhead: ~4.9 s of it survives at sf0.001, the q182 class)
+      w = w.join(nb.hint("shuffle_hash"), col("src") === col("cur") && col("idx") === h)
+        .select(col("node"), col("wk"), col("dst").as("cur"),
+          concat(col("path"), lit("-"), col("dst").cast("string")).as("path"))
+    }
+    w.select(col("node"), col("wk").as("walk"), col("path"))
+  }
+
+  private val q195Sql: String = {
+    val hops = (1 to DwSteps).map { i =>
+      s"""w$i AS (
+        |  SELECT w.node, w.wk, n.dst AS cur,
+        |         w.path || '-' || CAST(n.dst AS VARCHAR) AS path
+        |  FROM w${i - 1} w JOIN nb n ON n.src = w.cur
+        |   AND n.idx = ((w.cur % $DwP) * $DwA + w.wk * 131 + $i * 97)
+        |               % $DwP % n.deg)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+      |  SELECT DISTINCT o.o_custkey * 2 AS cust, l.l_suppkey * 2 + 1 AS supp
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |e AS (SELECT cust AS src, supp AS dst FROM pairs
+      |      UNION ALL SELECT supp AS src, cust AS dst FROM pairs),
+      |nb AS MATERIALIZED (
+      |  SELECT src, dst,
+      |         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+      |         count(*) OVER (PARTITION BY src) AS deg
+      |  FROM e),
+      |w0 AS (
+      |  SELECT node, wk, node AS cur, CAST(node AS VARCHAR) AS path
+      |  FROM (SELECT DISTINCT src AS node FROM e)
+      |  CROSS JOIN (SELECT unnest([0, 1]) AS wk)),
+      |$hops
+      |SELECT node, wk AS walk, path FROM w$DwSteps""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q108_zscore_outliers", q108, Some(q108Sql)),
     GraftQuery("q109_funnel", q109, Some(q109Sql)),
@@ -889,5 +972,6 @@ object Relational11 {
     GraftQuery("q182_label_prop", q182, Some(q182Sql)),
     GraftQuery("q185_triangle_count", q185, Some(q185Sql)),
     GraftQuery("q186_basket_rules", q186, Some(q186Sql)),
-    GraftQuery("q191_kcore", q191, Some(q191Sql)))
+    GraftQuery("q191_kcore", q191, Some(q191Sql)),
+    GraftQuery("q195_deepwalk", q195, Some(q195Sql)))
 }
