@@ -1118,6 +1118,89 @@ object Curation {
       |FROM ranked r JOIN grid g ON g.b = r.b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q200
+  /** Binned two-sample Kolmogorov–Smirnov distance between every pair of
+    * sources' quality-score distributions: D = max over bins of
+    * |CDF_a − CDF_b| — the distribution-shift detector that says WHETHER
+    * two sources need q197's calibration at all (and the pairwise
+    * companion to q147's corpus-level drift divergence). Exact KS needs a
+    * global sort of the pooled samples — a scale-killer by construction —
+    * so this is the production form: [[KsBins]] equal-width bins between
+    * the global score min/max, where binned D under-estimates true D by
+    * at most the per-bin CDF mass (the standard streaming-KS trade;
+    * tighten by raising [[KsBins]], never by sorting).
+    *
+    * Shape: one map-side score pass → (source, bin) counts (the only
+    * corpus-scale shuffle) → dense source×bin grid (constant:
+    * sources × [[KsBins]] rows) → per-source running CDF over a window
+    * KEYED by source with ≤ [[KsBins]] rows per partition → pair join on
+    * bin. Bounds are a broadcast single-row side table; a degenerate
+    * corpus (max = min) yields the empty result on both engines. */
+  private val KsBins = 100
+
+  def ksDistance(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.documents(s, d)
+      .select(col("source"),
+        round(col("n_chars").cast("double")
+          / size(split(col("text"), " ")), 4).as("score"))
+    val bounds = scored.agg(min("score").as("lo"), max("score").as("hi"))
+    val binned = scored.crossJoin(broadcast(bounds))
+      .filter(col("hi") > col("lo"))
+      .withColumn("bin", least(
+        floor((col("score") - col("lo")) / (col("hi") - col("lo")) * KsBins),
+        lit(KsBins - 1L)).cast("int"))
+      .groupBy("source", "bin").agg(count(lit(1)).as("c"))
+    val totals = binned.groupBy("source").agg(sum("c").as("tot"))
+    val grid = totals.select("source", "tot")
+      .crossJoin(broadcast(
+        s.range(0, KsBins).select(col("id").cast("int").as("bin"))))
+      .join(binned, Seq("source", "bin"), "left")
+      .na.fill(0L, Seq("c"))
+    val wc = Window.partitionBy("source").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = grid.withColumn("cdf", sum("c").over(wc).cast("double") / col("tot"))
+      .select("source", "bin", "cdf", "tot")
+    cdf.withColumnRenamed("source", "source_a")
+      .withColumnRenamed("cdf", "cdf_a").withColumnRenamed("tot", "n_a")
+      .join(cdf.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("cdf", "cdf_b").withColumnRenamed("tot", "n_b"), "bin")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(first("n_a").as("n_a"), first("n_b").as("n_b"),
+        round(max(abs(col("cdf_a") - col("cdf_b"))), 4).as("ks_d"))
+  }
+
+  val ksDistanceSql: String =
+    s"""WITH scored AS (
+      |  SELECT source,
+      |         round(n_chars * 1.0 / len(string_split(text, ' ')), 4) AS score
+      |  FROM documents),
+      |bounds AS (SELECT min(score) AS lo, max(score) AS hi FROM scored),
+      |binned AS (
+      |  SELECT source,
+      |         CAST(least(floor((score - lo) / (hi - lo) * $KsBins),
+      |                    ${KsBins - 1}) AS INT) AS bin,
+      |         count(*) AS c
+      |  FROM scored CROSS JOIN bounds WHERE hi > lo GROUP BY 1, 2),
+      |totals AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot
+      |           FROM binned GROUP BY 1),
+      |grid AS (
+      |  SELECT t.source, t.tot, g.bin, COALESCE(b.c, 0) AS c
+      |  FROM totals t
+      |  CROSS JOIN (SELECT CAST(unnest(range($KsBins)) AS INT) AS bin) g
+      |  LEFT JOIN binned b ON b.source = t.source AND b.bin = g.bin),
+      |cdf AS (
+      |  SELECT source, bin, tot,
+      |         CAST(sum(c) OVER (PARTITION BY source ORDER BY bin
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |              AS DOUBLE) / tot AS cdf
+      |  FROM grid)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |       any_value(a.tot) AS n_a, any_value(b.tot) AS n_b,
+      |       round(max(abs(a.cdf - b.cdf)), 4) AS ks_d
+      |FROM cdf a JOIN cdf b ON a.bin = b.bin AND a.source < b.source
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q163_weighted_sample", weightedSample _, Some(weightedSampleSql)),
     GraftQuery("q172_neyman_sample", neymanSample _, Some(neymanSampleSql)),
@@ -1142,5 +1225,6 @@ object Curation {
       Some(graft.core.Goldens.load("q179_quality_train"))),
     GraftQuery("q181_dsir_select", dsirSelect _, Some(dsirSelectSql)),
     GraftQuery("q183_unimax_alloc", unimaxAlloc _, Some(unimaxAllocSql)),
-    GraftQuery("q197_quantile_norm", quantileNorm _, Some(quantileNormSql)))
+    GraftQuery("q197_quantile_norm", quantileNorm _, Some(quantileNormSql)),
+    GraftQuery("q200_ks_distance", ksDistance _, Some(ksDistanceSql)))
 }

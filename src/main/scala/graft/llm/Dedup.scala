@@ -1342,6 +1342,75 @@ object Dedup {
     (pairs, Seq(sh))
   }
 
+  // ---------------------------------------------------------------- q199
+  /** Cohen's κ agreement audit between two duplicate detectors (Cohen
+    * 1960 — the standard chance-corrected agreement statistic): rater A
+    * flags docs sharing a 4-word prefix key, rater B docs sharing a
+    * 2-word suffix key, and κ = (p_o − p_e)/(1 − p_e) over the 2×2
+    * per-document contingency table. This is the dedup-QA meta-operator:
+    * before trusting a cheap blocking signal (q184's sorted-neighborhood
+    * key, q34's fingerprint) as a stand-in for an expensive one (q36
+    * MinHash), measure how far their verdicts agree BEYOND chance — raw
+    * percent agreement is inflated exactly when dup prevalence is low,
+    * which is always, and κ is the correction.
+    *
+    * Shape: two key-grouped counts joined back (the q35 group-size
+    * pattern, hash-partitioned equi-joins on the keys), then ONE global
+    * aggregate folding the four cells as conditional sums — integer until
+    * the final κ expression (rounded 4 dp), so the statistic is
+    * engine-exact. Output is one row: the table, p_o, p_e, κ. */
+  def dedupKappa(s: SparkSession, d: String): DataFrame = {
+    val pre = Tables.documents(s, d).select(col("doc_id"),
+      concat_ws(" ", slice(split(col("text"), " "), 1, 4)).as("p"),
+      concat_ws(" ", slice(split(col("text"), " "), -2, 2)).as("sx"))
+    val pg = pre.groupBy("p").agg(count(lit(1)).as("ca"))
+    val sg = pre.groupBy("sx").agg(count(lit(1)).as("cb"))
+    val fl = pre.join(pg, "p").join(sg, "sx").select(
+      when(col("ca") > 1, 1L).otherwise(0L).as("a"),
+      when(col("cb") > 1, 1L).otherwise(0L).as("b"))
+    fl.agg(
+        sum((lit(1) - col("a")) * (lit(1) - col("b"))).as("n00"),
+        sum((lit(1) - col("a")) * col("b")).as("n01"),
+        sum(col("a") * (lit(1) - col("b"))).as("n10"),
+        sum(col("a") * col("b")).as("n11"),
+        count(lit(1)).as("n"))
+      .withColumn("po",
+        round((col("n00") + col("n11")).cast("double") / col("n"), 4))
+      .withColumn("pe", round(
+        ((col("n10") + col("n11")).cast("double") * (col("n01") + col("n11"))
+          + (col("n00") + col("n01")).cast("double") * (col("n00") + col("n10")))
+          / (col("n").cast("double") * col("n")), 4))
+      .withColumn("kappa", round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 4))
+  }
+
+  val dedupKappaSql: String =
+    """WITH pre AS (
+      |  SELECT doc_id,
+      |         array_to_string(string_split(text, ' ')[1:4], ' ') AS p,
+      |         array_to_string(string_split(text, ' ')[-2:], ' ') AS sx
+      |  FROM documents),
+      |pg AS (SELECT p, count(*) AS ca FROM pre GROUP BY 1),
+      |sg AS (SELECT sx, count(*) AS cb FROM pre GROUP BY 1),
+      |fl AS (
+      |  SELECT CASE WHEN ca > 1 THEN 1 ELSE 0 END AS a,
+      |         CASE WHEN cb > 1 THEN 1 ELSE 0 END AS b
+      |  FROM pre JOIN pg USING (p) JOIN sg USING (sx)),
+      |tab AS (
+      |  SELECT CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00,
+      |         CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+      |         CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+      |         CAST(sum(a * b) AS BIGINT) AS n11,
+      |         count(*) AS n
+      |  FROM fl),
+      |po AS (SELECT *, round((n00 + n11) * 1.0 / n, 4) AS po FROM tab),
+      |pe AS (SELECT *, round(
+      |         (CAST(n10 + n11 AS DOUBLE) * (n01 + n11)
+      |          + CAST(n00 + n01 AS DOUBLE) * (n00 + n10))
+      |         / (CAST(n AS DOUBLE) * n), 4) AS pe FROM po)
+      |SELECT n00, n01, n10, n11, n, po, pe,
+      |       round((po - pe) / (1.0 - pe), 4) AS kappa
+      |FROM pe""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q35_dedup_exact", exactDedup _, Some(exactDedupSql)),
     GraftQuery("q36_minhash_neardup", minhashNearDup _, Some(minhashNearDupSql)),
@@ -1362,7 +1431,8 @@ object Dedup {
     GraftQuery("q69_dedup_groups", dedupGroups _, Some(dedupGroupsSql)),
     GraftQuery("q114_dedup_pipeline", dedupPipeline _, Some(dedupPipelineSql)),
     GraftQuery("q187_soft_dedup", softDedup _, Some(softDedupSql)),
-    GraftQuery("q188_winnowing", winnowing _, Some(winnowingSql)))
+    GraftQuery("q188_winnowing", winnowing _, Some(winnowingSql)),
+    GraftQuery("q199_dedup_kappa", dedupKappa _, Some(dedupKappaSql)))
   // prefixJaccard's FULL-corpus form stays out of the registry: this
   // uniform synthetic corpus is its adversarial case (no df skew ⇒
   // prefixes prune nothing ⇒ it pays q55's cost plus the prefix overhead,

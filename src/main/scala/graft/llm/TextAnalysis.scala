@@ -616,6 +616,91 @@ object TextAnalysis {
       |       CASE WHEN p.lang = d.lang THEN 1 ELSE 0 END AS correct
       |FROM pred p JOIN documents d USING (doc_id) WHERE rn = 1""".stripMargin
 
+  // ---------------------------------------------------------------- chi2
+  /** χ²-statistic keyword selection per source (the classic feature-
+    * selection ranking, Yang & Pedersen 1997): for every (word, source)
+    * pair build the 2×2 document-presence contingency table and rank each
+    * source's words by χ² = N(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) — the
+    * discriminative-vocabulary extractor that feeds q179's classifier
+    * features and labels what q147's drift monitor flags (not just THAT
+    * sources diverge, but WHICH words carry it).
+    *
+    * All four cell counts are integers from two keyed aggregates — the
+    * (word, source) presence count (the only corpus-scale shuffle) and its
+    * word marginal — so the statistic is engine-exact; only the final χ²
+    * is floating (one expression, rounded 4 dp). The per-source rank
+    * window is keyed by source and runs post-df-floor ([[Chi2MinDf]]
+    * culls the long tail — the oovRate boundedness argument); doc counts
+    * per source are a language-cardinality side table, broadcast. */
+  private val Chi2MinDf = 5
+  private val Chi2TopK = 5
+
+  def chi2Keywords(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val pres = docs
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(split(lower(col("text")), " "))).as("w"))
+      .filter(col("w") =!= "")
+    val ws = pres.groupBy("w", "source").agg(count(lit(1)).as("a"))
+    val wtot = ws.groupBy("w").agg(sum("a").as("n1"))
+      .filter(col("n1") >= Chi2MinDf)
+    val stot = docs.groupBy("source").agg(count(lit(1)).as("ns"))
+    val ndoc = docs.agg(count(lit(1)).as("n"))
+    val cells = ws.join(wtot, "w").join(broadcast(stot), "source")
+      .crossJoin(broadcast(ndoc))
+      .withColumn("b", col("ns") - col("a"))
+      .withColumn("c", col("n1") - col("a"))
+      .withColumn("dd", col("n") - col("a") - col("b") - col("c"))
+    // all products in DOUBLE: the 4-way marginal product reaches N⁴ and
+    // a·d reaches N², both past BIGINT at corpus scale (the ADVICE-r07
+    // overflow lesson applied at design time); both engines compose the
+    // identical left-associated expression
+    val chi = cells.withColumn("chi2",
+      round(col("n").cast("double")
+        * pow(col("a").cast("double") * col("dd").cast("double")
+          - col("b").cast("double") * col("c").cast("double"), 2)
+        / ((col("a") + col("b")).cast("double")
+          * (col("c") + col("dd")).cast("double")
+          * (col("a") + col("c")).cast("double")
+          * (col("b") + col("dd")).cast("double")), 4))
+    val wn = Window.partitionBy("source")
+      .orderBy(col("chi2").desc, col("w"))
+    chi.withColumn("rk", row_number().over(wn)).filter(col("rk") <= Chi2TopK)
+      .select(col("source"), col("rk"), col("w").as("word"),
+        col("a").as("df_in_source"), col("chi2"))
+  }
+
+  val chi2KeywordsSql: String =
+    s"""WITH pres AS (
+      |  SELECT DISTINCT doc_id, source, w FROM (
+      |    SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS w
+      |    FROM documents)
+      |  WHERE w <> ''),
+      |ws AS (SELECT w, source, count(*) AS a FROM pres GROUP BY 1, 2),
+      |wtot AS (SELECT w, CAST(sum(a) AS BIGINT) AS n1 FROM ws GROUP BY 1
+      |         HAVING sum(a) >= $Chi2MinDf),
+      |stot AS (SELECT source, count(*) AS ns FROM documents GROUP BY 1),
+      |ndoc AS (SELECT count(*) AS n FROM documents),
+      |cells AS (
+      |  SELECT ws.w, ws.source, ws.a, stot.ns - ws.a AS b, n1 - ws.a AS c,
+      |         n - ws.a - (stot.ns - ws.a) - (n1 - ws.a) AS dd, n
+      |  FROM ws JOIN wtot USING (w) JOIN stot USING (source) CROSS JOIN ndoc),
+      |chi AS (
+      |  SELECT source, w, a,
+      |         round(CAST(n AS DOUBLE)
+      |           * (CAST(a AS DOUBLE) * CAST(dd AS DOUBLE)
+      |              - CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) ** 2
+      |           / (CAST(a + b AS DOUBLE) * CAST(c + dd AS DOUBLE)
+      |              * CAST(a + c AS DOUBLE) * CAST(b + dd AS DOUBLE)), 4) AS chi2
+      |  FROM cells)
+      |SELECT source, rk, w AS word, df_in_source, chi2 FROM (
+      |  SELECT source, w, a AS df_in_source, chi2,
+      |         row_number() OVER (PARTITION BY source
+      |                            ORDER BY chi2 DESC, w) AS rk
+      |  FROM chi)
+      |WHERE rk <= $Chi2TopK""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q30_text_stats", textStats _, Some(textStatsSql)),
     GraftQuery("q31_token_count", tokenCount _, Some(tokenCountSql)),
@@ -631,5 +716,6 @@ object TextAnalysis {
     GraftQuery("q173_vocab_coverage", vocabCoverage _, Some(vocabCoverageSql)),
     GraftQuery("q189_zipf_slope", zipfSlope _, Some(zipfSlopeSql)),
     GraftQuery("q190_heaps_law", heapsLaw _, Some(heapsLawSql)),
-    GraftQuery("q192_naive_bayes", naiveBayes _, Some(naiveBayesSql)))
+    GraftQuery("q192_naive_bayes", naiveBayes _, Some(naiveBayesSql)),
+    GraftQuery("q198_chi2_keywords", chi2Keywords _, Some(chi2KeywordsSql)))
 }

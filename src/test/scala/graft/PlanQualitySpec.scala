@@ -517,7 +517,15 @@ class PlanQualitySpec extends AnyFunSuite {
       // language-cardinality model-side crossJoin (constant ~O(100) rows,
       // 5 here) and the single-row vocab/doc-count broadcasts — the
       // q172/q183 side-table pattern; the argmax window is keyed by doc.
-      ("q192_naive_bayes", "nested-loop"))
+      ("q192_naive_bayes", "nested-loop"),
+      // χ² keywords (TextAnalysis q198): single-row doc-count broadcast
+      // (the q100 pattern); every other join is keyed.
+      ("q198_chi2_keywords", "nested-loop"),
+      // KS distance (Curation q200): the nested-loops are the single-row
+      // min/max bounds broadcast and the constant KsBins-row bin grid
+      // (source × 100 rows) — the q172 side-table pattern; the CDF
+      // window is keyed by source with ≤ KsBins rows per partition.
+      ("q200_ks_distance", "nested-loop"))
     def offenders(df: DataFrame): Seq[String] = {
       // manual subquery recursion: collectWithSubqueries casts every
       // PlanExpression plan to SparkPlan, but at the sparkPlan stage
