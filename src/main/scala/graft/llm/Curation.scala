@@ -1201,6 +1201,76 @@ object Curation {
       |FROM cdf a JOIN cdf b ON a.bin = b.bin AND a.source < b.source
       |GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q204
+  /** Binned ROC-AUC (the Mann–Whitney U identity: AUC = P(score⁺ >
+    * score⁻) + ½P(=)) of a cheap quality signal predicting template
+    * duplication — the EVALUATION meta-operator for the scoring family:
+    * q134/q179 produce scores, this says whether a score actually ranks
+    * dups below non-dups before anyone sets a threshold on it. Labels are
+    * the q199 prefix-duplicate rater; scores the q197/q200 length signal.
+    *
+    * Exact AUC needs a global rank over the pooled scores — the same
+    * scale-killer exact KS has — so this is the binned form on the q200
+    * grid: per-bin positive/negative counts, then AUC = Σ_b n⁺(b) ·
+    * (N⁻(<b) + ½n⁻(b)) / (P·N) — exact for the binned scores, with
+    * within-bin ties taking the ½ credit (the standard trade; tighten
+    * with [[KsBins]]). One corpus-scale shuffle (the bin counts); the
+    * running N⁻ prefix runs over ≤ [[KsBins]] rows (q190's bounded-window
+    * argument); output is one row. */
+  def binnedAuc(s: SparkSession, d: String): DataFrame = {
+    val pre = Tables.documents(s, d).select(col("doc_id"),
+      round(col("n_chars").cast("double")
+        / size(split(col("text"), " ")), 4).as("score"),
+      concat_ws(" ", slice(split(col("text"), " "), 1, 4)).as("p"))
+    val pg = pre.groupBy("p").agg(count(lit(1)).as("ca"))
+    val lab = pre.join(pg, "p")
+      .select(col("score"), when(col("ca") > 1, 1L).otherwise(0L).as("y"))
+    val bounds = lab.agg(min("score").as("lo"), max("score").as("hi"))
+    val bins = lab.crossJoin(broadcast(bounds))
+      .filter(col("hi") > col("lo"))
+      .withColumn("bin", least(
+        floor((col("score") - col("lo")) / (col("hi") - col("lo")) * KsBins),
+        lit(KsBins - 1L)).cast("int"))
+      .groupBy("bin")
+      .agg(sum(col("y")).as("np"), sum(lit(1) - col("y")).as("nn"))
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bins
+      .withColumn("cum_nn", sum("nn").over(w) - col("nn"))
+      .agg(sum("np").as("n_pos"), sum("nn").as("n_neg"),
+        round(sum(col("np").cast("double")
+            * (col("cum_nn") + lit(0.5) * col("nn")))
+          .cast("double") / (sum("np") * sum("nn")), 4).as("auc"))
+  }
+
+  val binnedAucSql: String =
+    s"""WITH pre AS (
+      |  SELECT doc_id,
+      |         round(n_chars * 1.0 / len(string_split(text, ' ')), 4) AS score,
+      |         array_to_string(string_split(text, ' ')[1:4], ' ') AS p
+      |  FROM documents),
+      |pg AS (SELECT p, count(*) AS ca FROM pre GROUP BY 1),
+      |lab AS (
+      |  SELECT score, CASE WHEN ca > 1 THEN 1 ELSE 0 END AS y
+      |  FROM pre JOIN pg USING (p)),
+      |bounds AS (SELECT min(score) AS lo, max(score) AS hi FROM lab),
+      |bins AS (
+      |  SELECT CAST(least(floor((score - lo) / (hi - lo) * $KsBins),
+      |                    ${KsBins - 1}) AS INT) AS bin,
+      |         CAST(sum(y) AS BIGINT) AS np,
+      |         CAST(sum(1 - y) AS BIGINT) AS nn
+      |  FROM lab CROSS JOIN bounds WHERE hi > lo GROUP BY 1),
+      |cum AS (
+      |  SELECT bin, np, nn,
+      |         CAST(sum(nn) OVER (ORDER BY bin
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |              AS BIGINT) - nn AS cum_nn
+      |  FROM bins)
+      |SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
+      |       round(CAST(sum(CAST(np AS DOUBLE) * (cum_nn + 0.5 * nn)) AS DOUBLE)
+      |             / (sum(np) * sum(nn)), 4) AS auc
+      |FROM cum""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q163_weighted_sample", weightedSample _, Some(weightedSampleSql)),
     GraftQuery("q172_neyman_sample", neymanSample _, Some(neymanSampleSql)),
@@ -1226,5 +1296,6 @@ object Curation {
     GraftQuery("q181_dsir_select", dsirSelect _, Some(dsirSelectSql)),
     GraftQuery("q183_unimax_alloc", unimaxAlloc _, Some(unimaxAllocSql)),
     GraftQuery("q197_quantile_norm", quantileNorm _, Some(quantileNormSql)),
-    GraftQuery("q200_ks_distance", ksDistance _, Some(ksDistanceSql)))
+    GraftQuery("q200_ks_distance", ksDistance _, Some(ksDistanceSql)),
+    GraftQuery("q204_binned_auc", binnedAuc _, Some(binnedAucSql)))
 }

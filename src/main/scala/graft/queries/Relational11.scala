@@ -955,6 +955,178 @@ object Relational11 {
       |SELECT node, wk AS walk, path FROM w$DwSteps""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q201
+  /** HITS hubs & authorities (Kleinberg 1999) on the customer→supplier
+    * order graph — the NATURALLY bipartite fixpoint: hubs are customers
+    * whose orders concentrate on authoritative suppliers, authorities are
+    * suppliers endorsed by strong hubs. The mutual-reinforcement sibling
+    * of q167's PageRank (one random-walk score) — HITS is the one you want
+    * on a two-role graph, where walking "through" a supplier to another
+    * customer has no meaning. [[HitsRounds]] rounds of h = W·a, a = Wᵀ·h
+    * with max-normalization each half-step; integer co-order weights.
+    *
+    * Shape per half-step: one keyed join edges⋈scores + one keyed
+    * aggregate (the q167 shape); the normalizer is a single-row max
+    * broadcast (q100 pattern). Score frames are node-cardinality and
+    * checkpointed per round (q182 cadence). Output is the top-10 of each
+    * role via TakeOrderedAndProject on the ROUNDED score + id tiebreak —
+    * never a global rank window. */
+  private val HitsRounds = 4
+  private val HitsTopK = 10
+
+  private def q201(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint(true)
+    var hub = e.select(col("cust")).distinct()
+      .select(col("cust"), lit(1.0).as("h"))
+    var auth: DataFrame = null
+    for (_ <- 1 to HitsRounds) {
+      val araw = e.join(hub, "cust")
+        .groupBy("supp").agg(sum(col("w") * col("h")).as("a"))
+      val amax = araw.agg(max("a").as("m"))
+      auth = araw.crossJoin(broadcast(amax))
+        .select(col("supp"), (col("a") / col("m")).as("a"))
+        .localCheckpoint(true)
+      val hraw = e.join(auth, "supp")
+        .groupBy("cust").agg(sum(col("w") * col("a")).as("h"))
+      val hmax = hraw.agg(max("h").as("m"))
+      hub = hraw.crossJoin(broadcast(hmax))
+        .select(col("cust"), (col("h") / col("m")).as("h"))
+        .localCheckpoint(true)
+    }
+    val topH = hub.orderBy(round(col("h"), 4).desc, col("cust")).limit(HitsTopK)
+      .select(lit("hub").as("role"), col("cust").cast("long").as("node"),
+        round(col("h"), 4).as("score"))
+    val topA = auth.orderBy(round(col("a"), 4).desc, col("supp")).limit(HitsTopK)
+      .select(lit("authority").as("role"), col("supp").cast("long").as("node"),
+        round(col("a"), 4).as("score"))
+    topH.unionAll(topA)
+  }
+
+  private val q201Sql: String = {
+    val rounds = (1 to HitsRounds).map { i =>
+      s"""ar$i AS MATERIALIZED (
+        |  SELECT supp, sum(w * h) AS a FROM e JOIN h${i - 1} USING (cust)
+        |  GROUP BY 1),
+        |a$i AS MATERIALIZED (
+        |  SELECT supp, a / (SELECT max(a) FROM ar$i) AS a FROM ar$i),
+        |hr$i AS MATERIALIZED (
+        |  SELECT cust, sum(w * a) AS h FROM e JOIN a$i USING (supp)
+        |  GROUP BY 1),
+        |h$i AS MATERIALIZED (
+        |  SELECT cust, h / (SELECT max(h) FROM hr$i) AS h FROM hr$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+      |  SELECT o.o_custkey AS cust, l.l_suppkey AS supp, count(*) AS w
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  GROUP BY 1, 2),
+      |h0 AS (SELECT DISTINCT cust, 1.0 AS h FROM e),
+      |$rounds
+      |SELECT * FROM (
+      |  SELECT 'hub' AS role, CAST(cust AS BIGINT) AS node,
+      |         round(h, 4) AS score
+      |  FROM h$HitsRounds ORDER BY round(h, 4) DESC, cust LIMIT $HitsTopK)
+      |UNION ALL
+      |SELECT * FROM (
+      |  SELECT 'authority', CAST(supp AS BIGINT), round(a, 4)
+      |  FROM a$HitsRounds ORDER BY round(a, 4) DESC, supp LIMIT $HitsTopK)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q202
+  /** Benford's-law first-digit audit (Newcomb 1881 / Benford 1938; the
+    * forensic-accounting standard, Nigrini 1996) over order prices: the
+    * leading significant digit of naturally-occurring multi-scale amounts
+    * follows P(d) = log₁₀(1 + 1/d) — synthetic, fabricated, or truncated
+    * data does not. The q121 DQ-audit family's distributional tripwire:
+    * run it per source/feed and a feed whose MAD from Benford jumps is
+    * worth a look BEFORE it trains anything. Output: per-digit observed
+    * vs expected frequency plus the overall mean-absolute-deviation
+    * (Nigrini's conformity statistic, same value on every row for a
+    * single-frame result).
+    *
+    * Shape: the digit extraction is one codegen'd map expression
+    * (floor(x/10^floor(log₁₀x)) — no string casts); the only shuffle is
+    * the 9-key digit count; expectation and MAD are constant-size
+    * cross-joined side tables (q100 pattern). */
+  private def q202(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_extendedprice")
+    val digits = Tables.lineitem(s, d)
+      .filter(x > 0)
+      .select(floor(x / pow(lit(10.0), floor(log10(x)))).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum("n").as("t"))
+    val scored = digits.crossJoin(broadcast(tot))
+      .withColumn("freq", round(col("n").cast("double") / col("t"), 4))
+      .withColumn("benford_p",
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 4))
+    val mad = scored
+      .agg(round(avg(abs(col("freq") - col("benford_p"))), 4).as("mad"))
+    scored.crossJoin(broadcast(mad))
+      .select("digit", "n", "freq", "benford_p", "mad")
+  }
+
+  private val q202Sql: String =
+    """WITH digits AS (
+      |  SELECT CAST(floor(l_extendedprice
+      |           / 10 ** floor(log10(l_extendedprice))) AS INT) AS digit,
+      |         count(*) AS n
+      |  FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM digits),
+      |scored AS (
+      |  SELECT digit, n, round(n * 1.0 / t, 4) AS freq,
+      |         round(log10(1.0 + 1.0 / digit), 4) AS benford_p
+      |  FROM digits CROSS JOIN tot),
+      |mad AS (SELECT round(avg(abs(freq - benford_p)), 4) AS mad FROM scored)
+      |SELECT digit, n, freq, benford_p, mad FROM scored CROSS JOIN mad""".stripMargin
+
+  // ---------------------------------------------------------------- q203
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the edge list — one number that says whether
+    * hubs attach to hubs (r > 0, social-graph style) or hubs to leaves
+    * (r < 0, web/biology style). The summary statistic OVER the graph
+    * family: it predicts whether q191's k-core is deep or shallow and how
+    * skewed q195's walk visit-distribution will be, and on a trade graph
+    * a sudden assortativity shift means the buying structure changed.
+    *
+    * Shape: two keyed aggregates (distinct edge pairs, then per-node
+    * degrees), two keyed joins to attach endpoint degrees, one `corr`
+    * aggregate — every stage an equi-join on node id; no window, no
+    * iteration, output is a single row. */
+  private def q203(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("cust"),
+        (col("l_suppkey") * 2 + 1).as("supp")).distinct()
+    val e = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+      .union(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("dg"))
+    e.join(deg, "src")
+      .withColumnRenamed("dg", "ds")
+      .join(deg.withColumnRenamed("src", "dst").withColumnRenamed("dg", "dt"), "dst")
+      .agg((count(lit(1)) / 2).cast("long").as("n_edges"),
+        round(avg("ds"), 4).as("avg_deg"),
+        round(corr(col("ds").cast("double"), col("dt").cast("double")), 4)
+          .as("assortativity"))
+  }
+
+  private val q203Sql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT o.o_custkey * 2 AS cust, l.l_suppkey * 2 + 1 AS supp
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |e AS (SELECT cust AS src, supp AS dst FROM pairs
+      |      UNION ALL SELECT supp AS src, cust AS dst FROM pairs),
+      |deg AS (SELECT src, count(*) AS dg FROM e GROUP BY 1)
+      |SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
+      |       round(avg(ds.dg), 4) AS avg_deg,
+      |       round(corr(CAST(ds.dg AS DOUBLE), CAST(dt.dg AS DOUBLE)), 4)
+      |         AS assortativity
+      |FROM e JOIN deg ds ON ds.src = e.src JOIN deg dt ON dt.src = e.dst""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q108_zscore_outliers", q108, Some(q108Sql)),
     GraftQuery("q109_funnel", q109, Some(q109Sql)),
@@ -973,5 +1145,8 @@ object Relational11 {
     GraftQuery("q185_triangle_count", q185, Some(q185Sql)),
     GraftQuery("q186_basket_rules", q186, Some(q186Sql)),
     GraftQuery("q191_kcore", q191, Some(q191Sql)),
-    GraftQuery("q195_deepwalk", q195, Some(q195Sql)))
+    GraftQuery("q195_deepwalk", q195, Some(q195Sql)),
+    GraftQuery("q201_hits", q201, Some(q201Sql)),
+    GraftQuery("q202_benford", q202, Some(q202Sql)),
+    GraftQuery("q203_assortativity", q203, Some(q203Sql)))
 }

@@ -670,4 +670,33 @@ class LlmSpec extends AnyFunSuite {
     assert(got == expected,
       s"mutual pairs diverge:\n  got=$got\n  expected=$expected")
   }
+
+  test("q199 dedup kappa matches the closed-form recompute on sf0.001") {
+    // independent plain-Scala recompute of both raters and Cohen's kappa
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    def key(t: String, n: Int, suffix: Boolean): String = {
+      val w = t.split(" ", -1)
+      (if (suffix) w.takeRight(n) else w.take(n)).mkString(" ")
+    }
+    val pc = docs.groupBy(key(_, 4, suffix = false)).map { case (k, v) => k -> v.length }
+    val sc = docs.groupBy(key(_, 2, suffix = true)).map { case (k, v) => k -> v.length }
+    val flags = docs.map(t => (
+      if (pc(key(t, 4, suffix = false)) > 1) 1 else 0,
+      if (sc(key(t, 2, suffix = true)) > 1) 1 else 0))
+    val n = flags.length.toDouble
+    val n11 = flags.count(f => f._1 == 1 && f._2 == 1)
+    val n00 = flags.count(f => f._1 == 0 && f._2 == 0)
+    val n10 = flags.count(f => f._1 == 1 && f._2 == 0)
+    val n01 = flags.count(f => f._1 == 0 && f._2 == 1)
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val po = r4((n00 + n11) / n)
+    val pe = r4(((n10 + n11).toDouble * (n01 + n11)
+      + (n00 + n01).toDouble * (n00 + n10)) / (n * n))
+    val row = Dedup.dedupKappa(spark, sf).collect()(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ==
+      ((n00.toLong, n01.toLong, n10.toLong, n11.toLong)), "contingency table diverges")
+    assert(row.getDouble(5) == po && row.getDouble(6) == pe, "po/pe diverge")
+    assert(row.getDouble(7) == r4((po - pe) / (1.0 - pe)), "kappa diverges")
+  }
 }

@@ -525,7 +525,19 @@ class PlanQualitySpec extends AnyFunSuite {
       // min/max bounds broadcast and the constant KsBins-row bin grid
       // (source × 100 rows) — the q172 side-table pattern; the CDF
       // window is keyed by source with ≤ KsBins rows per partition.
-      ("q200_ks_distance", "nested-loop"))
+      ("q200_ks_distance", "nested-loop"),
+      // (q201 HITS has per-half-step single-row max-normalizer broadcasts
+      // of the q100 class, but they sit behind the per-round checkpoints,
+      // so the registered plan the sweep sees is checkpoint scans + the
+      // TakeOrderedAndProject union — no whitelist entry needed.)
+      // Benford audit (Relational11 q202): single-row total and MAD
+      // broadcasts over a 9-row digit frame.
+      ("q202_benford", "nested-loop"),
+      // Binned AUC (Curation q204): single-row bounds broadcast; the
+      // cumulative-negative window runs over ≤ KsBins (100) rows — the
+      // q190 bounded-grid argument.
+      ("q204_binned_auc", "nested-loop"),
+      ("q204_binned_auc", "global-window"))
     def offenders(df: DataFrame): Seq[String] = {
       // manual subquery recursion: collectWithSubqueries casts every
       // PlanExpression plan to SparkPlan, but at the sparkPlan stage
