@@ -1271,6 +1271,86 @@ object Curation {
       |             / (sum(np) * sum(nn)), 4) AS auc
       |FROM cum""".stripMargin
 
+  // ---------------------------------------------------------------- q205
+  /** Poisson-bootstrap confidence intervals (Chamandy et al., Google 2012
+    * — "Estimating uncertainty for massive data streams") for the mean
+    * quality score per source: classical bootstrap resamples n rows WITH
+    * replacement B times — a shuffle of B corpus copies — while the
+    * Poisson bootstrap gives each row an independent Poisson(1) weight
+    * per replicate, turning resampling into ONE map-side weight expression
+    * (the multinomial→Poisson approximation every at-scale uncertainty
+    * system uses). Replicate weights are the inverse-CDF of a seeded
+    * uniform hash (the q163 determinism contract: draws replay
+    * bit-identically on both engines), truncated at 4 (P(W>4) < 0.4%,
+    * absorbed into the 4-bucket — documented bias far below the CI
+    * width). Output: per-source point mean and the 2.5%/97.5% bootstrap
+    * percentiles over [[BootReps]] replicate means.
+    *
+    * Shape: docs × [[BootReps]] exploded replicate stream collapses
+    * map-side into (source, rep) partial sums — the only corpus-scale
+    * shuffle carries B rows per (source × partition); the percentile
+    * fold runs over the B-row replicate table per source. Overflow-safe
+    * pre-reduced modular hash (ADVICE-r07 lesson). */
+  private val BootReps = 32
+  private val BootP = 1000003L
+  private val BootA = 2654435761L % BootP
+
+  def poissonBootstrap(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        round(col("n_chars").cast("double")
+          / size(split(col("text"), " ")), 4).as("score"))
+    val w = when(col("u") < 0.367879, 0)
+      .when(col("u") < 0.735759, 1)
+      .when(col("u") < 0.919699, 2)
+      .when(col("u") < 0.981012, 3)
+      .otherwise(4)
+    val means = scored
+      .select(col("doc_id"), col("source"), col("score"),
+        explode(sequence(lit(0), lit(BootReps - 1))).as("b"))
+      .withColumn("u",
+        (((col("doc_id") % BootP) * BootA + col("b") * 131) % BootP)
+          .cast("double") / BootP)
+      .withColumn("w", w)
+      .groupBy("source", "b")
+      .agg((sum(col("w") * col("score")) / sum("w")).as("m"))
+    val pt = scored.groupBy("source").agg(round(avg("score"), 4).as("mean_score"))
+    means.groupBy("source")
+      .agg(round(expr("percentile(m, 0.025)"), 4).as("ci_lo"),
+        round(expr("percentile(m, 0.975)"), 4).as("ci_hi"),
+        count(lit(1)).as("n_reps"))
+      .join(pt, "source")
+      .select("source", "mean_score", "ci_lo", "ci_hi", "n_reps")
+  }
+
+  val poissonBootstrapSql: String =
+    s"""WITH scored AS (
+      |  SELECT doc_id, source,
+      |         round(n_chars * 1.0 / len(string_split(text, ' ')), 4) AS score
+      |  FROM documents),
+      |reps AS (
+      |  SELECT source, score,
+      |         ((doc_id % $BootP) * $BootA + b * 131) % $BootP * 1.0 / $BootP AS u,
+      |         b
+      |  FROM scored CROSS JOIN (SELECT unnest(range($BootReps)) AS b)),
+      |weighted AS (
+      |  SELECT source, b, score,
+      |         CASE WHEN u < 0.367879 THEN 0 WHEN u < 0.735759 THEN 1
+      |              WHEN u < 0.919699 THEN 2 WHEN u < 0.981012 THEN 3
+      |              ELSE 4 END AS w
+      |  FROM reps),
+      |means AS (
+      |  SELECT source, b, sum(w * score) / sum(w) AS m
+      |  FROM weighted GROUP BY 1, 2),
+      |pt AS (SELECT source, round(avg(score), 4) AS mean_score
+      |       FROM scored GROUP BY 1)
+      |SELECT source, mean_score,
+      |       round(percentile_cont(0.025) WITHIN GROUP (ORDER BY m), 4) AS ci_lo,
+      |       round(percentile_cont(0.975) WITHIN GROUP (ORDER BY m), 4) AS ci_hi,
+      |       count(*) AS n_reps
+      |FROM means JOIN pt USING (source)
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q163_weighted_sample", weightedSample _, Some(weightedSampleSql)),
     GraftQuery("q172_neyman_sample", neymanSample _, Some(neymanSampleSql)),
@@ -1297,5 +1377,6 @@ object Curation {
     GraftQuery("q183_unimax_alloc", unimaxAlloc _, Some(unimaxAllocSql)),
     GraftQuery("q197_quantile_norm", quantileNorm _, Some(quantileNormSql)),
     GraftQuery("q200_ks_distance", ksDistance _, Some(ksDistanceSql)),
-    GraftQuery("q204_binned_auc", binnedAuc _, Some(binnedAucSql)))
+    GraftQuery("q204_binned_auc", binnedAuc _, Some(binnedAucSql)),
+    GraftQuery("q205_poisson_bootstrap", poissonBootstrap _, Some(poissonBootstrapSql)))
 }

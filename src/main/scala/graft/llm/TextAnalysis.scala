@@ -701,6 +701,57 @@ object TextAnalysis {
       |  FROM chi)
       |WHERE rk <= $Chi2TopK""".stripMargin
 
+  // ---------------------------------------------------------------- q206
+  /** Pairwise vocabulary Jaccard between sources — the corpus-level
+    * overlap matrix that decides dedup ORDER (dedup the high-overlap
+    * source pairs against each other first; a disjoint pair can run
+    * embarrassingly parallel) and flags mirror feeds before q36 ever
+    * pays for document-level MinHash. The source-granular sibling of
+    * q169's doc containment and q147's distributional drift — this one
+    * is SET overlap, exact.
+    *
+    * Shape: one (source, word) distinct aggregate (the only corpus-scale
+    * shuffle), then a word-keyed self-join whose per-word fan-out is
+    * C(sources_containing_word, 2) ≤ C(|sources|, 2) — bounded by the
+    * SQUARE OF SOURCE CARDINALITY (~O(100²) in any real lake), never by
+    * vocabulary or corpus size; sizes are a |sources|-row broadcast. */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val sw = Tables.documents(s, d)
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "").distinct()
+    val sizes = sw.groupBy("source").agg(count(lit(1)).as("nv"))
+    val inter = sw.join(sw.withColumnRenamed("source", "source_b"), "w")
+      .filter(col("source") < col("source_b"))
+      .groupBy(col("source").as("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.withColumnRenamed("source", "source_a")
+        .withColumnRenamed("nv", "na")), "source_a")
+      .join(broadcast(sizes.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("nv", "nb")), "source_b")
+      .select(col("source_a"), col("source_b"), col("na"), col("nb"),
+        col("inter"),
+        round(col("inter").cast("double")
+          / (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
+  }
+
+  val sourceOverlapSql: String =
+    """WITH sw AS (
+      |  SELECT DISTINCT source, w FROM (
+      |    SELECT source, unnest(string_split(lower(text), ' ')) AS w
+      |    FROM documents)
+      |  WHERE w <> ''),
+      |sizes AS (SELECT source, count(*) AS nv FROM sw GROUP BY 1),
+      |inter AS (
+      |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS inter
+      |  FROM sw a JOIN sw b ON a.w = b.w AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT source_a, source_b, sa.nv AS na, sb.nv AS nb, inter,
+      |       round(inter * 1.0 / (sa.nv + sb.nv - inter), 4) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.source = source_a
+      |JOIN sizes sb ON sb.source = source_b""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q30_text_stats", textStats _, Some(textStatsSql)),
     GraftQuery("q31_token_count", tokenCount _, Some(tokenCountSql)),
@@ -717,5 +768,6 @@ object TextAnalysis {
     GraftQuery("q189_zipf_slope", zipfSlope _, Some(zipfSlopeSql)),
     GraftQuery("q190_heaps_law", heapsLaw _, Some(heapsLawSql)),
     GraftQuery("q192_naive_bayes", naiveBayes _, Some(naiveBayesSql)),
-    GraftQuery("q198_chi2_keywords", chi2Keywords _, Some(chi2KeywordsSql)))
+    GraftQuery("q198_chi2_keywords", chi2Keywords _, Some(chi2KeywordsSql)),
+    GraftQuery("q206_source_overlap", sourceOverlap _, Some(sourceOverlapSql)))
 }

@@ -1127,6 +1127,62 @@ object Relational11 {
       |         AS assortativity
       |FROM e JOIN deg ds ON ds.src = e.src JOIN deg dt ON dt.src = e.dst""".stripMargin
 
+  // ---------------------------------------------------------------- q207
+  /** EWMA control chart (Roberts 1959; the SPC workhorse) over hourly
+    * event rates: each (type, hour) cell is compared against the
+    * exponentially-weighted mean of its [[EwmaLag]] PRIOR hours and
+    * flagged when it escapes the ±3·√ewma Poisson-style control band —
+    * the ingest-monitoring tripwire that catches a feed going quiet or a
+    * scraper going runaway hours before q147's distributional drift can
+    * see it. Complements q108 (global z-score — no time structure) and
+    * q175 (sliding mean — uniform weights, no flag).
+    *
+    * Shape: ONE corpus-scale shuffle (the (type, hour) count); the EWMA
+    * is then an exact-offset equi-join — each cell explodes its
+    * [[EwmaLag]] lag offsets and joins on (type, hour−j·3600) — so the
+    * fan-out is a CONSTANT 24×, never an hours² theta join, and the
+    * frame it runs on is time-span-sized (hours × types), not
+    * corpus-sized. Weights λ^(j−1) are closed-form per row; both engines
+    * fold the identical weighted sums, rounded 4 dp. */
+  private val EwmaLag = 24
+  private val EwmaLambda = 0.7
+
+  private def q207(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val lagged = hourly
+      .select(col("event_type"), col("h").as("hp"), col("n").as("np"),
+        explode(sequence(lit(1), lit(EwmaLag))).as("j"))
+      .withColumn("h", col("hp") + expr("make_interval(0, 0, 0, 0, j, 0, 0)"))
+    val ew = lagged.groupBy("event_type", "h")
+      .agg((sum(pow(lit(EwmaLambda), col("j") - 1) * col("np"))
+        / sum(pow(lit(EwmaLambda), col("j") - 1))).as("ewma"))
+    hourly.join(ew, Seq("event_type", "h"))
+      .withColumn("dev", col("n") - col("ewma"))
+      .select(col("event_type"), col("h").as("hour"), col("n"),
+        round(col("ewma"), 4).as("ewma"),
+        (abs(col("dev")) > lit(3.0) * sqrt(col("ewma"))).as("out_of_control"))
+  }
+
+  private val q207Sql: String =
+    s"""$EvCte,
+      |hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+      |  FROM ev GROUP BY 1, 2),
+      |lagged AS (
+      |  SELECT event_type, h + to_hours(j) AS h,
+      |         $EwmaLambda ** (j - 1) * n AS wn, $EwmaLambda ** (j - 1) AS wt
+      |  FROM hourly CROSS JOIN (SELECT unnest(range(1, ${EwmaLag + 1})) AS j)),
+      |ew AS (
+      |  SELECT event_type, h, sum(wn) / sum(wt) AS ewma
+      |  FROM lagged GROUP BY 1, 2)
+      |SELECT hourly.event_type, hourly.h AS hour, n, round(ewma, 4) AS ewma,
+      |       abs(n - ewma) > 3.0 * sqrt(ewma) AS out_of_control
+      |FROM hourly JOIN ew ON hourly.event_type = ew.event_type
+      |                   AND hourly.h = ew.h""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q108_zscore_outliers", q108, Some(q108Sql)),
     GraftQuery("q109_funnel", q109, Some(q109Sql)),
@@ -1148,5 +1204,6 @@ object Relational11 {
     GraftQuery("q195_deepwalk", q195, Some(q195Sql)),
     GraftQuery("q201_hits", q201, Some(q201Sql)),
     GraftQuery("q202_benford", q202, Some(q202Sql)),
-    GraftQuery("q203_assortativity", q203, Some(q203Sql)))
+    GraftQuery("q203_assortativity", q203, Some(q203Sql)),
+    GraftQuery("q207_ewma_chart", q207, Some(q207Sql)))
 }
