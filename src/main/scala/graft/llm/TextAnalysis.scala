@@ -752,6 +752,43 @@ object TextAnalysis {
       |JOIN sizes sa ON sa.source = source_a
       |JOIN sizes sb ON sb.source = source_b""".stripMargin
 
+  // ---------------------------------------------------------------- hill
+  /** Hill tail-index estimator (Hill 1975) over document lengths:
+    * α̂ = 1 / mean(ln(x_(i)/x_(k))) over the top-[[HillK]] order
+    * statistics — the standard heavy-tail exponent. Where q189 fits the
+    * FREQUENCY spectrum's slope, this fits the LENGTH tail: α ≲ 2 means
+    * documents with unbounded variance dominate token mass, which is what
+    * decides whether q88's chunker and q115's packer see a benign or an
+    * adversarial length distribution at 100 TB.
+    *
+    * Shape: the top-k order statistics come from orderBy+limit
+    * (TakeOrderedAndProject, the q100 lesson — never a global rank
+    * window); the estimator is one aggregate over those k rows. x_(k) is
+    * the k-th largest = the min of the retained set, folded in the same
+    * aggregate. Tiebreak on doc_id makes the retained SET engine-
+    * identical even when lengths tie at the cut. */
+  private val HillK = 200
+
+  def hillTailIndex(s: SparkSession, d: String): DataFrame = {
+    val top = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars").cast("double").as("x"))
+      .orderBy(col("x").desc, col("doc_id")).limit(HillK)
+      .localCheckpoint(true) // referenced twice: the cut value + the fold
+    val cut = top.agg(min("x").as("xkv"))
+    top.crossJoin(broadcast(cut)).agg(
+      count(lit(1)).as("k"),
+      min("x").cast("long").as("xk"),
+      round(lit(1.0) / avg(log(col("x") / col("xkv"))), 4).as("hill_alpha"))
+  }
+
+  val hillTailIndexSql: String =
+    s"""WITH top AS (
+      |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS x FROM documents
+      |  ORDER BY x DESC, doc_id LIMIT $HillK)
+      |SELECT count(*) AS k, CAST(min(x) AS BIGINT) AS xk,
+      |       round(1.0 / avg(ln(x / (SELECT min(x) FROM top))), 4) AS hill_alpha
+      |FROM top""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q30_text_stats", textStats _, Some(textStatsSql)),
     GraftQuery("q31_token_count", tokenCount _, Some(tokenCountSql)),
@@ -769,5 +806,6 @@ object TextAnalysis {
     GraftQuery("q190_heaps_law", heapsLaw _, Some(heapsLawSql)),
     GraftQuery("q192_naive_bayes", naiveBayes _, Some(naiveBayesSql)),
     GraftQuery("q198_chi2_keywords", chi2Keywords _, Some(chi2KeywordsSql)),
-    GraftQuery("q206_source_overlap", sourceOverlap _, Some(sourceOverlapSql)))
+    GraftQuery("q206_source_overlap", sourceOverlap _, Some(sourceOverlapSql)),
+    GraftQuery("q208_hill_tail", hillTailIndex _, Some(hillTailIndexSql)))
 }

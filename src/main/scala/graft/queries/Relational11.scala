@@ -1183,6 +1183,89 @@ object Relational11 {
       |FROM hourly JOIN ew ON hourly.event_type = ew.event_type
       |                   AND hourly.h = ew.h""".stripMargin
 
+  // ---------------------------------------------------------------- q209
+  /** Weekly seasonality profile: the (day-of-week × hour) activity index
+    * n(dow,h) / mean-cell-count — the load-shape table that separates
+    * "traffic doubled" from "it's Monday 9am" before q207's control chart
+    * alarms on it, and the de-seasonalization divisor a forecast
+    * baseline starts from. One corpus-scale shuffle (the 168-key cell
+    * count); the mean is a single-row broadcast over the cell frame.
+    * Day-of-week is normalized to 0=Sunday on both engines (Spark
+    * dayofweek() is 1-based, DuckDB's is 0-based). */
+  private def q209(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.events(s, d)
+      .groupBy((dayofweek(col("ts")) - 1).as("dow"),
+        hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val mean = cells.agg(avg("n").as("m"))
+    cells.crossJoin(broadcast(mean))
+      .select(col("dow"), col("hr"), col("n"),
+        round(col("n") / col("m"), 4).as("seasonal_index"))
+  }
+
+  private val q209Sql: String =
+    s"""$EvCte,
+      |cells AS (
+      |  SELECT CAST(dayofweek(ts) AS INT) AS dow, CAST(hour(ts) AS INT) AS hr,
+      |         count(*) AS n
+      |  FROM ev GROUP BY 1, 2),
+      |mean AS (SELECT avg(n) AS m FROM cells)
+      |SELECT dow, hr, n, round(n / m, 4) AS seasonal_index
+      |FROM cells CROSS JOIN mean""".stripMargin
+
+  // ---------------------------------------------------------------- q210
+  /** Cohort half-life fit: exponential-decay regression over each
+    * cohort's retention curve — ln r(t) ~ slope·t by OLS, half-life =
+    * −ln 2 / slope. Turns q110's retention TABLE into one comparable
+    * number per cohort (the metric a growth team actually tracks), and
+    * joins q189/q190/q208 in the model-fitting family: aggregate to a
+    * small curve, fit with regr_*, never a driver loop. Cohorts whose
+    * fitted slope isn't a decay (≥ 0, or a single-point curve) are
+    * filtered identically on both engines. Shapes: cohort assignment is
+    * one min-aggregate; the (cohort, offset) distinct count is the only
+    * corpus-scale shuffle (q110's cell frame); the fit aggregates that
+    * curve per cohort. */
+  private def q210(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val cohort = e.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    val cellsRaw = e.join(cohort, "user_id")
+      .withColumn("offset_wk",
+        (datediff(col("wk"), col("cohort_wk")) / 7).cast("int"))
+      .groupBy("cohort_wk", "offset_wk")
+      .agg(countDistinct("user_id").as("n_active"))
+    val base = cellsRaw.filter(col("offset_wk") === 0)
+      .select(col("cohort_wk"), col("n_active").as("n0"))
+    cellsRaw.join(base, "cohort_wk")
+      .withColumn("lnr", log(col("n_active").cast("double") / col("n0")))
+      .groupBy("cohort_wk")
+      .agg(first("n0").as("n0"), count(lit(1)).as("n_weeks"),
+        round(regr_slope(col("lnr"), col("offset_wk")), 4).as("decay_slope"))
+      .filter(col("decay_slope") < 0)
+      .withColumn("half_life_wk",
+        round(lit(-math.log(2.0)) / col("decay_slope"), 4))
+  }
+
+  private val q210Sql: String =
+    s"""$EvCte,
+      |e AS (SELECT user_id, date_trunc('week', ts) AS wk FROM ev),
+      |cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1),
+      |cells AS (
+      |  SELECT cohort_wk, CAST(date_diff('day', cohort_wk, wk) / 7 AS INT)
+      |           AS offset_wk,
+      |         count(DISTINCT user_id) AS n_active
+      |  FROM e JOIN cohort USING (user_id) GROUP BY 1, 2),
+      |base AS (SELECT cohort_wk, n_active AS n0 FROM cells WHERE offset_wk = 0),
+      |fit AS (
+      |  SELECT cohort_wk, any_value(n0) AS n0, count(*) AS n_weeks,
+      |         round(regr_slope(ln(n_active * 1.0 / n0), offset_wk), 4)
+      |           AS decay_slope
+      |  FROM cells JOIN base USING (cohort_wk)
+      |  GROUP BY 1)
+      |SELECT cohort_wk, n0, n_weeks, decay_slope,
+      |       round(${-math.log(2.0)} / decay_slope, 4) AS half_life_wk
+      |FROM fit WHERE decay_slope < 0""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q108_zscore_outliers", q108, Some(q108Sql)),
     GraftQuery("q109_funnel", q109, Some(q109Sql)),
@@ -1205,5 +1288,7 @@ object Relational11 {
     GraftQuery("q201_hits", q201, Some(q201Sql)),
     GraftQuery("q202_benford", q202, Some(q202Sql)),
     GraftQuery("q203_assortativity", q203, Some(q203Sql)),
-    GraftQuery("q207_ewma_chart", q207, Some(q207Sql)))
+    GraftQuery("q207_ewma_chart", q207, Some(q207Sql)),
+    GraftQuery("q209_seasonality", q209, Some(q209Sql)),
+    GraftQuery("q210_churn_halflife", q210, Some(q210Sql)))
 }

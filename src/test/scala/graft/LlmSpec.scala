@@ -671,6 +671,42 @@ class LlmSpec extends AnyFunSuite {
       s"mutual pairs diverge:\n  got=$got\n  expected=$expected")
   }
 
+  test("q196 k-center picks match the plain-Scala greedy recompute on sf0.001") {
+    // independent greedy farthest-point run with the same rounding/tiebreak
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      // same association as the engine: |a|² + |b|² − 2·a·b, each dot a
+      // left-to-right fold
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.indices.foldLeft(0.0)((s, i) => s + x(i) * y(i))
+      r4(dot(a, a) + dot(b, b) - 2.0 * dot(a, b))
+    }
+    var picks = Vector(rows.head._1)
+    var dmin = rows.map(r => d2(r._2, rows.head._2))
+    val expected = scala.collection.mutable.ArrayBuffer((1, rows.head._1, 0.0))
+    for (i <- 2 to 8) {
+      val best = rows.indices.maxBy(ix => (dmin(ix), -rows(ix)._1))
+      expected += ((i, rows(best)._1, dmin(best)))
+      picks :+= rows(best)._1
+      if (i < 8) {
+        val cv = rows(best)._2
+        dmin = rows.indices.map(ix => math.min(dmin(ix), d2(rows(ix)._2, cv))).toArray
+      }
+    }
+    val got = Similarity.kcenterSelect(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(3)))
+    assert(got.toSeq == expected.toSeq,
+      s"pick sequence diverges:\n got=${got.toSeq}\n exp=${expected.toSeq}")
+    // coverage radii must be non-increasing (the Gonzalez invariant)
+    val radii = got.drop(1).map(_._3)
+    assert(radii.zip(radii.drop(1)).forall { case (a, b) => b <= a },
+      s"radius sequence not monotone: ${radii.toSeq}")
+  }
+
   test("q199 dedup kappa matches the closed-form recompute on sf0.001") {
     // independent plain-Scala recompute of both raters and Cohen's kappa
     val docs = spark.read.parquet(s"$sf/documents.parquet")

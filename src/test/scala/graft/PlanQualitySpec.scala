@@ -537,7 +537,13 @@ class PlanQualitySpec extends AnyFunSuite {
       // cumulative-negative window runs over ≤ KsBins (100) rows — the
       // q190 bounded-grid argument.
       ("q204_binned_auc", "nested-loop"),
-      ("q204_binned_auc", "global-window"))
+      ("q204_binned_auc", "global-window"),
+      // Hill tail index (TextAnalysis q208): single-row cut-value
+      // broadcast over the post-TakeOrdered 200-row frame (q100 pattern).
+      ("q208_hill_tail", "nested-loop"),
+      // Seasonality (Relational11 q209): single-row mean broadcast over
+      // the 168-row (dow × hour) cell frame.
+      ("q209_seasonality", "nested-loop"))
     def offenders(df: DataFrame): Seq[String] = {
       // manual subquery recursion: collectWithSubqueries casts every
       // PlanExpression plan to SparkPlan, but at the sparkPlan stage
