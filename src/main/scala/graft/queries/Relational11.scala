@@ -1266,6 +1266,60 @@ object Relational11 {
       |       round(${-math.log(2.0)} / decay_slope, 4) AS half_life_wk
       |FROM fit WHERE decay_slope < 0""".stripMargin
 
+  // ---------------------------------------------------------------- q211
+  /** Join-key skew report — the PLANNING diagnostic behind every salting
+    * decision (q150) and AQE skew-join threshold: for each candidate join
+    * key, the frequency-distribution statistics that predict whether one
+    * reducer will own the join. Deliberately SORT-FREE so the diagnostic
+    * itself scales: Herfindahl index Σ(share²) and top-1 share need no
+    * rank over the key space (a global frequency sort is exactly the
+    * scale-killer this report exists to prevent); the p50/p99 frequency
+    * quantiles fold with exact `percentile` over the key-count frame.
+    * skew_ratio = p99/p50 ≳ 10 or top1_share ≫ 1/n_keys is the "salt
+    * this key" tripwire.
+    *
+    * Shape per key: one keyed count (the only corpus-scale shuffle) and
+    * one fold over the key-count frame; the three audited keys union into
+    * a 3-row report. */
+  private def q211(s: SparkSession, d: String): DataFrame = {
+    def report(df: DataFrame, key: String, label: String): DataFrame = {
+      val counts = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+      counts.agg(
+        lit(label).as("join_key"),
+        count(lit(1)).as("n_keys"),
+        sum("c").as("n_rows"),
+        round(sum(col("c").cast("double") * col("c"))
+          / (sum("c") * sum("c")), 6).as("hhi"),
+        round(max("c").cast("double") / sum("c"), 6).as("top1_share"),
+        expr("percentile(c, 0.5)").as("p50"),
+        expr("percentile(c, 0.99)").as("p99"),
+        round(expr("percentile(c, 0.99)") / expr("percentile(c, 0.5)"), 4)
+          .as("skew_ratio"))
+    }
+    report(Tables.orders(s, d), "o_custkey", "orders.o_custkey")
+      .unionAll(report(Tables.lineitem(s, d), "l_partkey", "lineitem.l_partkey"))
+      .unionAll(report(Tables.lineitem(s, d), "l_suppkey", "lineitem.l_suppkey"))
+  }
+
+  private val q211Sql: String = {
+    def one(table: String, key: String) =
+      s"""SELECT '$table.$key' AS join_key, count(*) AS n_keys,
+        |       CAST(sum(c) AS BIGINT) AS n_rows,
+        |       round(sum(CAST(c AS DOUBLE) * c) / (sum(c) * sum(c)), 6) AS hhi,
+        |       round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top1_share,
+        |       percentile_cont(0.5) WITHIN GROUP (ORDER BY c) AS p50,
+        |       percentile_cont(0.99) WITHIN GROUP (ORDER BY c) AS p99,
+        |       round(percentile_cont(0.99) WITHIN GROUP (ORDER BY c)
+        |             / percentile_cont(0.5) WITHIN GROUP (ORDER BY c), 4)
+        |         AS skew_ratio
+        |FROM (SELECT $key AS k, count(*) AS c FROM $table GROUP BY 1)""".stripMargin
+    s"""${one("orders", "o_custkey")}
+      |UNION ALL
+      |${one("lineitem", "l_partkey")}
+      |UNION ALL
+      |${one("lineitem", "l_suppkey")}""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q108_zscore_outliers", q108, Some(q108Sql)),
     GraftQuery("q109_funnel", q109, Some(q109Sql)),
@@ -1290,5 +1344,6 @@ object Relational11 {
     GraftQuery("q203_assortativity", q203, Some(q203Sql)),
     GraftQuery("q207_ewma_chart", q207, Some(q207Sql)),
     GraftQuery("q209_seasonality", q209, Some(q209Sql)),
-    GraftQuery("q210_churn_halflife", q210, Some(q210Sql)))
+    GraftQuery("q210_churn_halflife", q210, Some(q210Sql)),
+    GraftQuery("q211_skew_report", q211, Some(q211Sql)))
 }

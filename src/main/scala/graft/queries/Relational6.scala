@@ -86,7 +86,7 @@ object Relational6 {
       .select("o_custkey", "n_orders")
   }
 
-  private val q65Sql =
+  private[graft] val q65Sql =
     """SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1
       |HAVING count(*) > (SELECT count(*) FROM orders) / 1000.0""".stripMargin
 

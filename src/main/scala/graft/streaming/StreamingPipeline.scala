@@ -661,6 +661,31 @@ object StreamingPipeline {
     s.table(sink).localCheckpoint(true)
   }
 
+  /** q65b — streaming heavy hitters under q65's DuckDB oracle: the per-key
+    * order count runs as a complete-mode streaming aggregation (the state
+    * store holds exactly the key→count map the batch query's Misra-Gries
+    * pass sketches), and the frequency threshold — which needs the GRAND
+    * total, unavailable inside a single streaming aggregation — is the
+    * post-drain static step, the same role q65's exact second pass plays.
+    * At 100 TB the state-per-key complete aggregation is the honest cost
+    * of EXACT streaming heavy hitters; the bounded-state production
+    * variant merges the [[graft.functions.MisraGries]] typed aggregator
+    * per micro-batch in foreachBatch and inherits its n/1025 guarantee —
+    * both end in the same threshold math this query gates. */
+  def q65StreamHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/orders.parquet").schema
+    val counts = tableStream(s, d, "orders")(schema)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+    val sink = s"q65b_mem_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = counts.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val t = s.table(sink).localCheckpoint(true)
+    t.crossJoin(broadcast(t.agg(sum("n_orders").as("total"))))
+      .filter(col("n_orders") > col("total") / lit(1000.0))
+      .select("o_custkey", "n_orders")
+  }
+
   val queries: Seq[graft.queries.GraftQuery] = Seq(
     graft.queries.GraftQuery("q21b_stream_pipeline", q21StreamPipeline _,
       Some(Pipeline.q21ZonesOracleSql)),
@@ -677,7 +702,9 @@ object StreamingPipeline {
     graft.queries.GraftQuery("q35b_stream_dedup", q35StreamDedup _,
       Some(graft.llm.Dedup.exactDedupSql)),
     graft.queries.GraftQuery("q51b_stream_sessionize", q51StreamSessionize _,
-      Some(graft.queries.Relational4.q51Sql)))
+      Some(graft.queries.Relational4.q51Sql)),
+    graft.queries.GraftQuery("q65b_stream_heavy_hitters", q65StreamHeavyHitters _,
+      Some(graft.queries.Relational6.q65Sql)))
 }
 
 /** StatefulProcessor for [[StreamingPipeline.userStatsTws]]: one named

@@ -543,7 +543,11 @@ class PlanQualitySpec extends AnyFunSuite {
       ("q208_hill_tail", "nested-loop"),
       // Seasonality (Relational11 q209): single-row mean broadcast over
       // the 168-row (dow × hour) cell frame.
-      ("q209_seasonality", "nested-loop"))
+      ("q209_seasonality", "nested-loop"),
+      // Streaming heavy hitters (q65b): the post-drain threshold's
+      // single-row grand-total broadcast over the drained key-count sink
+      // (the q65/q100 pattern).
+      ("q65b_stream_heavy_hitters", "nested-loop"))
     def offenders(df: DataFrame): Seq[String] = {
       // manual subquery recursion: collectWithSubqueries casts every
       // PlanExpression plan to SparkPlan, but at the sparkPlan stage
