@@ -1040,6 +1040,178 @@ object Similarity {
       |$union""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q213
+  /** MMR re-ranking (Carbonell & Goldstein, SIGIR 1998): re-order the
+    * query's top-[[MmrPool]] cosine shortlist by Maximal Marginal
+    * Relevance — pick_i = argmax λ·rel(c) − (1−λ)·max_{s∈picked}
+    * sim(c, s) — the diversity-aware final stage of every retrieval
+    * stack (q39/q56 produce the shortlist; MMR stops it from returning
+    * five copies of the same document — the retrieval-side twin of
+    * q196's corpus-side k-center). λ = [[MmrLambda]], [[MmrK]] picks.
+    *
+    * The DISTRIBUTED work is the shortlist: corpus-scale scoring into a
+    * TakeOrderedAndProject top-20 (the q39 plan). The greedy loop then
+    * runs on that bounded 20-row frame as driver state (the eagerTopK
+    * shortlist class) — at any corpus size the loop's input is 20 rows,
+    * so globalizing it would buy nothing (the q194 lesson from the other
+    * side). Every relevance/similarity is ROUNDED 4 dp before any argmax
+    * and ties break on vec_id, so the pick SEQUENCE is engine-identical;
+    * the SQL oracle unrolls the same greedy rounds over the same
+    * shortlist CTE. */
+  private val MmrPool = 20
+  private val MmrK = 5
+  private val MmrLambda = 0.7
+
+  def mmrRerank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, d)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), sqrt(dot(col("v"), col("v"))).as("qnorm"))
+    val shortlist = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("rel",
+        round(dot(col("v"), col("qv")) / (sqrt(dot(col("v"), col("v"))) * col("qnorm")), 4))
+      .orderBy(col("rel").desc, col("vec_id")).limit(MmrPool)
+      .select("vec_id", "v", "rel")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def fold(x: Array[Double], y: Array[Double]) =
+        x.indices.foldLeft(0.0)((acc, i) => acc + x(i) * y(i))
+      r4(fold(a, b) / (math.sqrt(fold(a, a)) * math.sqrt(fold(b, b))))
+    }
+    var pool = shortlist.map { case (id, v, rel) => (id, v, rel, 0.0) }
+    val picks = scala.collection.mutable.ArrayBuffer[(Int, Long, Double, Double)]()
+    for (i <- 1 to MmrK) {
+      val scoredPool = pool.map { case (id, v, rel, mm) =>
+        (id, v, rel, mm, r4(MmrLambda * rel - (1 - MmrLambda) * mm))
+      }
+      val best = scoredPool.minBy { case (id, _, _, _, sc) => (-sc, id) }
+      picks += ((i, best._1, best._3, best._5))
+      pool = pool.filter(_._1 != best._1).map { case (id, v, rel, mm) =>
+        (id, v, rel, math.max(mm, cos(v, best._2)))
+      }
+    }
+    picks.toSeq.toDF("rank", "vec_id", "rel", "mmr_score")
+  }
+
+  val mmrRerankSql: String = {
+    val rounds = (1 to MmrK).map { i =>
+      val prev = s"m${i - 1}"
+      s"""p$i AS (
+        |  SELECT * FROM $prev
+        |  ORDER BY round($MmrLambda * rel - ${1 - MmrLambda} * mm, 4) DESC, vec_id
+        |  LIMIT 1),
+        |m$i AS (
+        |  SELECT c.vec_id, c.v, c.rel,
+        |         greatest(c.mm, round(list_cosine_similarity(c.v, p.v), 4)) AS mm
+        |  FROM $prev c CROSS JOIN p$i p WHERE c.vec_id <> p.vec_id)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to MmrK).map { i =>
+      s"SELECT CAST($i AS INT) AS rank, vec_id, rel, round($MmrLambda * rel - ${1 - MmrLambda} * mm, 4) AS mmr_score FROM p$i"
+    }.mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT v FROM e WHERE vec_id = 0),
+      |m0 AS (
+      |  SELECT vec_id, e.v, round(list_cosine_similarity(e.v, q.v), 4) AS rel,
+      |         0.0 AS mm
+      |  FROM e CROSS JOIN q WHERE vec_id <> 0
+      |  ORDER BY rel DESC, vec_id LIMIT $MmrPool),
+      |$rounds
+      |$out""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q214
+  /** NDCG@[[NdcgK]] retrieval-quality evaluation (Järvelin & Kekäläinen
+    * 2002) of the cosine ranking, with same-label membership as the
+    * relevance judgment: for each of [[NdcgQueries]] query vectors, score
+    * the corpus, take the top-k, and compare the discounted cumulative
+    * gain against the ideal ranking's — the metric that says whether the
+    * embedding space actually ranks in-class neighbors first (q39 returns
+    * the neighbors; this grades them; q204 is the binary-score analogue).
+    *
+    * Plan: one TakeOrderedAndProject top-k PER QUERY (a bounded constant
+    * of them — the q39 shape looped, never a corpus-sized rank window
+    * partitioned by query); DCG folds the k-row union; IDCG comes from
+    * the label-count side table joined to a k-row rank series — all
+    * constant-size frames after the scoring scans. */
+  private val NdcgK = 10
+  private val NdcgQueries = 5
+
+  def ndcgEval(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d).withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      .localCheckpoint(true) // scored once per query below
+    val tops = (0L until NdcgQueries).map { qid =>
+      val q = e.filter(col("vec_id") === qid)
+        .select(col("v").as("qv"), col("norm").as("qnorm"),
+          col("label").as("qlabel"))
+      e.filter(col("vec_id") =!= qid)
+        .crossJoin(broadcast(q))
+        .withColumn("cosine", round(dot(col("v"), col("qv"))
+          / (col("norm") * col("qnorm")), 4))
+        .orderBy(col("cosine").desc, col("vec_id")).limit(NdcgK)
+        .select(lit(qid).as("qid"), col("qlabel"),
+          when(col("label") === col("qlabel"), 1.0).otherwise(0.0).as("rel"),
+          row_number().over(
+            Window.orderBy(col("cosine").desc, col("vec_id"))).as("rk"))
+    }.reduce(_ unionAll _)
+    val dcg = tops.groupBy("qid")
+      .agg(first("qlabel").as("qlabel"),
+        sum(col("rel") / log2(col("rk") + 1)).as("dcg"),
+        sum("rel").cast("long").as("n_rel_topk"))
+    val labelCounts = e.groupBy("label").agg(count(lit(1)).as("nl"))
+    val idcg = dcg.join(broadcast(labelCounts),
+        col("qlabel") === col("label"))
+      .withColumn("r_total", col("nl") - 1) // exclude the query itself
+      .crossJoin(broadcast(
+        s.range(1, NdcgK + 1).select(col("id").as("j"))))
+      .filter(col("j") <= least(lit(NdcgK.toLong), col("r_total")))
+      .groupBy(col("qid").as("qid2"))
+      .agg(sum(lit(1.0) / log2(col("j") + 1)).as("idcg"))
+    dcg.join(idcg, col("qid") === col("qid2"))
+      .select(col("qid").cast("long").as("query_id"), col("n_rel_topk"),
+        round(col("dcg"), 4).as("dcg"),
+        round(col("dcg") / col("idcg"), 4).as("ndcg"))
+  }
+
+  val ndcgEvalSql: String = {
+    val tops = (0 until NdcgQueries).map { qid =>
+      s"""t$qid AS (
+        |  SELECT $qid AS qid, q.label AS qlabel,
+        |         CASE WHEN e.label = q.label THEN 1.0 ELSE 0.0 END AS rel,
+        |         row_number() OVER (
+        |           ORDER BY round(list_cosine_similarity(e.v, q.v), 4) DESC,
+        |                    e.vec_id) AS rk
+        |  FROM (SELECT * FROM e WHERE vec_id <> $qid) e
+        |  CROSS JOIN (SELECT v, label FROM e WHERE vec_id = $qid) q
+        |  ORDER BY round(list_cosine_similarity(e.v, q.v), 4) DESC, e.vec_id
+        |  LIMIT $NdcgK)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until NdcgQueries).map(i => s"SELECT * FROM t$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings),
+      |$tops,
+      |tops AS ($union),
+      |dcg AS (
+      |  SELECT qid, any_value(qlabel) AS qlabel,
+      |         sum(rel / log2(rk + 1)) AS dcg,
+      |         CAST(sum(rel) AS BIGINT) AS n_rel_topk
+      |  FROM tops GROUP BY 1),
+      |lc AS (SELECT label, count(*) AS nl FROM e GROUP BY 1),
+      |idcg AS (
+      |  SELECT qid, sum(1.0 / log2(j + 1)) AS idcg
+      |  FROM dcg JOIN lc ON lc.label = dcg.qlabel
+      |  CROSS JOIN (SELECT unnest(range(1, ${NdcgK + 1})) AS j)
+      |  WHERE j <= least($NdcgK, nl - 1)
+      |  GROUP BY 1)
+      |SELECT CAST(qid AS BIGINT) AS query_id, n_rel_topk,
+      |       round(dcg.dcg, 4) AS dcg, round(dcg.dcg / idcg.idcg, 4) AS ndcg
+      |FROM dcg JOIN idcg USING (qid)""".stripMargin
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q38_cosine_neardup", cosineNearDup _, Some(cosineNearDupSql)),
     GraftQuery("q39_knn_brute", knnBrute _, Some(knnBruteSql)),
@@ -1062,5 +1234,7 @@ object Similarity {
       Some(graft.core.Goldens.load("q143b_bitext_mine_lsh"))),
     GraftQuery("q125_semdedup", (s: SparkSession, d: String) => semDedup(s, d),
       Some(graft.core.Goldens.load("q125_semdedup"))),
-    GraftQuery("q196_kcenter", kcenterSelect _, Some(kcenterSelectSql)))
+    GraftQuery("q196_kcenter", kcenterSelect _, Some(kcenterSelectSql)),
+    GraftQuery("q213_mmr_rerank", mmrRerank _, Some(mmrRerankSql)),
+    GraftQuery("q214_ndcg", ndcgEval _, Some(ndcgEvalSql)))
 }

@@ -789,6 +789,111 @@ object TextAnalysis {
       |       round(1.0 / avg(ln(x / (SELECT min(x) FROM top))), 4) AS hill_alpha
       |FROM top""".stripMargin
 
+  // ---------------------------------------------------------------- nbeval
+  /** Per-class precision/recall/F1 of the q192 naive-Bayes language
+    * classifier over the WHOLE corpus — the confusion-matrix evaluation
+    * that belongs next to any trained filter before it gates data (q204
+    * answers "does the score rank right" for binary signals; this is the
+    * multi-class report card). Same train plan as q192 (two keyed
+    * aggregates into the (lang, word) model), scoring extended from the
+    * 50-doc slice to every document: the scoring join stays
+    * (doc-words × |langs|) keyed rows and the argmax window stays
+    * |langs|-bounded per doc, so full-corpus evaluation costs one more
+    * pass over the same shuffle keys, not a new plan. Output: one row per
+    * true class with support, TP/FP/FN and rounded P/R/F1.
+    *
+    * Note the self-evaluation caveat every data-curation team hits:
+    * train = eval corpus here, so these are RESUBSTITUTION numbers — the
+    * honest protocol splits by q135's leakage-safe split first; the plan
+    * is identical either way (one more filter on the scoring side). */
+  def nbEval(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val tok = docs
+      .select(col("doc_id"), col("lang"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val cwl = tok.groupBy("lang", "w").agg(count(lit(1)).as("c"))
+    val tl = cwl.groupBy("lang").agg(sum("c").as("tl"))
+    val v = tok.agg(countDistinct("w").as("v"))
+    val pri = docs.groupBy("lang").agg(count(lit(1)).as("nd"))
+    val ndoc = docs.agg(count(lit(1)).as("n"))
+    val langs = tl.join(pri, "lang").crossJoin(broadcast(ndoc))
+      .select(col("lang"), col("tl"),
+        log(col("nd").cast("double") / col("n")).as("logprior"))
+    val dw = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val scored = dw.crossJoin(broadcast(langs))
+      .join(cwl, Seq("lang", "w"), "left")
+      .crossJoin(broadcast(v))
+      .groupBy("doc_id", "lang")
+      .agg((sum(col("tf") * (log(coalesce(col("c"), lit(0L)) + 1)
+            - log(col("tl") + col("v"))))
+          + first("logprior")).as("score"))
+    val wn = Window.partitionBy("doc_id")
+      .orderBy(round(col("score"), 4).desc, col("lang"))
+    val pred = scored.withColumn("rn", row_number().over(wn))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("pred"))
+      .join(docs.select(col("doc_id"), col("lang").as("truth")), "doc_id")
+    val tp = pred.filter(col("pred") === col("truth"))
+      .groupBy(col("truth").as("lang")).agg(count(lit(1)).as("tp"))
+    val sup = pred.groupBy(col("truth").as("lang")).agg(count(lit(1)).as("support"))
+    val pp = pred.groupBy(col("pred").as("lang")).agg(count(lit(1)).as("n_pred"))
+    sup.join(tp, Seq("lang"), "left").join(pp, Seq("lang"), "left")
+      .na.fill(0L, Seq("tp", "n_pred"))
+      .withColumn("fp", col("n_pred") - col("tp"))
+      .withColumn("fn", col("support") - col("tp"))
+      .withColumn("precision",
+        when(col("n_pred") > 0, round(col("tp").cast("double") / col("n_pred"), 4)))
+      .withColumn("recall", round(col("tp").cast("double") / col("support"), 4))
+      .withColumn("f1",
+        when(col("tp") > 0, round(lit(2.0) * col("tp")
+          / (col("n_pred") + col("support")), 4)))
+      .select("lang", "support", "tp", "fp", "fn", "precision", "recall", "f1")
+  }
+
+  val nbEvalSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+      |  FROM documents),
+      |t AS (SELECT doc_id, lang, w FROM tok WHERE w <> ''),
+      |cwl AS (SELECT lang, w, count(*) AS c FROM t GROUP BY 1, 2),
+      |tl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tl FROM cwl GROUP BY 1),
+      |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM t),
+      |pri AS (SELECT lang, count(*) AS nd FROM documents GROUP BY 1),
+      |ndoc AS (SELECT count(*) AS n FROM documents),
+      |langs AS (
+      |  SELECT tl.lang, tl.tl, ln(pri.nd * 1.0 / ndoc.n) AS logprior
+      |  FROM tl JOIN pri ON pri.lang = tl.lang CROSS JOIN ndoc),
+      |dw AS (SELECT doc_id, w, count(*) AS tf FROM t GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT dw.doc_id, langs.lang,
+      |         sum(dw.tf * (ln(COALESCE(cwl.c, 0) + 1) - ln(langs.tl + v.v)))
+      |           + any_value(langs.logprior) AS score
+      |  FROM dw CROSS JOIN langs CROSS JOIN v
+      |  LEFT JOIN cwl ON cwl.lang = langs.lang AND cwl.w = dw.w
+      |  GROUP BY 1, 2),
+      |pred AS (
+      |  SELECT p.doc_id, p.lang AS pred, d.lang AS truth FROM (
+      |    SELECT doc_id, lang,
+      |           row_number() OVER (PARTITION BY doc_id
+      |                              ORDER BY round(score, 4) DESC, lang) AS rn
+      |    FROM sc) p
+      |  JOIN documents d USING (doc_id) WHERE rn = 1),
+      |tp AS (SELECT truth AS lang, count(*) AS tp FROM pred
+      |       WHERE pred = truth GROUP BY 1),
+      |sup AS (SELECT truth AS lang, count(*) AS support FROM pred GROUP BY 1),
+      |pp AS (SELECT pred AS lang, count(*) AS n_pred FROM pred GROUP BY 1)
+      |SELECT sup.lang, support, COALESCE(tp, 0) AS tp,
+      |       COALESCE(n_pred, 0) - COALESCE(tp, 0) AS fp,
+      |       support - COALESCE(tp, 0) AS fn,
+      |       CASE WHEN COALESCE(n_pred, 0) > 0
+      |            THEN round(COALESCE(tp, 0) * 1.0 / n_pred, 4) END AS precision,
+      |       round(COALESCE(tp, 0) * 1.0 / support, 4) AS recall,
+      |       CASE WHEN COALESCE(tp, 0) > 0
+      |            THEN round(2.0 * tp / (COALESCE(n_pred, 0) + support), 4)
+      |       END AS f1
+      |FROM sup LEFT JOIN tp USING (lang) LEFT JOIN pp USING (lang)""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q30_text_stats", textStats _, Some(textStatsSql)),
     GraftQuery("q31_token_count", tokenCount _, Some(tokenCountSql)),
@@ -807,5 +912,6 @@ object TextAnalysis {
     GraftQuery("q192_naive_bayes", naiveBayes _, Some(naiveBayesSql)),
     GraftQuery("q198_chi2_keywords", chi2Keywords _, Some(chi2KeywordsSql)),
     GraftQuery("q206_source_overlap", sourceOverlap _, Some(sourceOverlapSql)),
-    GraftQuery("q208_hill_tail", hillTailIndex _, Some(hillTailIndexSql)))
+    GraftQuery("q208_hill_tail", hillTailIndex _, Some(hillTailIndexSql)),
+    GraftQuery("q212_nb_eval", nbEval _, Some(nbEvalSql)))
 }

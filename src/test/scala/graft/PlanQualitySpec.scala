@@ -547,7 +547,16 @@ class PlanQualitySpec extends AnyFunSuite {
       // Streaming heavy hitters (q65b): the post-drain threshold's
       // single-row grand-total broadcast over the drained key-count sink
       // (the q65/q100 pattern).
-      ("q65b_stream_heavy_hitters", "nested-loop"))
+      ("q65b_stream_heavy_hitters", "nested-loop"),
+      // NB eval (TextAnalysis q212): same bounded side tables as q192 —
+      // the language-cardinality model crossJoin and single-row
+      // vocab/doc-count broadcasts; argmax window keyed by doc.
+      ("q212_nb_eval", "nested-loop"),
+      // NDCG (Similarity q214): per-query single-row vector broadcasts
+      // (a bounded constant of them, the q39 class), the k-row rank
+      // series crossJoin, and the post-TakeOrdered ≤10-row rank window.
+      ("q214_ndcg", "nested-loop"),
+      ("q214_ndcg", "global-window"))
     def offenders(df: DataFrame): Seq[String] = {
       // manual subquery recursion: collectWithSubqueries casts every
       // PlanExpression plan to SparkPlan, but at the sparkPlan stage
