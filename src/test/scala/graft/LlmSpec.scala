@@ -707,6 +707,71 @@ class LlmSpec extends AnyFunSuite {
       s"radius sequence not monotone: ${radii.toSeq}")
   }
 
+  test("q195 deepwalk paths are valid graph walks reproducing the seeded picks (sf0.001)") {
+    // independent recompute: adjacency + the modular-hash neighbor pick
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val pairs = li.flatMap { case (ok, sk) => ord.get(ok).map(c => (c * 2, sk * 2 + 1)) }.distinct
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1))).distinct
+      .groupBy(_._1).map { case (src, es) => src -> es.map(_._2).sorted }
+    val P = 1000003L; val A = 2654435761L % P
+    def walk(start: Long, wk: Int): String = {
+      var cur = start
+      val sb = new StringBuilder(cur.toString)
+      for (i <- 1 to 4) {
+        val nb = adj(cur)
+        val idx = (((cur % P) * A + wk * 131 + i * 97) % P % nb.length).toInt
+        cur = nb(idx)
+        sb.append('-').append(cur)
+      }
+      sb.toString
+    }
+    val expected = adj.keySet.flatMap(n => Seq((n, 0, walk(n, 0)), (n, 1, walk(n, 1))))
+    val got = SparkEntry.queries("q195_deepwalk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == expected, s"walks diverge: ${got.size} vs ${expected.size}")
+  }
+
+  test("q201 HITS scores match the plain-Scala power-iteration recompute (sf0.001)") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val w = li.flatMap { case (ok, sk) => ord.get(ok).map(c => ((c, sk), 1L)) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var hub = w.keys.map(_._1).toSeq.distinct.map(_ -> 1.0).toMap
+    var auth = Map.empty[Long, Double]
+    for (_ <- 1 to 4) {
+      val ar = w.toSeq.groupBy(_._1._2).map { case (s2, es) =>
+        s2 -> es.map { case ((c, _), cw) => cw * hub(c) }.sum }
+      val am = ar.values.max
+      auth = ar.map { case (k, v) => k -> v / am }
+      val hr = w.toSeq.groupBy(_._1._1).map { case (c, es) =>
+        c -> es.map { case ((_, s2), cw) => cw * auth(s2) }.sum }
+      val hm = hr.values.max
+      hub = hr.map { case (k, v) => k -> v / hm }
+    }
+    val expH = hub.toSeq.map { case (n, v) => (n, r4(v)) }
+      .sortBy { case (n, v) => (-v, n) }.take(10)
+      .map { case (n, v) => ("hub", n, v) }
+    val expA = auth.toSeq.map { case (n, v) => (n, r4(v)) }
+      .sortBy { case (n, v) => (-v, n) }.take(10)
+      .map { case (n, v) => ("authority", n, v) }
+    val got = SparkEntry.queries("q201_hits")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // float sums associate differently across engines/partitionings; the
+    // ROUNDED scores and the pick sets must agree
+    assert(got.filter(_._1 == "hub").toSet == expH.toSet, "hub top-10 diverges")
+    assert(got.filter(_._1 == "authority").toSet == expA.toSet, "authority top-10 diverges")
+  }
+
   test("q199 dedup kappa matches the closed-form recompute on sf0.001") {
     // independent plain-Scala recompute of both raters and Cohen's kappa
     val docs = spark.read.parquet(s"$sf/documents.parquet")
