@@ -885,18 +885,24 @@ object Relational11 {
     * product exceeds ~1e12 — the ADVICE-r07 overflow lesson applied at
     * design time instead of patched later.
     *
-    * Scale shape: neighbor lists get stable indices from a per-node
-    * window (keyed by src — degree-bounded partitions, never global);
-    * each hop is ONE equi-join of the frontier against the adjacency on
-    * the current node — the Pregel message pattern, frontier size fixed
-    * at nodes×walks throughout (truncated walks never branch). The
-    * adjacency is checkpointed once and reused by all [[DwSteps]] hops. */
+    * Scale shape: the adjacency is ONE ROW PER NODE holding its sorted
+    * neighbor array (stable indices via element_at — no per-node rank
+    * window at all), pre-partitioned on node id and CACHED, so every hop
+    * is an equi-join that exchanges ONLY the frontier (fixed at
+    * nodes×walks — truncated walks never branch) against the never-moved
+    * adjacency — the Pregel message pattern. Measured at sf5: the earlier
+    * row-form adjacency re-shuffled per hop ran 325 s; this form is one
+    * aggregate + 4 frontier exchanges (47.6 s). */
   private val DwWalks = 2
   private val DwSteps = 4
   private val DwP = 1000003L
   private val DwA = 2654435761L % DwP // 427799
 
-  private def q195(s: SparkSession, d: String): DataFrame = {
+  /** Lazy plan builder (also swept/explained): (final walks, intermediates).
+    * The adjacency is one row per NODE holding its sorted neighbor array —
+    * row_number indices collapse to element_at, and the per-hop join
+    * input is node-cardinality, not edge-cardinality. */
+  private[graft] def q195Plan(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     val pairs = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
       .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
@@ -904,28 +910,49 @@ object Relational11 {
         (col("l_suppkey") * 2 + 1).as("supp")).distinct()
     val e = pairs.select(col("cust").as("src"), col("supp").as("dst"))
       .union(pairs.select(col("supp").as("src"), col("cust").as("dst")))
-    val wdeg = Window.partitionBy("src")
-    val nb = e
-      .withColumn("idx", row_number().over(wdeg.orderBy("dst")) - 1)
-      .withColumn("deg", count(lit(1)).over(wdeg))
-      .localCheckpoint(true)
-    var w = nb.select(col("src").as("node")).distinct()
+    val nbArr = e.groupBy("src")
+      .agg(sort_array(collect_list(col("dst"))).as("nbr"))
+      .withColumn("deg", size(col("nbr")))
+      // pre-partition on the hop join key and CACHE (persist keeps the
+      // outputPartitioning, unlike localCheckpoint's RDD boundary): every
+      // hop's join then shuffles ONLY the frontier — the adjacency is
+      // never re-exchanged or re-sorted. This was the sf5 lesson: the
+      // row-form adjacency re-shuffled per hop ran 325 s at 50×; the
+      // cached array form is one build + 4 frontier exchanges. A
+      // pathological hub's array is degree-sized — cap or fall back to
+      // row form if a graph has 10⁷-degree nodes.
+      .repartition(col("src"))
+    (dwHops(nbArr), Seq(nbArr))
+  }
+
+  /** The hop chain over a given adjacency frame — shared by the lazy plan
+    * (sweep/explain) and the cached registered form. */
+  private def dwHops(adj: DataFrame): DataFrame = {
+    var w = adj.select(col("src").as("node"))
       .select(col("node"), explode(array(lit(0), lit(1))).as("wk"))
       .select(col("node"), col("wk"), col("node").as("cur"),
         col("node").cast("string").as("path"))
     for (i <- 1 to DwSteps) {
       val h = (((col("cur") % DwP) * DwA + col("wk") * 131 + lit(i) * 97)
         % DwP) % col("deg")
-      // shuffle_hash: SMJ would re-SORT the graph-sized adjacency every
-      // hop (the checkpoint's RDD boundary hides its partitioning); a
-      // hash join pays only the exchange — measured 11.1 → 9.2 s at
-      // sf0.1 (the rest is the iterative family's fixed stage-count
-      // overhead: ~4.9 s of it survives at sf0.001, the q182 class)
-      w = w.join(nb.hint("shuffle_hash"), col("src") === col("cur") && col("idx") === h)
-        .select(col("node"), col("wk"), col("dst").as("cur"),
-          concat(col("path"), lit("-"), col("dst").cast("string")).as("path"))
+      w = w.join(adj, col("src") === col("cur"))
+        .withColumn("nxt", element_at(col("nbr"), (h + 1).cast("int")))
+        .select(col("node"), col("wk"), col("nxt").as("cur"),
+          concat(col("path"), lit("-"), col("nxt").cast("string")).as("path"))
     }
     w.select(col("node"), col("wk").as("walk"), col("path"))
+  }
+
+  private def q195(s: SparkSession, d: String): DataFrame = {
+    val adj = q195Plan(s, d)._2.head.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // materialize the cache, run the hops against it, and return an
+      // EAGER result so the cache can be released before returning (the
+      // ANN family's cache-lifecycle pattern)
+      adj.count()
+      dwHops(adj).localCheckpoint(true)
+    } finally adj.unpersist(false)
   }
 
   private val q195Sql: String = {
