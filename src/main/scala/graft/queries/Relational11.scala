@@ -1347,6 +1347,64 @@ object Relational11 {
       |${one("lineitem", "l_suppkey")}""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q215
+  /** One-sided CUSUM change detection (Page 1954) on daily event rates:
+    * S_t = max(0, S_{t−1} + (x_t − k)) with drift allowance k = mean +
+    * [[CusumSlack]]·σ, alarm flag at S_t > [[CusumH]]·σ — the sequential
+    * detector that catches a sustained small shift q207's per-point EWMA
+    * band misses. The recursion LOOKS stream-only, but it has a closed
+    * windowed form: S_t = C_t − min(0, min_{j≤t} C_j) over the cumulative
+    * sum C of (x − k) — so it runs as two running-window passes over the
+    * per-type DAILY frame (time-span-sized, windows keyed by event_type),
+    * no recursion, no state machine. The reference-stat side table is one
+    * aggregate (broadcast); output flags the alarm days. */
+  private val CusumSlack = 0.5
+  private val CusumH = 4.0
+
+  private def q215(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy("event_type")
+      .agg(avg("n").as("mu"), stddev_pop("n").as("sigma"))
+    val wcum = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(broadcast(stats), "event_type")
+      .withColumn("c", sum(col("n") - (col("mu") + lit(CusumSlack) * col("sigma"))).over(wcum))
+      // the prefix-min must include the empty prefix (C₀ = 0), else a
+      // series that starts above the allowance never accumulates
+      .withColumn("cusum",
+        round(col("c") - least(lit(0.0), min("c").over(wcum)), 4))
+      .select(col("event_type"), col("day"), col("n"), col("cusum"),
+        round(lit(CusumH) * col("sigma"), 4).as("alarm_threshold"),
+        (col("cusum") > lit(CusumH) * col("sigma")).as("alarm"))
+  }
+
+  private val q215Sql: String =
+    s"""$EvCte,
+      |daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+      |  FROM ev GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type, avg(n) AS mu, stddev_pop(n) AS sigma
+      |  FROM daily GROUP BY 1),
+      |cum AS (
+      |  SELECT daily.event_type, day, n, sigma,
+      |         sum(n - (mu + $CusumSlack * sigma)) OVER (
+      |           PARTITION BY daily.event_type ORDER BY day
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      |  FROM daily JOIN stats USING (event_type)),
+      |cs AS (
+      |  SELECT event_type, day, n, sigma,
+      |         round(c - least(0.0, min(c) OVER (
+      |           PARTITION BY event_type ORDER BY day
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4) AS cusum
+      |  FROM cum)
+      |SELECT event_type, day, n, cusum,
+      |       round($CusumH * sigma, 4) AS alarm_threshold,
+      |       cusum > $CusumH * sigma AS alarm
+      |FROM cs""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q108_zscore_outliers", q108, Some(q108Sql)),
     GraftQuery("q109_funnel", q109, Some(q109Sql)),
@@ -1372,5 +1430,6 @@ object Relational11 {
     GraftQuery("q207_ewma_chart", q207, Some(q207Sql)),
     GraftQuery("q209_seasonality", q209, Some(q209Sql)),
     GraftQuery("q210_churn_halflife", q210, Some(q210Sql)),
-    GraftQuery("q211_skew_report", q211, Some(q211Sql)))
+    GraftQuery("q211_skew_report", q211, Some(q211Sql)),
+    GraftQuery("q215_cusum", q215, Some(q215Sql)))
 }
