@@ -1405,6 +1405,74 @@ object Relational11 {
       |       cusum > $CusumH * sigma AS alarm
       |FROM cs""".stripMargin
 
+  // ---------------------------------------------------------------- q216
+  /** Population Stability Index (the credit-scoring drift standard;
+    * Karakoulas 2004 formalizes the folklore) of the event-payload
+    * distribution, week over baseline week: PSI = Σ_b (p_b − q_b) ·
+    * ln(p_b / q_b) over [[PsiBuckets]] value buckets of props→k, with
+    * add-one smoothing so empty buckets stay finite on both engines.
+    * PSI < 0.1 stable / 0.1–0.2 drifting / > 0.2 action — the
+    * feature-level drift dial to q147's corpus-level divergence and
+    * q215's rate-level CUSUM; this is the one model-monitoring teams
+    * actually page on. JSON extraction is a codegen'd map
+    * (get_json_object); the only corpus-scale shuffle is the
+    * (week, bucket) count; everything after runs on the weeks×buckets
+    * grid (time-span × constant). */
+  private val PsiBuckets = 10
+
+  private def q216(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(date_trunc("week", col("ts")).as("wk"),
+        least(floor(get_json_object(col("props"), "$.k").cast("int")
+            / (100 / PsiBuckets)), lit((PsiBuckets - 1).toLong))
+          .cast("int").as("bucket"))
+    val cells = ev.groupBy("wk", "bucket").agg(count(lit(1)).as("n"))
+    val tot = cells.groupBy("wk").agg(sum("n").as("tw"))
+    val grid = tot.crossJoin(broadcast(
+        s.range(0, PsiBuckets).select(col("id").cast("int").as("bucket"))))
+      .join(cells, Seq("wk", "bucket"), "left").na.fill(0L, Seq("n"))
+      .withColumn("p", (col("n") + 1).cast("double") / (col("tw") + PsiBuckets))
+    val base = grid.crossJoin(broadcast(tot.agg(min("wk").as("wk0"))))
+      .filter(col("wk") === col("wk0"))
+      .select(col("bucket"), col("p").as("q"))
+    grid.join(broadcast(base), "bucket")
+      .groupBy("wk")
+      .agg(sum("n").cast("long").as("n_events"),
+        round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 4).as("psi"))
+      .withColumn("drift_band",
+        when(col("psi") < 0.1, "stable")
+          .when(col("psi") < 0.2, "drifting").otherwise("action"))
+  }
+
+  private val q216Sql: String =
+    s"""$EvCte,
+      |e AS (
+      |  SELECT date_trunc('week', ts) AS wk,
+      |         CAST(least(floor(CAST(props->>'$$.k' AS INT)
+      |                / ${100 / PsiBuckets}.0), ${PsiBuckets - 1}) AS INT)
+      |           AS bucket
+      |  FROM ev),
+      |cells AS (SELECT wk, bucket, count(*) AS n FROM e GROUP BY 1, 2),
+      |tot AS (SELECT wk, CAST(sum(n) AS BIGINT) AS tw FROM cells GROUP BY 1),
+      |grid AS (
+      |  SELECT tot.wk, g.bucket, tot.tw, COALESCE(cells.n, 0) AS n,
+      |         (COALESCE(cells.n, 0) + 1) * 1.0 / (tot.tw + $PsiBuckets) AS p
+      |  FROM tot
+      |  CROSS JOIN (SELECT CAST(unnest(range($PsiBuckets)) AS INT) AS bucket) g
+      |  LEFT JOIN cells ON cells.wk = tot.wk AND cells.bucket = g.bucket),
+      |base AS (
+      |  SELECT bucket, p AS q FROM grid
+      |  WHERE wk = (SELECT min(wk) FROM tot)),
+      |psi AS (
+      |  SELECT wk, CAST(sum(n) AS BIGINT) AS n_events,
+      |         round(sum((p - q) * ln(p / q)), 4) AS psi
+      |  FROM grid JOIN base USING (bucket)
+      |  GROUP BY 1)
+      |SELECT wk, n_events, psi,
+      |       CASE WHEN psi < 0.1 THEN 'stable'
+      |            WHEN psi < 0.2 THEN 'drifting' ELSE 'action' END AS drift_band
+      |FROM psi""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q108_zscore_outliers", q108, Some(q108Sql)),
     GraftQuery("q109_funnel", q109, Some(q109Sql)),
@@ -1431,5 +1499,6 @@ object Relational11 {
     GraftQuery("q209_seasonality", q209, Some(q209Sql)),
     GraftQuery("q210_churn_halflife", q210, Some(q210Sql)),
     GraftQuery("q211_skew_report", q211, Some(q211Sql)),
-    GraftQuery("q215_cusum", q215, Some(q215Sql)))
+    GraftQuery("q215_cusum", q215, Some(q215Sql)),
+    GraftQuery("q216_psi", q216, Some(q216Sql)))
 }

@@ -556,7 +556,11 @@ class PlanQualitySpec extends AnyFunSuite {
       // (a bounded constant of them, the q39 class), the k-row rank
       // series crossJoin, and the post-TakeOrdered ≤10-row rank window.
       ("q214_ndcg", "nested-loop"),
-      ("q214_ndcg", "global-window"))
+      ("q214_ndcg", "global-window"),
+      // PSI drift (Relational11 q216): the constant PsiBuckets-row bin
+      // grid and single-row baseline-week broadcasts over the
+      // weeks×buckets frame (the q200 pattern).
+      ("q216_psi", "nested-loop"))
     def offenders(df: DataFrame): Seq[String] = {
       // manual subquery recursion: collectWithSubqueries casts every
       // PlanExpression plan to SparkPlan, but at the sparkPlan stage
