@@ -1132,6 +1132,12 @@ object Relational11 {
     val e = pairs.select(col("cust").as("src"), col("supp").as("dst"))
       .union(pairs.select(col("supp").as("src"), col("cust").as("dst")))
     val deg = e.groupBy("src").agg(count(lit(1)).as("dg"))
+    // join strategy stays AQE's choice: the degree table broadcasts up to
+    // ~sf5 (no edge exchange at all — forcing shuffle_hash here measured
+    // 2.5× WORSE at sf1), and falls back to SMJ at sf10 where the
+    // node table outgrows the broadcast threshold (the edge-frame sorts
+    // then dominate: 222–250 s at 100×/8 GiB, spill-bound — the at-scale
+    // fix is bucketing both sides by node id, not a join-strategy hint)
     e.join(deg, "src")
       .withColumnRenamed("dg", "ds")
       .join(deg.withColumnRenamed("src", "dst").withColumnRenamed("dg", "dt"), "dst")
