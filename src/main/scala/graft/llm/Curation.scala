@@ -1290,7 +1290,14 @@ object Curation {
     * map-side into (source, rep) partial sums — the only corpus-scale
     * shuffle carries B rows per (source × partition); the percentile
     * fold runs over the B-row replicate table per source. Overflow-safe
-    * pre-reduced modular hash (ADVICE-r07 lesson). */
+    * pre-reduced modular hash (ADVICE-r07 lesson). The replicate index b
+    * is re-mixed through the multiplicative hash AFTER the additive step
+    * (ADVICE-r08): with `(h + b·131) % P` alone, adjacent replicates of
+    * the same doc land within 131·(B−1)/P ≈ 0.004 of each other in u,
+    * so every doc kept (nearly) the same Poisson weight in all B
+    * replicates and the replicate means were degenerately correlated —
+    * the extra `· A % P` sends adjacent b to far-apart u, making the B
+    * weight draws per doc effectively independent. */
   private val BootReps = 32
   private val BootP = 1000003L
   private val BootA = 2654435761L % BootP
@@ -1309,8 +1316,8 @@ object Curation {
       .select(col("doc_id"), col("source"), col("score"),
         explode(sequence(lit(0), lit(BootReps - 1))).as("b"))
       .withColumn("u",
-        (((col("doc_id") % BootP) * BootA + col("b") * 131) % BootP)
-          .cast("double") / BootP)
+        (((((col("doc_id") % BootP) * BootA + col("b") * 131) % BootP)
+          * BootA) % BootP).cast("double") / BootP)
       .withColumn("w", w)
       .groupBy("source", "b")
       .agg((sum(col("w") * col("score")) / sum("w")).as("m"))
@@ -1330,7 +1337,8 @@ object Curation {
       |  FROM documents),
       |reps AS (
       |  SELECT source, score,
-      |         ((doc_id % $BootP) * $BootA + b * 131) % $BootP * 1.0 / $BootP AS u,
+      |         (((doc_id % $BootP) * $BootA + b * 131) % $BootP * $BootA)
+      |           % $BootP * 1.0 / $BootP AS u,
       |         b
       |  FROM scored CROSS JOIN (SELECT unnest(range($BootReps)) AS b)),
       |weighted AS (

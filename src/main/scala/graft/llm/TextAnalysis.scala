@@ -766,7 +766,11 @@ object TextAnalysis {
     * window); the estimator is one aggregate over those k rows. x_(k) is
     * the k-th largest = the min of the retained set, folded in the same
     * aggregate. Tiebreak on doc_id makes the retained SET engine-
-    * identical even when lengths tie at the cut. */
+    * identical even when lengths tie at the cut. The mean uses the
+    * standard k−1 terms (Hill's i = 1..k−1): the rank-k cut row's
+    * ln(x_(k)/x_(k)) is exactly 0, so summing over all k rows and
+    * dividing by k−1 IS the k−1-term mean — dividing by k instead
+    * biased α̂ upward by k/(k−1) (ADVICE-r08). */
   private val HillK = 200
 
   def hillTailIndex(s: SparkSession, d: String): DataFrame = {
@@ -778,7 +782,8 @@ object TextAnalysis {
     top.crossJoin(broadcast(cut)).agg(
       count(lit(1)).as("k"),
       min("x").cast("long").as("xk"),
-      round(lit(1.0) / avg(log(col("x") / col("xkv"))), 4).as("hill_alpha"))
+      round((count(lit(1)) - 1).cast("double")
+        / sum(log(col("x") / col("xkv"))), 4).as("hill_alpha"))
   }
 
   val hillTailIndexSql: String =
@@ -786,7 +791,8 @@ object TextAnalysis {
       |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS x FROM documents
       |  ORDER BY x DESC, doc_id LIMIT $HillK)
       |SELECT count(*) AS k, CAST(min(x) AS BIGINT) AS xk,
-      |       round(1.0 / avg(ln(x / (SELECT min(x) FROM top))), 4) AS hill_alpha
+      |       round((count(*) - 1) * 1.0
+      |             / sum(ln(x / (SELECT min(x) FROM top))), 4) AS hill_alpha
       |FROM top""".stripMargin
 
   // ---------------------------------------------------------------- nbeval
