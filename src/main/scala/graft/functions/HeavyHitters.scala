@@ -53,10 +53,41 @@ class MisraGries(k: Int) extends Aggregator[Long, Map[Long, Long], Seq[Long]]
   override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
 }
 
+/** [[MisraGries]] variant that finishes to the sketch MAP (key → residual
+  * count) instead of the candidate key set — the mergeable-summary form a
+  * streaming consumer needs: per-micro-batch sketches merged with
+  * [[MisraGries.mergeSketches]] carry the SAME n/(k+1) guarantee over the
+  * union of the batches (Agarwal et al. 2012, "Mergeable Summaries" —
+  * MG merge is associative and the total decrement stays within one error
+  * budget), so a foreachBatch sink can fold an unbounded stream into a
+  * ≤2k-entry driver map and never hold per-key state
+  * (StreamingPipeline q65c). */
+class MisraGriesSketch(k: Int)
+    extends Aggregator[Long, Map[Long, Long], Map[Long, Long]]
+    with Serializable {
+  private val inner = new MisraGries(k)
+  override def zero: Map[Long, Long] = inner.zero
+  override def reduce(b: Map[Long, Long], key: Long): Map[Long, Long] =
+    inner.reduce(b, key)
+  override def merge(b1: Map[Long, Long], b2: Map[Long, Long]): Map[Long, Long] =
+    inner.merge(b1, b2)
+  override def finish(b: Map[Long, Long]): Map[Long, Long] = b
+  override def bufferEncoder: Encoder[Map[Long, Long]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Map[Long, Long]] = ExpressionEncoder()
+}
+
 object MisraGries {
   /** Column form: `heavy_hitter_candidates(col)` — candidate keys whose
     * frequency may exceed n/(k+1), as a sorted array. */
   def candidates(c: Column, k: Int): Column = udaf(new MisraGries(k)).apply(c)
+
+  /** Column form of the map-valued sketch (see [[MisraGriesSketch]]). */
+  def sketch(c: Column, k: Int): Column = udaf(new MisraGriesSketch(k)).apply(c)
+
+  /** Driver-side associative merge of two sketch maps under the same k —
+    * add counts, then apply the same ≤2k compress the Aggregator uses. */
+  def mergeSketches(a: Map[Long, Long], b: Map[Long, Long], k: Int): Map[Long, Long] =
+    new MisraGries(k).merge(a, b)
 
   /** Driver-side reference implementation for specs. */
   def reference(xs: Seq[Long], k: Int): Set[Long] = {

@@ -1160,6 +1160,103 @@ object Relational11 {
       |         AS assortativity
       |FROM e JOIN deg ds ON ds.src = e.src JOIN deg dt ON dt.src = e.dst""".stripMargin
 
+  // ---------------------------------------------------------------- q203b
+  /** Assortativity, the at-scale plan (clears q203's sf10 `weak`): q203's
+    * naive shape joins the degree table onto the EDGE frame twice, and
+    * once the node table outgrows the broadcast threshold (sf10) AQE
+    * falls back to SMJ whose two edge-frame sorts dominate spill-bound
+    * (222–250 s at 100×, 3.6× per 2× at the sf5→sf10 step). This variant
+    * removes BOTH edge-frame sorts structurally:
+    *
+    *  1. **Moment decomposition.** Pearson corr of endpoint degrees over
+    *     a symmetric edge list is a closed form of four exact integer
+    *     moments: n = Σd(u) (directed edge count), S1 = Σd², S2 = Σd³
+    *     (all from the degree table ALONE — each node u appears d(u)
+    *     times as an endpoint), and the single cross moment
+    *     P = Σ_(u,v)∈E d(u)d(v) = Σ_v d(v)·s(v) with s(v) = Σ_{u∈N(v)} d(u).
+    *     corr = (n·P − S1²)/(n·S2 − S1²), avg_deg = S1/n. Only s(v)
+    *     touches edges; the second degree join of q203 becomes a
+    *     node-sized join against s.
+    *  2. **Bucketed layout.** The edge list is written once bucketed by
+    *     src ([[graft.operators.Bucketing]]) so the degree aggregation
+    *     AND the one remaining edge-scale join (edges ⋈ degrees on src,
+    *     shuffle_hash with the node-sized build side) run co-partitioned
+    *     with ZERO exchange and ZERO sort on the edge frame; the s(v)
+    *     aggregation that follows partial-aggregates map-side, so the
+    *     only shuffle after the bucket write carries ≤node-sized rows.
+    *
+    * Every moment is summed as DECIMAL(38,0) (Spark) / HUGEINT (DuckDB)
+    * — exact at any scale (the q211 overflow lesson) — and cast to
+    * double only at the final closed form, so both engines evaluate the
+    * identical IEEE expression: no corr() last-ulp drift at sf1/sf10.
+    * Measured sf5→sf10 step: see BASELINE.md (target ≤2× per 2×). */
+  private def q203b(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("cust"),
+        (col("l_suppkey") * 2 + 1).as("supp")).distinct()
+    val tbl = s"graft_q203b_edges_${java.util.UUID.randomUUID().toString.take(8)}"
+    // both edge directions in ONE pass over the distinct pairs (a union of
+    // two selects would recompute the pair-build join twice at write time)
+    graft.operators.Bucketing.writeBucketed(
+      pairs.select(explode(array(
+          struct(col("cust").as("src"), col("supp").as("dst")),
+          struct(col("supp").as("src"), col("cust").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst")),
+      tbl, "src", buckets = 32)
+    try {
+      val dec = "decimal(38,0)"
+      val eb = s.table(tbl)
+      val deg = eb.groupBy("src").agg(count(lit(1)).as("dg"))
+      val sNbr = eb.join(deg.hint("shuffle_hash"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("dg").cast(dec)).as("sd"))
+      val p = sNbr
+        .join(deg.withColumnRenamed("src", "node"), "node")
+        .agg(sum(col("dg").cast(dec) * col("sd")).as("p"))
+      val m = deg.agg(
+        sum(col("dg").cast(dec)).as("n"),
+        sum(col("dg").cast(dec) * col("dg")).as("s1"),
+        sum(col("dg").cast(dec) * col("dg") * col("dg")).as("s2"))
+      def dbl(c: String) = col(c).cast("double")
+      m.crossJoin(p).select(
+          (dbl("n") / 2).cast("long").as("n_edges"),
+          round(dbl("s1") / dbl("n"), 4).as("avg_deg"),
+          round((dbl("n") * dbl("p") - dbl("s1") * dbl("s1"))
+            / (dbl("n") * dbl("s2") - dbl("s1") * dbl("s1")), 4)
+            .as("assortativity"))
+        .localCheckpoint(true)
+    } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  private val q203bSql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT o.o_custkey * 2 AS cust, l.l_suppkey * 2 + 1 AS supp
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |e AS (SELECT cust AS src, supp AS dst FROM pairs
+      |      UNION ALL SELECT supp AS src, cust AS dst FROM pairs),
+      |deg AS (SELECT src, count(*) AS dg FROM e GROUP BY 1),
+      |snbr AS (
+      |  SELECT e.dst AS node, sum(CAST(d.dg AS HUGEINT)) AS sd
+      |  FROM e JOIN deg d ON d.src = e.src GROUP BY 1),
+      |pp AS (
+      |  SELECT sum(CAST(d.dg AS HUGEINT) * sd) AS p
+      |  FROM snbr JOIN deg d ON d.src = snbr.node),
+      |m AS (
+      |  SELECT sum(CAST(dg AS HUGEINT)) AS n,
+      |         sum(CAST(dg AS HUGEINT) * dg) AS s1,
+      |         sum(CAST(dg AS HUGEINT) * dg * dg) AS s2
+      |  FROM deg)
+      |SELECT CAST(CAST(n AS DOUBLE) / 2 AS BIGINT) AS n_edges,
+      |       round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 4) AS avg_deg,
+      |       round((CAST(n AS DOUBLE) * CAST(p AS DOUBLE)
+      |              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+      |             / (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+      |              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)), 4)
+      |         AS assortativity
+      |FROM m CROSS JOIN pp""".stripMargin
+
   // ---------------------------------------------------------------- q207
   /** EWMA control chart (Roberts 1959; the SPC workhorse) over hourly
     * event rates: each (type, hour) cell is compared against the
@@ -1176,7 +1273,14 @@ object Relational11 {
     * fan-out is a CONSTANT 24×, never an hours² theta join, and the
     * frame it runs on is time-span-sized (hours × types), not
     * corpus-sized. Weights λ^(j−1) are closed-form per row; both engines
-    * fold the identical weighted sums, rounded 4 dp. */
+    * fold the identical weighted sums, rounded 4 dp.
+    *
+    * Hours with NO data in their 24-hour lookback — the first hour of
+    * every series, and the restart hours of a feed that went quiet for
+    * >24 h — are KEPT with null ewma / null out_of_control (left join,
+    * ADVICE-r08): an inner join silently dropped exactly the rows a
+    * restart monitor most needs to see; null flags them as
+    * "no baseline yet" rather than pretending they're in control. */
   private val EwmaLag = 24
   private val EwmaLambda = 0.7
 
@@ -1192,7 +1296,7 @@ object Relational11 {
     val ew = lagged.groupBy("event_type", "h")
       .agg((sum(pow(lit(EwmaLambda), col("j") - 1) * col("np"))
         / sum(pow(lit(EwmaLambda), col("j") - 1))).as("ewma"))
-    hourly.join(ew, Seq("event_type", "h"))
+    hourly.join(ew, Seq("event_type", "h"), "left")
       .withColumn("dev", col("n") - col("ewma"))
       .select(col("event_type"), col("h").as("hour"), col("n"),
         round(col("ewma"), 4).as("ewma"),
@@ -1213,8 +1317,8 @@ object Relational11 {
       |  FROM lagged GROUP BY 1, 2)
       |SELECT hourly.event_type, hourly.h AS hour, n, round(ewma, 4) AS ewma,
       |       abs(n - ewma) > 3.0 * sqrt(ewma) AS out_of_control
-      |FROM hourly JOIN ew ON hourly.event_type = ew.event_type
-      |                   AND hourly.h = ew.h""".stripMargin
+      |FROM hourly LEFT JOIN ew ON hourly.event_type = ew.event_type
+      |                        AND hourly.h = ew.h""".stripMargin
 
   // ---------------------------------------------------------------- q209
   /** Weekly seasonality profile: the (day-of-week × hour) activity index
@@ -1321,8 +1425,11 @@ object Relational11 {
         lit(label).as("join_key"),
         count(lit(1)).as("n_keys"),
         sum("c").as("n_rows"),
+        // both HHI factors go through double BEFORE the product: a BIGINT
+        // sum(c)*sum(c) silently overflows past ~3e9 rows (ADVICE-r08; the
+        // same overflow class the q204 AUC denominator guards against)
         round(sum(col("c").cast("double") * col("c"))
-          / (sum("c") * sum("c")), 6).as("hhi"),
+          / (sum(col("c")).cast("double") * sum("c")), 6).as("hhi"),
         round(max("c").cast("double") / sum("c"), 6).as("top1_share"),
         expr("percentile(c, 0.5)").as("p50"),
         expr("percentile(c, 0.99)").as("p99"),
@@ -1338,7 +1445,8 @@ object Relational11 {
     def one(table: String, key: String) =
       s"""SELECT '$table.$key' AS join_key, count(*) AS n_keys,
         |       CAST(sum(c) AS BIGINT) AS n_rows,
-        |       round(sum(CAST(c AS DOUBLE) * c) / (sum(c) * sum(c)), 6) AS hhi,
+        |       round(sum(CAST(c AS DOUBLE) * c)
+        |             / (CAST(sum(c) AS DOUBLE) * sum(c)), 6) AS hhi,
         |       round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top1_share,
         |       percentile_cont(0.5) WITHIN GROUP (ORDER BY c) AS p50,
         |       percentile_cont(0.99) WITHIN GROUP (ORDER BY c) AS p99,
@@ -1501,6 +1609,7 @@ object Relational11 {
     GraftQuery("q201_hits", q201, Some(q201Sql)),
     GraftQuery("q202_benford", q202, Some(q202Sql)),
     GraftQuery("q203_assortativity", q203, Some(q203Sql)),
+    GraftQuery("q203b_assort_bucketed", q203b, Some(q203bSql)),
     GraftQuery("q207_ewma_chart", q207, Some(q207Sql)),
     GraftQuery("q209_seasonality", q209, Some(q209Sql)),
     GraftQuery("q210_churn_halflife", q210, Some(q210Sql)),

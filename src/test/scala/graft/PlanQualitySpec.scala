@@ -548,6 +548,10 @@ class PlanQualitySpec extends AnyFunSuite {
       // single-row grand-total broadcast over the drained key-count sink
       // (the q65/q100 pattern).
       ("q65b_stream_heavy_hitters", "nested-loop"),
+      // Bounded-state streaming heavy hitters (q65c): same post-drain
+      // threshold shape as q65b — the single-row grand-total broadcast
+      // over the ≤2k-candidate exact recount (the q65/q100 pattern).
+      ("q65c_stream_heavy_hitters_mg", "nested-loop"),
       // NB eval (TextAnalysis q212): same bounded side tables as q192 —
       // the language-cardinality model crossJoin and single-row
       // vocab/doc-count broadcasts; argmax window keyed by doc.
