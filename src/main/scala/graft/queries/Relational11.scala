@@ -623,6 +623,70 @@ object Relational11 {
       |) s USING (lbl)""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q182b
+  /** Label propagation, the at-scale plan — q182's scaladoc promises that
+    * "at 10⁹ nodes the label broadcast becomes a co-partitioned join on
+    * src"; this variant BUILDS that plan (the q203b/q169b precedent:
+    * at-scale replacements get registered and measured, not documented).
+    * q182 force-broadcasts the node-sized label frame into every one of
+    * the 10 phase joins — at 10⁹ nodes that is an ~16 GB driver
+    * collect+rebroadcast per phase, a guaranteed OOM. Here the EDGE table
+    * is hash-partitioned on src once (repartition + persist — the q195
+    * lesson: persist preserves the partitioning localCheckpoint erases)
+    * and every phase joins labels⋈edges as a co-partitioned shuffle_hash
+    * join: the edge frame never moves again (its scan reports
+    * hash(src, 32), matching the join requirement), the only per-phase
+    * exchange is the node-sized label frame, and the keep-label join
+    * reuses the same alignment (labels hash(node) ⋈ best hash(dst), both
+    * node-sized). Same semantics, same bipartite schedule, same exact
+    * BIGINT argmax — verified under q182's own unrolled-CTE oracle.
+    *
+    * The broadcast form stays registered as q182: below the broadcast
+    * threshold it wins (no label exchange at all) — the pair is the same
+    * measured lever ladder as q169/q169b: pick by node-table size. */
+  private def q182b(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("cust"),
+        (col("l_suppkey") * 2 + 1).as("supp"))
+      .agg(count(lit(1)).as("w"))
+    val edges = pairs
+      .select(explode(array(
+        struct(col("cust").as("src"), col("supp").as("dst"), col("w")),
+        struct(col("supp").as("src"), col("cust").as("dst"), col("w")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nodes = edges.select(col("src").as("node")).distinct()
+      var labels = nodes.select(col("node"), col("node").as("lbl"))
+      for (_ <- 1 to LpaRounds; side <- Seq(1, 0)) {
+        val contrib = labels.hint("shuffle_hash")
+          .join(edges, col("node") === col("src"))
+          .filter(pmod(col("dst"), lit(2)) === side)
+          .groupBy(col("dst"), col("lbl")).agg(sum("w").as("wsum"))
+        val wn = Window.partitionBy("dst")
+          .orderBy(col("wsum").desc, col("lbl").asc)
+        val best = contrib.withColumn("rn", row_number().over(wn))
+          .filter(col("rn") === 1)
+          .select(col("dst"), col("lbl").as("new_lbl"))
+        labels = labels.join(best.hint("shuffle_hash"),
+            col("node") === col("dst"), "left")
+          .select(col("node"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+        // same per-round checkpoint cadence as q182 (analyzer-depth cap);
+        // the node-sized re-exchange it costs next phase is the designed
+        // per-phase price of this plan
+        if (side == 0) labels = labels.localCheckpoint(true)
+      }
+      val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("community_size"))
+      labels.join(sizes, "lbl")
+        .select(col("node").cast("long").as("node"),
+          col("lbl").cast("long").as("community"), col("community_size"))
+        .localCheckpoint(true)
+    } finally edges.unpersist(false)
+  }
+
   // ---------------------------------------------------------------- q185
   /** Degree-oriented triangle counting over the part co-purchase graph
     * (Suri & Vassilvitskii 2011's "curse of the last reducer" fix, the
@@ -1602,6 +1666,7 @@ object Relational11 {
     GraftQuery("q167_pagerank", q167, Some(q167Sql)),
     GraftQuery("q175_sliding_window", q175, Some(q175Sql)),
     GraftQuery("q182_label_prop", q182, Some(q182Sql)),
+    GraftQuery("q182b_label_prop_copart", q182b, Some(q182Sql)),
     GraftQuery("q185_triangle_count", q185, Some(q185Sql)),
     GraftQuery("q186_basket_rules", q186, Some(q186Sql)),
     GraftQuery("q191_kcore", q191, Some(q191Sql)),
