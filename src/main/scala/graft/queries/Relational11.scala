@@ -1269,29 +1269,39 @@ object Relational11 {
           struct(col("supp").as("src"), col("cust").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst")),
       tbl, "src", buckets = 32)
-    try {
-      val dec = "decimal(38,0)"
-      val eb = s.table(tbl)
-      val deg = eb.groupBy("src").agg(count(lit(1)).as("dg"))
-      val sNbr = eb.join(deg.hint("shuffle_hash"), "src")
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("dg").cast(dec)).as("sd"))
-      val p = sNbr
-        .join(deg.withColumnRenamed("src", "node"), "node")
-        .agg(sum(col("dg").cast(dec) * col("sd")).as("p"))
-      val m = deg.agg(
-        sum(col("dg").cast(dec)).as("n"),
-        sum(col("dg").cast(dec) * col("dg")).as("s1"),
-        sum(col("dg").cast(dec) * col("dg") * col("dg")).as("s2"))
-      def dbl(c: String) = col(c).cast("double")
-      m.crossJoin(p).select(
-          (dbl("n") / 2).cast("long").as("n_edges"),
-          round(dbl("s1") / dbl("n"), 4).as("avg_deg"),
-          round((dbl("n") * dbl("p") - dbl("s1") * dbl("s1"))
-            / (dbl("n") * dbl("s2") - dbl("s1") * dbl("s1")), 4)
-            .as("assortativity"))
-        .localCheckpoint(true)
-    } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+    try q203bMoments(s, tbl).localCheckpoint(true)
+    finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  /** The moment computation over an ALREADY-bucketed edge table —
+    * factored out so PlanQualitySpec can pin the co-partitioned plan
+    * shape (zero Sort anywhere; the one edge-scale join is a
+    * ShuffledHashJoin with no Exchange under either child). */
+  private[graft] def q203bMoments(s: SparkSession, tbl: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val eb = s.table(tbl)
+    val deg = eb.groupBy("src").agg(count(lit(1)).as("dg"))
+    val sNbr = eb.join(deg.hint("shuffle_hash"), "src")
+      .groupBy(col("dst").as("node"))
+      .agg(sum(col("dg").cast(dec)).as("sd"))
+    // shuffle_hash here too: sNbr is hash(node)-partitioned from its
+    // groupBy and deg is bucket-partitioned on src — co-partitioned SHJ,
+    // so the WHOLE moments plan is sort-free even when deg outgrows the
+    // broadcast threshold (PlanQualitySpec pins this)
+    val p = sNbr
+      .join(deg.withColumnRenamed("src", "node").hint("shuffle_hash"), "node")
+      .agg(sum(col("dg").cast(dec) * col("sd")).as("p"))
+    val m = deg.agg(
+      sum(col("dg").cast(dec)).as("n"),
+      sum(col("dg").cast(dec) * col("dg")).as("s1"),
+      sum(col("dg").cast(dec) * col("dg") * col("dg")).as("s2"))
+    def dbl(c: String) = col(c).cast("double")
+    m.crossJoin(p).select(
+      (dbl("n") / 2).cast("long").as("n_edges"),
+      round(dbl("s1") / dbl("n"), 4).as("avg_deg"),
+      round((dbl("n") * dbl("p") - dbl("s1") * dbl("s1"))
+        / (dbl("n") * dbl("s2") - dbl("s1") * dbl("s1")), 4)
+        .as("assortativity"))
   }
 
   private val q203bSql: String =

@@ -633,4 +633,65 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("*("), s"codegen absent (no starred operators):\n$p")
   }
+
+  test("q203b: co-partitioned moments — zero Sort, edge join is SHJ with no Exchange below") {
+    // Pin the plan claims that clear q203's sf10 weak: on the bucketed
+    // edge table, (a) NOTHING sorts (the sf10 sort/spill bound is gone
+    // structurally, not by tuning), and (b) the one edge-scale join runs
+    // co-partitioned — a ShuffledHashJoin whose child subtrees contain no
+    // exchange at all. Broadcast is disabled to reproduce the sf10 regime
+    // where the degree table outgrows the threshold.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.{SortExec, SparkPlan, FileSourceScanExec}
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.shuffle.partitions", "32") // match the bucket count
+    val tbl = "q203b_spec_edges"
+    try {
+      val li = graft.core.Tables.lineitem(s2, sf).select("l_orderkey", "l_suppkey")
+      val o = graft.core.Tables.orders(s2, sf).select("o_orderkey", "o_custkey")
+      val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("cust"),
+          (col("l_suppkey") * 2 + 1).as("supp")).distinct()
+      graft.operators.Bucketing.writeBucketed(
+        pairs.select(explode(array(
+            struct(col("cust").as("src"), col("supp").as("dst")),
+            struct(col("supp").as("src"), col("cust").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst")),
+        tbl, "src", buckets = 32)
+      val moments = graft.queries.Relational11.q203bMoments(s2, tbl)
+      moments.collect() // finalize the adaptive plan
+      def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
+        case q: QueryStageExec        => p +: walk(q.plan)
+        case other                    => other +: other.children.flatMap(walk)
+      }
+      val nodes = walk(moments.queryExecution.executedPlan)
+      assert(!nodes.exists(_.isInstanceOf[SortExec]),
+        "the moments plan sorts — the structural no-sort claim regressed")
+      assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+        "SMJ in the moments plan — the co-partitioned SHJ claim regressed")
+      val shjs = nodes.collect { case j: ShuffledHashJoinExec => j }
+      def scansTbl(sub: Seq[SparkPlan]): Boolean = sub.exists {
+        case f: FileSourceScanExec => f.toString.contains(tbl)
+        case _ => false
+      }
+      // the edge-scale join: an SHJ scanning the bucketed table on BOTH
+      // sides with NO exchange anywhere beneath it (the p-join also sees
+      // tbl scans through sNbr but legitimately holds the node-sized
+      // groupBy(dst) exchange — it is excluded by the no-exchange filter)
+      val copart = shjs.filter(j =>
+        scansTbl(walk(j.left)) && scansTbl(walk(j.right)) &&
+        !walk(j).tail.exists(_.isInstanceOf[ShuffleExchangeLike]))
+      assert(copart.nonEmpty,
+        s"no exchange-free co-partitioned edge join among ${shjs.size} SHJs")
+      // everything that DOES shuffle is node-sized by construction:
+      // groupBy(dst) partials + the two single-row global aggregates
+      val nExchanges = nodes.count(_.isInstanceOf[ShuffleExchangeLike])
+      assert(nExchanges <= 3, s"moments plan has $nExchanges exchanges (expected ≤3)")
+    } finally s2.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }
