@@ -90,6 +90,7 @@ object SparkEntry {
     graft.llm.Tokenizer.queries ++
     graft.operators.AsOf.queries ++
     graft.operators.SaltedJoin.queries ++
+    graft.operators.Dispatch.queries ++
     graft.streaming.StreamingPipeline.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -150,7 +150,9 @@ object Embeddings {
     * broadcast-sized. The global centroid is re-aggregated from the same
     * relation (no second scan of the vectors). Rounding uses the q89
     * floor-spelling contract. */
-  def embeddingDrift(s: SparkSession, d: String): DataFrame = {
+  /** Unrounded drift frame for BoundarySpec (the q190 float-boundary
+    * lesson): raw per-label cosine before the floor-round-4 spelling. */
+  private[graft] def embeddingDriftRaw(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.embeddings(s, d)
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .withColumn("v", col("v").cast("double"))
@@ -162,11 +164,17 @@ object Embeddings {
     byLabel.join(broadcast(global), "pos")
       .groupBy("label")
       .agg(max("n").as("n_vecs"),
-           (floor(sum(col("m") * col("g"))
-               / (sqrt(sum(col("m") * col("m"))) * sqrt(sum(col("g") * col("g"))))
-             * 10000 + 0.5) / 10000.0).as("cosine_to_corpus"))
+           (sum(col("m") * col("g"))
+               / (sqrt(sum(col("m") * col("m"))) * sqrt(sum(col("g") * col("g")))))
+             .as("cosine_to_corpus"))
       .select("label", "n_vecs", "cosine_to_corpus")
   }
+
+  def embeddingDrift(s: SparkSession, d: String): DataFrame =
+    embeddingDriftRaw(s, d).select(
+      col("label"), col("n_vecs"),
+      ((floor(col("cosine_to_corpus") * 10000 + 0.5)) / 10000.0)
+        .as("cosine_to_corpus"))
 
   private val embeddingDriftSql =
     """WITH ev AS (

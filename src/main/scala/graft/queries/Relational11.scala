@@ -537,7 +537,7 @@ object Relational11 {
     * (q167's documented trade). */
   private val LpaRounds = 5
 
-  private def q182(s: SparkSession, d: String): DataFrame = {
+  private[graft] def q182(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
     val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
     val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
@@ -589,7 +589,7 @@ object Relational11 {
     * and l(i+1)), and DuckDB's default inlining would re-evaluate the
     * whole chain 2^phases times — measured as a >9-minute hang at
     * sf0.01 vs sub-second materialized. */
-  private val q182Sql: String = {
+  private[graft] val q182Sql: String = {
     val phases = (for (r <- 1 to LpaRounds; side <- Seq(1, 0)) yield {
       val i = (r - 1) * 2 + (if (side == 1) 1 else 2)
       s"""b$i AS (
@@ -644,7 +644,7 @@ object Relational11 {
     * The broadcast form stays registered as q182: below the broadcast
     * threshold it wins (no label exchange at all) — the pair is the same
     * measured lever ladder as q169/q169b: pick by node-table size. */
-  private def q182b(s: SparkSession, d: String): DataFrame = {
+  private[graft] def q182b(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
     val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
     val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
@@ -1436,7 +1436,9 @@ object Relational11 {
     * one min-aggregate; the (cohort, offset) distinct count is the only
     * corpus-scale shuffle (q110's cell frame); the fit aggregates that
     * curve per cohort. */
-  private def q210(s: SparkSession, d: String): DataFrame = {
+  /** Unrounded fit frame for BoundarySpec (the q190 float-boundary
+    * lesson): per-cohort decay_slope before round-4 and the <0 filter. */
+  private[graft] def q210Raw(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d)
       .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
     val cohort = e.groupBy("user_id").agg(min("wk").as("cohort_wk"))
@@ -1451,11 +1453,15 @@ object Relational11 {
       .withColumn("lnr", log(col("n_active").cast("double") / col("n0")))
       .groupBy("cohort_wk")
       .agg(first("n0").as("n0"), count(lit(1)).as("n_weeks"),
-        round(regr_slope(col("lnr"), col("offset_wk")), 4).as("decay_slope"))
+        regr_slope(col("lnr"), col("offset_wk")).as("decay_slope"))
+  }
+
+  private def q210(s: SparkSession, d: String): DataFrame =
+    q210Raw(s, d)
+      .withColumn("decay_slope", round(col("decay_slope"), 4))
       .filter(col("decay_slope") < 0)
       .withColumn("half_life_wk",
         round(lit(-math.log(2.0)) / col("decay_slope"), 4))
-  }
 
   private val q210Sql: String =
     s"""$EvCte,

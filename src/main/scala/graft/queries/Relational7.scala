@@ -113,19 +113,34 @@ object Relational7 {
     * algebraic — Spark partial-aggregates them map-side like any sum; the
     * DuckDB oracle rebuilds skew/kurt from raw central moments (its
     * built-ins apply sample corrections, Spark's are population form). */
-  private def q74(s: SparkSession, d: String): DataFrame =
+  /** Unrounded fit frame for BoundarySpec (the q190 float-boundary
+    * lesson): the registered query rounds this frame's float aggregates. */
+  private[graft] def q74Raw(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
-        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
-        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 4).as("r2"),
+        regr_slope(col("l_extendedprice"), col("l_quantity")).as("slope"),
+        regr_intercept(col("l_extendedprice"), col("l_quantity")).as("intercept"),
+        regr_r2(col("l_extendedprice"), col("l_quantity")).as("r2"),
         regr_count(col("l_extendedprice"), col("l_quantity")).as("n"),
-        round(regr_avgx(col("l_extendedprice"), col("l_quantity")), 4).as("avg_qty"),
-        round(regr_avgy(col("l_extendedprice"), col("l_quantity")), 4).as("avg_price"),
-        round(median(col("l_discount")), 4).as("med_disc"),
-        round(skewness(col("l_quantity")), 4).as("skew_qty"),
-        round(kurtosis(col("l_quantity")), 4).as("kurt_qty"))
+        regr_avgx(col("l_extendedprice"), col("l_quantity")).as("avg_qty"),
+        regr_avgy(col("l_extendedprice"), col("l_quantity")).as("avg_price"),
+        median(col("l_discount")).as("med_disc"),
+        skewness(col("l_quantity")).as("skew_qty"),
+        kurtosis(col("l_quantity")).as("kurt_qty"))
+
+  private def q74(s: SparkSession, d: String): DataFrame =
+    q74Raw(s, d).select(
+      col("l_returnflag"),
+      round(col("slope"), 4).as("slope"),
+      round(col("intercept"), 4).as("intercept"),
+      round(col("r2"), 4).as("r2"),
+      col("n"),
+      round(col("avg_qty"), 4).as("avg_qty"),
+      round(col("avg_price"), 4).as("avg_price"),
+      round(col("med_disc"), 4).as("med_disc"),
+      round(col("skew_qty"), 4).as("skew_qty"),
+      round(col("kurt_qty"), 4).as("kurt_qty"))
 
   private val q74Sql =
     """WITH mu AS (SELECT l_returnflag, avg(l_quantity) AS m FROM lineitem GROUP BY 1),

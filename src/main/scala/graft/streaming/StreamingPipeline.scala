@@ -610,11 +610,13 @@ object StreamingPipeline {
     * delay models the real intra-bucket out-of-orderness bound. The
     * one-time staging sort is the price of admission (a time-partitioned
     * lake already paid it at write time) — and it IS one-time: the staged
-    * corpus is deterministic per (source dir, nBuckets), so it lives
-    * under a content-addressed cache path that bench/verify runs in the
-    * same JVM boot (and across processes on the same host) reuse instead
-    * of re-writing the 6 sequential buckets every call (~half of q176b's
-    * sf0.1 wall was re-staging). */
+    * corpus is deterministic per (source dir, nBuckets, source-data
+    * fingerprint), so it lives under a content-addressed cache path that
+    * bench/verify runs in the same JVM boot (and across processes on the
+    * same host) reuse instead of re-writing the 6 sequential buckets
+    * every call (~half of q176b's sf0.1 wall was re-staging). The
+    * fingerprint (file names/sizes/max mtime) invalidates the cache when
+    * the dataset at the path is regenerated in place (ADVICE-r09). */
   def q176StreamClickAttrOrdered(s: SparkSession, d: String): DataFrame = {
     // 6 contiguous buckets regardless of corpus size: trigger count stays
     // fixed at scale (the slicing-exactness argument needs bucket ORDER,
@@ -635,8 +637,29 @@ object StreamingPipeline {
     * the last bucket, before the rename). */
   private def stagedOrderedEvents(s: SparkSession, d: String, nBuckets: Int): String = {
     import java.nio.file.{Files, Paths}
+    // Cache key = path + a cheap DATA fingerprint (sorted file names,
+    // sizes, max mtime of the source parquet dir). The r09 key was
+    // path-only, so regenerating the dataset in place would silently
+    // reuse a stale staged corpus across processes (ADVICE-r09); the
+    // fingerprint makes the cache content-addressed to rename-free
+    // in-place rewrites too (a rewrite changes sizes and/or mtimes).
+    val src = Paths.get(d, "events.parquet")
+    val fp = new StringBuilder
+    var maxMtime = 0L
+    if (Files.isDirectory(src)) {
+      val st = Files.list(src)
+      try {
+        st.sorted.forEach { p =>
+          fp.append(p.getFileName).append('|').append(Files.size(p)).append('|')
+          maxMtime = math.max(maxMtime, Files.getLastModifiedTime(p).toMillis)
+        }
+      } finally st.close()
+    } else if (Files.exists(src)) {
+      fp.append(src.getFileName).append('|').append(Files.size(src)).append('|')
+      maxMtime = Files.getLastModifiedTime(src).toMillis
+    }
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${Paths.get(d).toAbsolutePath}|$nBuckets".getBytes("UTF-8"))
+      .digest(s"${Paths.get(d).toAbsolutePath}|$nBuckets|$fp$maxMtime".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
     val root = Paths.get(System.getProperty("java.io.tmpdir"), "graft_q176b_cache")
     val fin = root.resolve(key)
@@ -663,13 +686,26 @@ object StreamingPipeline {
     try {
       Files.move(Paths.get(evDir), fin,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      Files.deleteIfExists(scratch)
     } catch {
       case _: java.nio.file.FileAlreadyExistsException
            | _: java.nio.file.DirectoryNotEmptyException
            | _: java.nio.file.AccessDeniedException => // lost the race: reuse winner
+    } finally {
+      // always drop the scratch tree: empty on the winning path, the full
+      // materialized corpus on the losing one (ADVICE-r09 leak)
+      deleteRecursively(scratch)
     }
     fin.toString
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(p)) {
+      val st = Files.walk(p)
+      try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(q => Files.deleteIfExists(q))
+      finally st.close()
+    }
   }
 
   private def runOrderedClickAttr(s: SparkSession, evDir: String,
