@@ -317,6 +317,14 @@ object Dedup {
     val ex = sh.select(col("doc_id"), size(col("sh")).as("n_sh"),
         explode_outer(col("sh")).as("shingle"))
       .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("shk"))
+    containmentJoinFromEx(ex, t)
+  }
+
+  /** The counting join alone, over an already-built posting frame
+    * (doc_id, n_sh, shk) — factored out so the q169c dispatcher can run
+    * it on the SAME materialized frame its skew probe aggregated,
+    * instead of re-shingling the corpus (one scan, not three). */
+  private[graft] def containmentJoinFromEx(ex: DataFrame, t: Double): DataFrame = {
     val ax = ex.select(col("doc_id").as("a_id"), col("n_sh").as("na"), col("shk"))
     val bx = ex.select(col("doc_id").as("b_id"), col("n_sh").as("nb"),
                        col("shk").as("shk_r"))
@@ -341,12 +349,19 @@ object Dedup {
     * LlmSpec proves row-identity with the direct counting join on the
     * full test corpus. */
   private[graft] def containmentPrefixOf(docs: DataFrame, t: Double = 0.9): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sh = shingledN(docs, 3)
     val ex = sh.select(col("doc_id"), size(col("sh")).as("n_sh"),
         explode_outer(col("sh")).as("shingle"))
       .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("shk"))
       .localCheckpoint(true)
+    containmentPrefixFromShEx(sh, ex, t)
+  }
+
+  /** Prefix-filter + verify alone, over an already-materialized posting
+    * frame — the q169c shared-scan seam (see [[containmentJoinFromEx]]). */
+  private[graft] def containmentPrefixFromShEx(
+      sh: DataFrame, ex: DataFrame, t: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dfreq = ex.groupBy("shk").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("shk").asc)
     // floor((1-t)·n)+1 probe shingles — the one-sided prefix

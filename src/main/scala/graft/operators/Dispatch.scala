@@ -76,7 +76,112 @@ object Dispatch {
     if (chooseLabelProp(s, d) == "broadcast") Relational11.q182(s, d)
     else Relational11.q182b(s, d)
 
+  // ------------------------------------------------------------ q203c
+  /** Second instance, same decision input as q182c: assortativity
+    * (q203 naive-corr vs q203b bucketed-moment). q203's own scaladoc
+    * states the boundary — "the degree table broadcasts up to ~sf5 (no
+    * edge exchange at all) and falls back to SMJ where the node table
+    * outgrows the broadcast threshold (the edge-frame sorts then
+    * dominate)" — so the dispatch signal IS the session's broadcast
+    * threshold applied to the node frame, exactly like the LPA pair:
+    * while the degree table is broadcast-sized the naive shape touches
+    * the edge frame with zero exchange and q203b's one-time bucket
+    * write is pure overhead (sf0.1: 1.4 s vs 4.5 s); once it is not,
+    * the naive SMJ's two edge-frame sorts dominate spill-bound and the
+    * bucketed moment plan wins (sf5: 64 vs 86 s; sf10: 132 vs 248 s,
+    * 1.89× — BASELINE.md round 9). Node population is the same
+    * custkey ⊎ suppkey set as LPA's, so the estimate is shared. */
+  def chooseAssortativity(s: SparkSession, d: String): String = {
+    val t = broadcastThresholdBytes(s)
+    if (t > 0 && lpaLabelFrameBytes(s, d) <= t) "naive" else "bucketed"
+  }
+
+  /** q203c — assortativity with automatic plan selection, gated by
+    * q203's corr-form oracle (the moment form is algebraically the same
+    * Pearson r; both variants pass their DuckDB twins, and DispatchSpec
+    * asserts cross-variant equality of the rounded output). */
+  def assortativityAuto(s: SparkSession, d: String): DataFrame =
+    if (chooseAssortativity(s, d) == "naive") Relational11.q203(s, d)
+    else Relational11.q203b(s, d)
+
+  // ------------------------------------------------------------ q169c
+  /** Third instance, a different CLASS of decision input: the exact
+    * containment counting join (q169) vs the asymmetric prefix filter
+    * (q169b) cross over on posting-list SKEW, which no footer metadata
+    * reveals — so the dispatcher runs a one-pass stats PROBE (the
+    * ANALYZE-TABLE analogy) before choosing.
+    *
+    * The signal is ρ = Σdf²/Σdf over the shingle document frequencies:
+    * the counting join materializes exactly Σdf² candidate rows from
+    * Σdf posting rows, so ρ is the join's per-posting amplification.
+    * Measured (round 10, this corpus family): ρ is SCALE-INVARIANT
+    * under duplicate-free growth — 5.89 at sf0.1 and at R=10 and R=100
+    * disjoint replication alike (replication preserves the df
+    * distribution) — and grows only with real skew: 9.72 at zipf R=10,
+    * ~58 extrapolated at zipf R=100 (the corpus where round 9 measured
+    * q169 at 5.85× wall vs q169b's 1.08×). The measured walls cross at
+    * the disjoint point (q169 23.0 s ≈ q169b 23.3 s at sf1, ρ=5.89)
+    * and diverge by zipf R=10 (134.4 vs 25.1 s at sf1z, ρ=9.72), so
+    * the default κ=8 sits between the measured-equal and
+    * measured-blowup points. Probe cost is one shingle+groupBy pass —
+    * O(corpus), vs the O(Σdf²) it prevents; both variants re-shingle
+    * anyway, so the probe adds one of three scans, and at 100 TB it is
+    * the same bargain ANALYZE TABLE buys every CBO decision. */
+  val ContainmentMaxMeanPostingsKey = "graft.dispatch.containment.maxMeanPostings"
+
+  /** ρ over an already-built posting frame (one agg — no extra scan). */
+  private def rhoFromEx(ex: DataFrame): Double = {
+    import org.apache.spark.sql.functions._
+    val r = ex.groupBy("shk").agg(count(lit(1)).as("df"))
+      .agg(sum(col("df")).as("postings"),
+        sum(col("df") * col("df")).as("sum_df2")).head()
+    if (r.isNullAt(0) || r.getLong(0) == 0L) 0.0
+    else r.getLong(1).toDouble / r.getLong(0).toDouble
+  }
+
+  /** ρ = Σdf²/Σdf over 3-shingle dfs of the q169 slice (even doc_ids). */
+  def containmentSkewRho(s: SparkSession, d: String): Double = {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
+    rhoFromEx(graft.llm.Dedup.shingledN(docs, 3)
+      .select(col("doc_id"), explode_outer(col("sh")).as("shingle"))
+      .select(xxhash64(col("shingle")).as("shk")))
+  }
+
+  def chooseContainment(s: SparkSession, d: String): String = {
+    val kappa = s.conf.get(ContainmentMaxMeanPostingsKey, "8.0").toDouble
+    if (containmentSkewRho(s, d) <= kappa) "exact" else "prefix"
+  }
+
+  /** q169c — containment with automatic plan selection, gated by q169's
+    * exact oracle (q169b is row-identical by the prefix theorem, spec-
+    * proven in LlmSpec, so either pick must hash-match).
+    *
+    * The probe SHARES the variants' scan: the posting frame
+    * (doc_id, n_sh, shk) is materialized once (localCheckpoint — the
+    * same materialization q169b performs anyway), ρ is one aggregate
+    * over it, and the chosen variant consumes the SAME frame. Measured
+    * at sf0.1: the naive three-scan spelling cost 3.0× q169's wall; the
+    * shared-scan spelling prices the probe at one keyed agg — the
+    * ANALYZE-TABLE bargain every CBO decision buys. */
+  def containmentAuto(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val kappa = s.conf.get(ContainmentMaxMeanPostingsKey, "8.0").toDouble
+    val docs = Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
+    val sh = graft.llm.Dedup.shingledN(docs, 3)
+    val ex = sh.select(col("doc_id"), size(col("sh")).as("n_sh"),
+        explode_outer(col("sh")).as("shingle"))
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("shk"))
+      .localCheckpoint(true)
+    if (rhoFromEx(ex) <= kappa) graft.llm.Dedup.containmentJoinFromEx(ex, 0.9)
+    else graft.llm.Dedup.containmentPrefixFromShEx(sh, ex, 0.9)
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q182c_label_prop_auto", labelPropAuto _,
-      Some(Relational11.q182Sql)))
+      Some(Relational11.q182Sql)),
+    GraftQuery("q203c_assort_auto", assortativityAuto _,
+      Some(Relational11.q203Sql)),
+    GraftQuery("q169c_containment_auto", containmentAuto _,
+      Some(graft.llm.Dedup.containmentSql)))
 }

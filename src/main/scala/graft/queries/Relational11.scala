@@ -1187,7 +1187,7 @@ object Relational11 {
     * degrees), two keyed joins to attach endpoint degrees, one `corr`
     * aggregate — every stage an equi-join on node id; no window, no
     * iteration, output is a single row. */
-  private def q203(s: SparkSession, d: String): DataFrame = {
+  private[graft] def q203(s: SparkSession, d: String): DataFrame = {
     val pairs = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
       .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
@@ -1211,7 +1211,7 @@ object Relational11 {
           .as("assortativity"))
   }
 
-  private val q203Sql: String =
+  private[graft] val q203Sql: String =
     """WITH pairs AS (
       |  SELECT DISTINCT o.o_custkey * 2 AS cust, l.l_suppkey * 2 + 1 AS supp
       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
@@ -1254,7 +1254,7 @@ object Relational11 {
     * double only at the final closed form, so both engines evaluate the
     * identical IEEE expression: no corr() last-ulp drift at sf1/sf10.
     * Measured sf5→sf10 step: see BASELINE.md (target ≤2× per 2×). */
-  private def q203b(s: SparkSession, d: String): DataFrame = {
+  private[graft] def q203b(s: SparkSession, d: String): DataFrame = {
     val pairs = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
       .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))

@@ -71,4 +71,94 @@ class DispatchSpec extends AnyFunSuite {
     assert(broadcastSide == copartSide,
       "q182 and q182b disagree through the dispatcher")
   }
+
+  // ------------------------------------------------------------ q203c
+
+  test("assortativity selection flips at the broadcast threshold") {
+    val est = Dispatch.lpaLabelFrameBytes(spark, sf)
+    withThreshold((est * 2).toString) {
+      assert(Dispatch.chooseAssortativity(spark, sf) == "naive")
+    }
+    withThreshold(((est / 2).max(BigInt(1))).toString) {
+      assert(Dispatch.chooseAssortativity(spark, sf) == "bucketed")
+    }
+    withThreshold("-1") {
+      assert(Dispatch.chooseAssortativity(spark, sf) == "bucketed")
+    }
+  }
+
+  test("assortativity dispatched result equals both variants") {
+    def canon(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    val naive = withThreshold("1GB") {
+      assert(Dispatch.chooseAssortativity(spark, sf) == "naive")
+      canon(Dispatch.assortativityAuto(spark, sf))
+    }
+    val bucketed = withThreshold("1") {
+      assert(Dispatch.chooseAssortativity(spark, sf) == "bucketed")
+      canon(Dispatch.assortativityAuto(spark, sf))
+    }
+    assert(naive.nonEmpty)
+    // corr-form and moment-form are the same Pearson r rounded to 4
+    // decimals; equality of the canonical rows IS the cross-variant check
+    assert(naive == bucketed, "q203 and q203b disagree through the dispatcher")
+  }
+
+  // ------------------------------------------------------------ q169c
+
+  test("containment skew probe: rho is in the measured disjoint band") {
+    // sf0.01 measured rho = 1.50 (duckdb cross-check, round 10) — far
+    // under the default kappa=8, so the gate corpus always picks exact
+    val rho = Dispatch.containmentSkewRho(spark, "/root/testdata/sf0.01")
+    assert(rho > 1.0 && rho < 3.0, s"rho out of measured band: $rho")
+    assert(Dispatch.chooseContainment(spark, "/root/testdata/sf0.01") == "exact")
+  }
+
+  test("containment selection flips at the kappa threshold") {
+    val key = Dispatch.ContainmentMaxMeanPostingsKey
+    val rho = Dispatch.containmentSkewRho(spark, sf)
+    spark.conf.set(key, (rho * 2).toString)
+    try assert(Dispatch.chooseContainment(spark, sf) == "exact")
+    finally spark.conf.unset(key)
+    spark.conf.set(key, (rho / 2).toString)
+    try assert(Dispatch.chooseContainment(spark, sf) == "prefix")
+    finally spark.conf.unset(key)
+  }
+
+  test("containment dispatched result equals both variants") {
+    def canon(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    val key = Dispatch.ContainmentMaxMeanPostingsKey
+    val exact = {
+      spark.conf.set(key, "1e18")
+      try { assert(Dispatch.chooseContainment(spark, sf) == "exact")
+            canon(Dispatch.containmentAuto(spark, sf)) }
+      finally spark.conf.unset(key)
+    }
+    val prefix = {
+      spark.conf.set(key, "0.0")
+      try { assert(Dispatch.chooseContainment(spark, sf) == "prefix")
+            canon(Dispatch.containmentAuto(spark, sf)) }
+      finally spark.conf.unset(key)
+    }
+    assert(exact == prefix, "q169 and q169b disagree through the dispatcher")
+  }
+
+  test("containment calibration: zipf corpus flips to prefix at default kappa") {
+    // testdata/sf1z (zipf R=10, gitignored scale corpus): measured
+    // rho = 9.72 > kappa=8; disjoint replication stays at 5.89 < 8 at
+    // ANY R. Guarded: the corpus is regenerated per round, not committed.
+    val z = "testdata/sf1z"
+    if (new java.io.File(z).isDirectory) {
+      val rho = Dispatch.containmentSkewRho(spark, z)
+      assert(rho > 8.0 && rho < 12.0, s"zipf rho out of measured band: $rho")
+      assert(Dispatch.chooseContainment(spark, z) == "prefix")
+      val d = "testdata/sf1"
+      if (new java.io.File(d).isDirectory) {
+        val rd = Dispatch.containmentSkewRho(spark, d)
+        assert(rd > 4.0 && rd < 8.0, s"disjoint rho out of measured band: $rd")
+        assert(Dispatch.chooseContainment(spark, d) == "exact")
+      }
+    }
+  }
 }
