@@ -1211,6 +1211,27 @@ object Relational11 {
           .as("assortativity"))
   }
 
+  /** Unrounded assortativity frame for BoundarySpec: q203/q203b/q203c all
+    * hash round(corr, 4) of this value (the corr spelling and the moment
+    * spelling agree to last-ulp only if far from a boundary — the q190
+    * class), so the gate asserts its distance once for the family. */
+  private[graft] def q203Raw(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("cust"),
+        (col("l_suppkey") * 2 + 1).as("supp")).distinct()
+    val e = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+      .union(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("dg"))
+    e.join(deg, "src")
+      .withColumnRenamed("dg", "ds")
+      .join(deg.withColumnRenamed("src", "dst").withColumnRenamed("dg", "dt"), "dst")
+      .agg(avg("ds").as("avg_deg"),
+        corr(col("ds").cast("double"), col("dt").cast("double"))
+          .as("assortativity"))
+  }
+
   private[graft] val q203Sql: String =
     """WITH pairs AS (
       |  SELECT DISTINCT o.o_custkey * 2 AS cust, l.l_suppkey * 2 + 1 AS supp

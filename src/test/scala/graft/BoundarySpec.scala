@@ -96,4 +96,12 @@ class BoundarySpec extends AnyFunSuite {
     assertFarFromBoundary("q148_embedding_drift",
       graft.llm.Embeddings.embeddingDriftRaw(spark, sf), Seq("cosine_to_corpus"))
   }
+
+  test("q203 family: assortativity corr sits far from round-4 boundaries") {
+    // one site covers q203, q203b (moment spelling of the same value) and
+    // q203c (dispatches between them): all three hash round(corr, 4)
+    assertFarFromBoundary("q203_assortativity",
+      graft.queries.Relational11.q203Raw(spark, sf),
+      Seq("avg_deg", "assortativity"))
+  }
 }
