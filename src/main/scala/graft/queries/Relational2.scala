@@ -158,14 +158,17 @@ object Relational2 {
       .option("header", "true").csv(tmp)
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
-           round(sum(col("l_extendedprice")), 2).as("sum_price"),
-           round(sum(col("l_quantity")), 2).as("sum_qty"))
+           // decimal sums: few-group giant-sum class (q02/q59 lesson)
+           round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2)
+             .cast("double").as("sum_price"),
+           round(sum(col("l_quantity").cast("decimal(18,2)")), 2)
+             .cast("double").as("sum_qty"))
   }
 
   private val q28Sql =
     """SELECT l_returnflag, count(*) AS n,
-      |       round(sum(l_extendedprice), 2) AS sum_price,
-      |       round(sum(l_quantity), 2) AS sum_qty
+      |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price,
+      |       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
       |FROM lineitem WHERE l_quantity <= 3 GROUP BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------- q29

@@ -23,11 +23,15 @@ object Relational3 {
       .schema("o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
       .json(tmp)
       .groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"))
+      .agg(count(lit(1)).as("n"),
+           // decimal money sum: few-group giant-sum class (q02/q59 lesson)
+           round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+             .cast("double").as("revenue"))
   }
 
   private val q47Sql =
-    """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+    """SELECT o_orderstatus, count(*) AS n,
+      |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
       |FROM orders WHERE o_totalprice > 400000 GROUP BY o_orderstatus""".stripMargin
 
   // ---------------------------------------------------------------- q48

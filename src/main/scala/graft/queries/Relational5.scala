@@ -86,16 +86,20 @@ object Relational5 {
       .groupBy("split")
       .agg(count(lit(1)).as("n_rows"),
            countDistinct(col("l_orderkey")).as("n_orders"),
-           round(sum("l_extendedprice"), 2).as("sum_price"),
-           round(avg("l_quantity"), 4).as("avg_qty"))
+           // associative DECIMAL(18,2) sum + one IEEE division for the avg
+           // (q02/q04 technique): the float sum drifted to CLOSE at sf10
+           round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2)
+             .cast("double").as("sum_price"),
+           round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+             / count(lit(1)), 4).as("avg_qty"))
 
   private val q59Sql =
     """WITH keyed AS (
       |  SELECT *, md5(concat_ws('-', l_orderkey, l_linenumber)) AS h FROM lineitem)
       |SELECT CASE WHEN substring(h, 1, 1) IN ('0', '1') THEN 'test' ELSE 'train' END AS split,
       |       count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders,
-      |       round(sum(l_extendedprice), 2) AS sum_price,
-      |       round(avg(l_quantity), 4) AS avg_qty
+      |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price,
+      |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty
       |FROM keyed GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------- q60

@@ -184,17 +184,23 @@ object Relational6 {
   private def q67(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
-      .agg(round(sum("l_quantity"), 2).as("qty"),
-           round(sum("l_discount"), 2).as("disc"),
-           round(sum("l_tax"), 2).as("tax"))
+      // decimal sums: few-group giant-sum class (q02/q59 lesson)
+      .agg(round(sum(col("l_quantity").cast("decimal(18,2)")), 2)
+             .cast("double").as("qty"),
+           round(sum(col("l_discount").cast("decimal(18,2)")), 2)
+             .cast("double").as("disc"),
+           round(sum(col("l_tax").cast("decimal(18,2)")), 2)
+             .cast("double").as("tax"))
       .unpivot(Array(col("l_returnflag")),
                Array(col("qty"), col("disc"), col("tax")),
                "measure", "total")
 
   private val q67Sql =
     """WITH agg AS (
-      |  SELECT l_returnflag, round(sum(l_quantity), 2) AS qty,
-      |         round(sum(l_discount), 2) AS disc, round(sum(l_tax), 2) AS tax
+      |  SELECT l_returnflag,
+      |         CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS qty,
+      |         CAST(round(sum(CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS disc,
+      |         CAST(round(sum(CAST(l_tax AS DECIMAL(18,2))), 2) AS DOUBLE) AS tax
       |  FROM lineitem GROUP BY 1)
       |SELECT l_returnflag, 'qty' AS measure, qty AS total FROM agg
       |UNION ALL SELECT l_returnflag, 'disc', disc FROM agg
