@@ -136,7 +136,7 @@ object Relational8 {
             |  SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
             |  WHERE m < CAST('1996-12-01' AS DATE))
             |SELECT m, count(o_orderkey) AS n_orders,
-            |       round(coalesce(sum(o_totalprice), 0), 2) AS month_total
+            |       CAST(round(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0), 2) AS DOUBLE) AS month_total
             |FROM months LEFT JOIN orders_rc
             |  ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
             |GROUP BY m""".stripMargin)
@@ -149,7 +149,7 @@ object Relational8 {
       |  SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
       |  WHERE m < CAST('1996-12-01' AS DATE))
       |SELECT m, count(o_orderkey) AS n_orders,
-      |       round(coalesce(sum(o_totalprice), 0), 2) AS month_total
+      |       CAST(round(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0), 2) AS DOUBLE) AS month_total
       |FROM months LEFT JOIN orders
       |  ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
       |GROUP BY m""".stripMargin
