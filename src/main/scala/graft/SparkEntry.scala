@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{GraftQuery, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, Relational7, Relational8, Relational9, Relational10, Relational11}
+import graft.queries.{GraftQuery, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, Relational7, Relational8, Relational9, Relational10, Relational11, Relational12}
 import graft.hl7.Pipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -78,6 +78,7 @@ object SparkEntry {
     Relational9.all ++
     Relational10.all ++
     Relational11.all ++
+    Relational12.all ++
     Pipeline.queries.map { case (n, f) => GraftQuery(n, f, pipelineOracles.get(n)) } ++
     graft.hl7.Views.queries.map { case (n, f) => GraftQuery(n, f, pipelineOracles.get(n)) } ++
     graft.llm.TextAnalysis.queries ++

@@ -1,0 +1,381 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Preference/eval/privacy tier — the round-10 additions a training-data
+  * platform grows once the corpus operators exist: pairwise-preference
+  * aggregation and Bradley–Terry ranking (the RLHF data shape), classifier
+  * calibration (reliability diagram + ECE), split-conformal coverage (the
+  * distribution-free eval band), and a differentially-private count
+  * release with per-user contribution bounding. Every corpus-scale pass
+  * is a keyed aggregate; everything after runs on constant-size frames
+  * (pairs = types², bins = 10, cells = types × weeks), so the shapes
+  * scale with key cardinality, not event volume.
+  */
+object Relational12 {
+
+  /** DuckDB-side CTE normalizing the ns timestamp — must match
+    * `Tables.events`'s µs floor (see Relational.q20). */
+  private val EvCte = "WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
+
+  /** Tie-safe rounding (numeric-compare contract class 2, GraftQuery doc):
+    * both engines compute the same IEEE ops on the same double. */
+  private def floor4(c: Column): Column = floor(c * 10000 + 0.5) / 10000.0
+
+  // ---------------------------------------------------------------- q217
+  /** Pairwise preference construction — the comparison matrix RLHF-style
+    * ranking starts from. A "judge" here is a user: for each user and each
+    * unordered pair of event types, the type the user triggered more often
+    * wins the comparison (equal counts = tie). Output per pair: wins each
+    * way, ties, and the comparison count — all exact integers, so the
+    * DuckDB oracle is a full hash gate.
+    *
+    * Scale shape: ONE corpus-scale shuffle (the (user, type) count, which
+    * Spark partial-aggregates map-side), then the per-user type array is
+    * collected (≤ |types| entries, a bounded constant) and pairs are
+    * minted MAP-SIDE by a double explode — no self-join of the count
+    * table on user_id, no second corpus shuffle. The pair frame is
+    * |types|² rows regardless of event volume. */
+  private def q217(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+    val perUser = counts.groupBy("user_id")
+      .agg(collect_list(struct(col("event_type").as("t"), col("c").as("c"))).as("ts"))
+    perUser
+      .select(col("user_id"), explode(col("ts")).as("x"), col("ts"))
+      .select(col("user_id"), col("x"), explode(col("ts")).as("y"))
+      .filter(col("x.t") < col("y.t"))
+      .groupBy(col("x.t").as("item_a"), col("y.t").as("item_b"))
+      .agg(
+        sum(when(col("x.c") > col("y.c"), 1L).otherwise(0L)).as("wins_a"),
+        sum(when(col("y.c") > col("x.c"), 1L).otherwise(0L)).as("wins_b"),
+        sum(when(col("x.c") === col("y.c"), 1L).otherwise(0L)).as("ties"),
+        count(lit(1)).as("n_users"))
+  }
+
+  private val q217Sql: String =
+    s"""$EvCte,
+      |c AS (SELECT user_id, event_type, count(*) AS c FROM ev GROUP BY 1, 2)
+      |SELECT a.event_type AS item_a, b.event_type AS item_b,
+      |  CAST(sum(CASE WHEN a.c > b.c THEN 1 ELSE 0 END) AS BIGINT) AS wins_a,
+      |  CAST(sum(CASE WHEN b.c > a.c THEN 1 ELSE 0 END) AS BIGINT) AS wins_b,
+      |  CAST(sum(CASE WHEN a.c = b.c THEN 1 ELSE 0 END) AS BIGINT) AS ties,
+      |  count(*) AS n_users
+      |FROM c a JOIN c b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q217b
+  /** Bradley–Terry ratings over q217's comparison matrix via the MM
+    * algorithm (Bradley & Terry 1952; Hunter 2004, Ann. Stat. 32(1)):
+    * p_i ← W_i / Σ_{j≠i} n_ij / (p_i + p_j), geometric-mean-normalized
+    * each sweep, ties credited half a win to each side. 50 fixed sweeps
+    * (the sf0.01 matrix converges to 6 decimals by sweep 20).
+    *
+    * Driver-side BY DESIGN, not as a scale compromise (the q190b
+    * precedent): the distributed work is q217's single corpus shuffle;
+    * the pair matrix it leaves is |types|² rows — collecting it is O(1)
+    * bounded, and the MM fold runs in ascending item order, a fixed
+    * summation order no partition layout can perturb. A distributed
+    * fixpoint over a constant-size frame would only REINTRODUCE
+    * layout-dependent float fold order. Ratings are engine floats →
+    * golden-pinned after the 2/4/8-CPU bit-stability check
+    * (tools/pin_goldens.py), the repo's established mechanism; the
+    * integer comparison matrix keeps its live DuckDB oracle in q217. */
+  private val BtSweeps = 50
+
+  private def q217b(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = q217(s, d)
+      .select("item_a", "item_b", "wins_a", "wins_b", "ties")
+      .as[(String, String, Long, Long, Long)]
+      .collect()                        // |types|² rows by construction
+      .sortBy(p => (p._1, p._2))
+    val items = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val idx = items.zipWithIndex.toMap
+    val k = items.length
+    val wins = Array.fill(k)(0.0)
+    val nCmp = Array.fill(k, k)(0.0)
+    pairs.foreach { case (a, b, wa, wb, t) =>
+      val (i, j) = (idx(a), idx(b))
+      wins(i) += wa + 0.5 * t
+      wins(j) += wb + 0.5 * t
+      nCmp(i)(j) += wa + wb + t
+      nCmp(j)(i) += wa + wb + t
+    }
+    var p = Array.fill(k)(1.0)
+    for (_ <- 1 to BtSweeps) {
+      val next = Array.tabulate(k) { i =>
+        var denom = 0.0
+        var j = 0
+        while (j < k) {                 // fixed ascending-j fold order
+          if (j != i && nCmp(i)(j) > 0) denom += nCmp(i)(j) / (p(i) + p(j))
+          j += 1
+        }
+        if (denom > 0) math.max(wins(i) / denom, 1e-12) else 1e-12
+      }
+      val logGm = next.foldLeft(0.0)((acc, x) => acc + math.log(x)) / k
+      p = next.map(_ / math.exp(logGm))
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val rankOf = items.indices.sortBy(i => (-p(i), items(i))).zipWithIndex
+      .map { case (i, r) => i -> (r + 1L) }.toMap
+    items.indices.map { i =>
+      val total = nCmp(i).sum
+      (items(i), r4(wins(i)), total.toLong, r4(p(i)), rankOf(i))
+    }.toDF("item", "wins", "n_comparisons", "rating", "rank")
+  }
+
+  // ---------------------------------------------------------------- q218
+  /** Reliability diagram + Expected Calibration Error (Naeini et al. 2015;
+    * Guo et al. 2017) for a document-quality classifier: a deterministic
+    * logistic score over (type/token ratio, top-token share) binned into
+    * 10 confidence buckets, against the exact integer rule label
+    * (top_tf·5 < n_tokens ∧ 5·n_unique ≥ 2·n_tokens). The monitoring dial
+    * a quality-filter pipeline (q134/q179) pages on when the filter's
+    * scores drift away from its realized precision.
+    *
+    * Exactness discipline (the r09 float-boundary lesson, applied up
+    * front): the per-doc score is floor-spelled to an INTEGER milli-score
+    * s10k once, and every bin statistic is then derived from exact BIGINT
+    * sums — in particular n_b·|acc_b − conf_b| = |10⁴·L_b − S_b| / 10⁴
+    * exactly, so the ECE numerator Σ_b |10⁴·L_b − S_b| is an exact
+    * integer and the only float ops are single final divisions both
+    * engines perform identically. No multi-term float accumulation
+    * anywhere → no cross-engine fold-order exposure.
+    *
+    * Scale: one (doc, word) count shuffle feeds per-doc features
+    * (map-side partial agg), then one 10-row keyed aggregate; the ECE
+    * attach is a 1×1 broadcast cross join onto ≤10 rows. */
+  private def q218(s: SparkSession, d: String): DataFrame = {
+    val feat = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tokens"), count(lit(1)).as("n_unique"),
+        max("tf").as("top_tf"))
+    val z = lit(6.0) * (col("n_unique").cast("double") / col("n_tokens") - 0.5) -
+      lit(12.0) * (col("top_tf").cast("double") / col("n_tokens") - 0.1)
+    val scored = feat
+      .withColumn("s10k",
+        floor(lit(1.0) / (lit(1.0) + exp(-z)) * 10000 + 0.5).cast("long"))
+      .withColumn("label",
+        when(col("top_tf") * 5 < col("n_tokens") &&
+          col("n_unique") * 5 >= col("n_tokens") * 2, 1L).otherwise(0L))
+    val binned = scored
+      .groupBy(least(floor(col("s10k") / 1000), lit(9L)).cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"), sum("s10k").as("sum_s10k"),
+        sum("label").as("sum_label"),
+        abs(lit(10000L) * sum("label") - sum("s10k")).as("abs_gap10k"))
+    val tot = binned.agg(sum("n").as("nn"), sum("abs_gap10k").as("gap"))
+    binned.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"),
+        floor4(col("sum_s10k") / (lit(10000.0) * col("n"))).as("conf"),
+        floor4(col("sum_label").cast("double") / col("n")).as("acc"),
+        floor4(col("abs_gap10k") / (lit(10000.0) * col("n"))).as("bin_gap"),
+        floor4(col("gap") / (lit(10000.0) * col("nn"))).as("ece"))
+  }
+
+  private val q218Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents
+      |), tf AS (
+      |  SELECT doc_id, word, count(*) AS tf FROM toks WHERE word <> '' GROUP BY 1, 2
+      |), feat AS (
+      |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |         count(*) AS n_unique, max(tf) AS top_tf
+      |  FROM tf GROUP BY doc_id
+      |), scored AS (
+      |  SELECT doc_id,
+      |    CAST(floor(1.0 / (1.0 + exp(-(6.0 * (CAST(n_unique AS DOUBLE) / n_tokens - 0.5)
+      |        - 12.0 * (CAST(top_tf AS DOUBLE) / n_tokens - 0.1)))) * 10000 + 0.5)
+      |      AS BIGINT) AS s10k,
+      |    CASE WHEN top_tf * 5 < n_tokens AND n_unique * 5 >= n_tokens * 2
+      |         THEN 1 ELSE 0 END AS label
+      |  FROM feat
+      |), binned AS (
+      |  SELECT CAST(least(s10k // 1000, 9) AS INT) AS bin,
+      |         count(*) AS n, CAST(sum(s10k) AS BIGINT) AS sum_s10k,
+      |         CAST(sum(label) AS BIGINT) AS sum_label,
+      |         CAST(abs(10000 * sum(label) - sum(s10k)) AS BIGINT) AS abs_gap10k
+      |  FROM scored GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(abs_gap10k) AS BIGINT) AS gap
+      |  FROM binned)
+      |SELECT bin, n,
+      |  floor(sum_s10k / (10000.0 * n) * 10000 + 0.5) / 10000.0 AS conf,
+      |  floor(sum_label * 1.0 / n * 10000 + 0.5) / 10000.0 AS acc,
+      |  floor(abs_gap10k / (10000.0 * n) * 10000 + 0.5) / 10000.0 AS bin_gap,
+      |  floor(gap / (10000.0 * nn) * 10000 + 0.5) / 10000.0 AS ece
+      |FROM binned CROSS JOIN tot""".stripMargin
+
+  // ---------------------------------------------------------------- q219
+  /** Split-conformal prediction coverage (Vovk et al. 2005; Angelopoulos &
+    * Bates 2023 §1): an md5-replayable 50/50 calibration/test split per
+    * event, a per-type point predictor fit on the calibration half, the
+    * conformal quantile q̂ = the ⌈(n+1)·0.9⌉-th smallest absolute residual
+    * (an ORDER STATISTIC, not an interpolated percentile — the finite-
+    * sample guarantee needs exactly this), and the realized test coverage,
+    * which the theorem pins to ≥ 0.90 regardless of the value
+    * distribution. The distribution-free eval band q204's AUC and q207's
+    * σ-bands can't give.
+    *
+    * Exactness: values quantize to integer cents once (v100); the
+    * predictor is the exact ratio Σv100/n of two BIGINTs, so every
+    * residual is |int − int/int| — a single-expression double both
+    * engines compute bit-identically, and the q̂ pick and coverage counts
+    * compare those identical doubles (ties broken by event_id). Output
+    * ratios floor-spelled.
+    *
+    * Scale: two keyed aggregates + one broadcast of the per-type model;
+    * the q̂ order statistic uses a per-type sort window — honest for exact
+    * conformal; at 100 TB the calibration half is subsampled or the
+    * quantile swaps to approx_percentile with a documented (ε-inflated)
+    * miscoverage bound, but the EXACT spelling is what an oracle can
+    * gate. */
+  private val ConfAlpha = 0.1
+
+  private def q219(s: SparkSession, d: String): DataFrame = {
+    val quantized = Tables.events(s, d).select(
+      col("event_id"), col("event_type"),
+      floor(col("value") * 100 + 0.5).cast("long").as("v100"),
+      substring(md5(concat_ws("|", lit("conf"), col("event_id"))), 1, 1)
+        .isin("0", "1", "2", "3", "4", "5", "6", "7").as("is_calib"))
+    val model = quantized.filter(col("is_calib"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_calib"), sum("v100").as("sum_v100"))
+    val resid = quantized.join(broadcast(model), "event_type")
+      .withColumn("r",
+        abs(col("v100") - col("sum_v100").cast("double") / col("n_calib")))
+    val qhat = resid.filter(col("is_calib"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("r"), col("event_id"))).cast("long"))
+      .filter(col("rn") === ceil((col("n_calib") + 1) * lit(1.0 - ConfAlpha)).cast("long"))
+      .select(col("event_type"), col("n_calib"), col("r").as("qh"))
+    resid.filter(!col("is_calib")).drop("n_calib")
+      .join(broadcast(qhat), "event_type")
+      .groupBy(col("event_type"), col("n_calib"), col("qh"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("r") <= col("qh"), 1L).otherwise(0L)).as("covered"))
+      .select(col("event_type"), col("n_calib"), col("n_test"),
+        floor4(col("qh") / 100.0).as("qhat"), col("covered"),
+        floor4(col("covered").cast("double") / col("n_test")).as("coverage"),
+        floor4(col("qh") * 2 / 100.0).as("mean_width"))
+  }
+
+  private val q219Sql: String =
+    s"""$EvCte,
+      |q AS (
+      |  SELECT event_id, event_type,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100,
+      |         substring(md5('conf|' || event_id), 1, 1)
+      |           IN ('0','1','2','3','4','5','6','7') AS is_calib
+      |  FROM ev),
+      |model AS (
+      |  SELECT event_type, count(*) AS n_calib,
+      |         CAST(sum(v100) AS BIGINT) AS sum_v100
+      |  FROM q WHERE is_calib GROUP BY 1),
+      |resid AS (
+      |  SELECT q.event_type, q.event_id, q.is_calib, m.n_calib,
+      |         abs(q.v100 - CAST(m.sum_v100 AS DOUBLE) / m.n_calib) AS r
+      |  FROM q JOIN model m USING (event_type)),
+      |ranked AS (
+      |  SELECT event_type, n_calib, r,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY r, event_id) AS rn
+      |  FROM resid WHERE is_calib),
+      |qhat AS (
+      |  SELECT event_type, n_calib, r AS qh
+      |  FROM ranked WHERE rn = CAST(ceil((n_calib + 1) * ${1.0 - ConfAlpha}) AS BIGINT)),
+      |test AS (
+      |  SELECT r.event_type, count(*) AS n_test,
+      |         CAST(sum(CASE WHEN r.r <= q2.qh THEN 1 ELSE 0 END) AS BIGINT) AS covered
+      |  FROM resid r JOIN qhat q2 USING (event_type)
+      |  WHERE NOT r.is_calib GROUP BY 1)
+      |SELECT t.event_type, q2.n_calib, t.n_test,
+      |       floor(q2.qh / 100.0 * 10000 + 0.5) / 10000.0 AS qhat,
+      |       t.covered,
+      |       floor(t.covered * 1.0 / t.n_test * 10000 + 0.5) / 10000.0 AS coverage,
+      |       floor(q2.qh * 2 / 100.0 * 10000 + 0.5) / 10000.0 AS mean_width
+      |FROM test t JOIN qhat q2 USING (event_type)""".stripMargin
+
+  // ---------------------------------------------------------------- q220
+  /** Differentially-private weekly event-count release (Dwork et al. 2006
+    * Laplace mechanism), with the step releases actually require and toy
+    * DP demos skip: PER-USER CONTRIBUTION BOUNDING. Each user's count in
+    * a (type, week) cell is clamped at [[DpCap]] BEFORE summation, so one
+    * user changes any release by ≤ DpCap and Laplace(DpCap/ε) noise gives
+    * user-level ε-DP per cell. Companion to q161's k-anonymity and q99's
+    * redaction on the privacy shelf.
+    *
+    * The noise draw is md5-class replayable (the q60/q163 testability
+    * precedent — a DP release for production would use a real CSPRNG; a
+    * RELEASE you can oracle-gate cannot): uniform u from a product of two
+    * affine-in-(week, type) modular forms — the ADVICE-r09 lesson, a
+    * single affine form strides u by a constant per week and the noise
+    * sequence lattices — inverted through the Laplace CDF. n_raw/n_capped
+    * stay exact BIGINTs (audit columns for the oracle; a real release
+    * publishes only n_noisy).
+    *
+    * Scale: two keyed aggregates — (type, week, user) clamp then
+    * (type, week) sum, both map-side-combining; the noise attach is pure
+    * map work on the types × weeks release frame. */
+  private val DpCap = 5L
+  private val DpEps = 1.0
+
+  private def q220(s: SparkSession, d: String): DataFrame = {
+    val P = 1000003L
+    val capped = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("week", col("ts")).as("wk"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("event_type", "wk")
+      .agg(sum("c").as("n_raw"), sum(least(col("c"), lit(DpCap))).as("n_capped"))
+    val w = floor(unix_timestamp(col("wk")) / 604800).cast("long")
+    val a = ascii(substring(col("event_type"), 1, 1)).cast("long")
+    val u = ((((w * 131 + a) % P) * ((w * 9176 + a * 31 + 7) % P)) % P + lit(0.5)) / P.toDouble
+    val lap = lit(-DpCap.toDouble / DpEps) * signum(u - 0.5) *
+      log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    capped
+      .withColumn("noise", floor4(lap))
+      .withColumn("n_noisy", floor4(col("n_capped") + lap))
+      .select("event_type", "wk", "n_raw", "n_capped", "noise", "n_noisy")
+  }
+
+  private val q220Sql: String =
+    s"""$EvCte,
+      |cell AS (
+      |  SELECT event_type, date_trunc('week', ts) AS wk, user_id, count(*) AS c
+      |  FROM ev GROUP BY 1, 2, 3),
+      |capped AS (
+      |  SELECT event_type, wk,
+      |         CAST(sum(c) AS BIGINT) AS n_raw,
+      |         CAST(sum(least(c, $DpCap)) AS BIGINT) AS n_capped
+      |  FROM cell GROUP BY 1, 2),
+      |keyed AS (
+      |  SELECT event_type, wk, n_raw, n_capped,
+      |         CAST(floor(CAST(epoch(wk) AS BIGINT) / 604800.0) AS BIGINT) AS w,
+      |         CAST(ascii(substring(event_type, 1, 1)) AS BIGINT) AS a
+      |  FROM capped),
+      |noised AS (
+      |  SELECT event_type, wk, n_raw, n_capped,
+      |         ((((w * 131 + a) % 1000003) * ((w * 9176 + a * 31 + 7) % 1000003))
+      |            % 1000003 + 0.5) / 1000003.0 AS u
+      |  FROM keyed)
+      |SELECT event_type, wk, n_raw, n_capped,
+      |  floor(-(${DpCap}.0 / $DpEps) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))
+      |        * 10000 + 0.5) / 10000.0 AS noise,
+      |  floor((n_capped - (${DpCap}.0 / $DpEps) * sign(u - 0.5)
+      |         * ln(1.0 - 2.0 * abs(u - 0.5))) * 10000 + 0.5) / 10000.0 AS n_noisy
+      |FROM noised""".stripMargin
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery("q217_pref_pairs", q217, Some(q217Sql)),
+    GraftQuery("q217b_bradley_terry", q217b,
+      Some(graft.core.Goldens.load("q217b_bradley_terry"))),
+    GraftQuery("q218_calibration_ece", q218, Some(q218Sql)),
+    GraftQuery("q219_conformal", q219, Some(q219Sql)),
+    GraftQuery("q220_dp_counts", q220, Some(q220Sql)))
+}

@@ -564,7 +564,11 @@ class PlanQualitySpec extends AnyFunSuite {
       // PSI drift (Relational11 q216): the constant PsiBuckets-row bin
       // grid and single-row baseline-week broadcasts over the
       // weeks×buckets frame (the q200 pattern).
-      ("q216_psi", "nested-loop"))
+      ("q216_psi", "nested-loop"),
+      // Calibration/ECE (Relational12 q218): the nested-loop is the
+      // single-row (N, Σ|gap|) totals broadcast crossed onto the ≤10-row
+      // bin frame — the q216/q100 bounded-grid pattern.
+      ("q218_calibration_ece", "nested-loop"))
     def offenders(df: DataFrame): Seq[String] = {
       // manual subquery recursion: collectWithSubqueries casts every
       // PlanExpression plan to SparkPlan, but at the sparkPlan stage

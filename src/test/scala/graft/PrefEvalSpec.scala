@@ -1,0 +1,139 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+/** Properties for the round-10 preference/eval/privacy tier
+  * (queries/Relational12.scala), beyond the driver's oracle gate:
+  * comparison-count conservation and the Bradley–Terry MM stationarity
+  * condition (q217/q217b), reliability-diagram internal consistency
+  * (q218), the split-conformal coverage guarantee (q219), and
+  * contribution-bounding / additivity of the DP release (q220). The
+  * oracle proves the numbers match DuckDB; these prove the numbers mean
+  * what the operators claim.
+  */
+class PrefEvalSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q217: every pair's outcomes partition its comparisons") {
+    val rows = run("q217_pref_pairs").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (wa, wb, t, n) = (r.getAs[Long]("wins_a"), r.getAs[Long]("wins_b"),
+        r.getAs[Long]("ties"), r.getAs[Long]("n_users"))
+      assert(wa + wb + t == n, s"$r: wins_a+wins_b+ties != n_users")
+      assert(r.getAs[String]("item_a") < r.getAs[String]("item_b"))
+    }
+    // all unordered pairs of the observed items appear exactly once
+    val items = rows.flatMap(r => Seq(r.getString(0), r.getString(1))).distinct
+    assert(rows.length == items.length * (items.length - 1) / 2)
+  }
+
+  test("q217b: ratings satisfy the Bradley–Terry MM stationarity condition") {
+    val pairs = run("q217_pref_pairs").collect().map { r =>
+      (r.getString(0), r.getString(1), r.getAs[Long]("wins_a"),
+        r.getAs[Long]("wins_b"), r.getAs[Long]("ties"))
+    }
+    val rating = run("q217b_bradley_terry").collect()
+      .map(r => r.getAs[String]("item") -> r.getAs[Double]("rating")).toMap
+    // stationarity: W_i = Σ_j n_ij · p_i / (p_i + p_j) at the fixpoint
+    val wins = scala.collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
+    val expWins = scala.collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
+    pairs.foreach { case (a, b, wa, wb, t) =>
+      wins(a) += wa + 0.5 * t; wins(b) += wb + 0.5 * t
+      val n = (wa + wb + t).toDouble
+      expWins(a) += n * rating(a) / (rating(a) + rating(b))
+      expWins(b) += n * rating(b) / (rating(a) + rating(b))
+    }
+    rating.keys.foreach { it =>
+      // ratings are rounded to 4 decimals, so stationarity holds to ~1e-2
+      // on win totals of O(300)
+      assert(math.abs(wins(it) - expWins(it)) < 1.0,
+        s"$it: W=${wins(it)} vs MM-expected ${expWins(it)}")
+    }
+    // geometric-mean normalization: Σ ln(p) ≈ 0
+    val logSum = rating.values.map(math.log).sum
+    assert(math.abs(logSum) < 1e-3, s"ratings not gm-normalized: $logSum")
+    // rank is the descending-rating permutation
+    val ranked = run("q217b_bradley_terry").collect()
+      .sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("rating"))
+    assert(ranked.sameElements(ranked.sortBy(-(_: Double))))
+  }
+
+  test("q218: reliability diagram is internally consistent and ECE is its weighted gap") {
+    val rows = run("q218_calibration_ece").collect()
+    assert(rows.length >= 5, "score distribution should spread over ≥5 bins")
+    val n = rows.map(_.getAs[Long]("n")).sum
+    val weightedGap = rows.map(r => r.getAs[Long]("n") * r.getAs[Double]("bin_gap")).sum / n
+    val ece = rows.head.getAs[Double]("ece")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("ece") == ece, "ece must be constant across bins")
+      Seq("conf", "acc", "bin_gap").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"$c=$v out of [0,1]")
+      }
+      val bin = r.getAs[Int]("bin")
+      assert(bin >= 0 && bin <= 9)
+      // bin_gap = |acc − conf| up to the two independent floor-4 roundings
+      assert(math.abs(r.getAs[Double]("bin_gap") -
+        math.abs(r.getAs[Double]("acc") - r.getAs[Double]("conf"))) <= 2e-4, r.toString)
+    }
+    // ece = Σ n_b·gap_b / N up to per-bin rounding
+    assert(math.abs(ece - weightedGap) <= 2e-4, s"ece=$ece vs weighted gap=$weightedGap")
+  }
+
+  test("q219: split-conformal coverage honors the 1−α guarantee per group") {
+    val rows = run("q219_conformal").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cov = r.getAs[Double]("coverage")
+      // marginal guarantee is ≥ 0.9 in expectation over splits; one
+      // realized split concentrates within ~2/√n of it at n≈1000
+      assert(cov >= 0.85 && cov <= 0.97,
+        s"${r.getAs[String]("event_type")}: coverage $cov outside [0.85, 0.97]")
+      assert(r.getAs[Double]("qhat") > 0.0)
+      assert(math.abs(r.getAs[Double]("mean_width") - 2 * r.getAs[Double]("qhat")) <= 2e-4)
+      val (nc, nt) = (r.getAs[Long]("n_calib"), r.getAs[Long]("n_test"))
+      // md5 split is unweighted 50/50: halves within 10% of each other
+      assert(math.abs(nc - nt) < 0.1 * (nc + nt), s"split skewed: $nc vs $nt")
+    }
+  }
+
+  test("q220: DP release bounds per-user contribution and adds the declared noise") {
+    val rows = run("q220_dp_counts").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (raw, capped) = (r.getAs[Long]("n_raw"), r.getAs[Long]("n_capped"))
+      assert(capped <= raw, s"$r: clamp increased a count")
+      assert(math.abs(r.getAs[Double]("n_noisy") - capped - r.getAs[Double]("noise")) <= 2e-4)
+    }
+    // brute-force the contribution clamp on the collected events
+    import org.apache.spark.sql.functions._
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(col("event_type"), date_trunc("week", col("ts")).as("wk"), col("user_id"))
+      .collect()
+      .groupBy(r => (r.getString(0), r.get(1)))
+      .map { case (k, rs) =>
+        k -> rs.groupBy(_.getLong(2)).values.map(g => math.min(g.length, 5)).sum.toLong
+      }
+    rows.foreach { r =>
+      val k = (r.getAs[String]("event_type"), r.get(1))
+      assert(ev(k) == r.getAs[Long]("n_capped"),
+        s"$k: brute-force clamp ${ev(k)} != ${r.getAs[Long]("n_capped")}")
+    }
+    // Laplace(b=5) noise: mean |noise| should be near b (loose 2σ band)
+    val absNoise = rows.map(r => math.abs(r.getAs[Double]("noise")))
+    val meanAbs = absNoise.sum / absNoise.length
+    assert(meanAbs > 1.0 && meanAbs < 15.0, s"mean |noise| $meanAbs implausible for b=5")
+  }
+}
