@@ -122,8 +122,12 @@ def main():
     # COMPUTED_VALUES: oracles whose VALUES clause is an input dimension
     # (q171's campaign windows), not a pinned result — fully scale-checkable.
     COMPUTED_VALUES = {"q171_campaign_overlap"}
+    # NB: the HL7 fixture family is q21_*/q21b_* — a bare "q21" prefix
+    # would also swallow q217/q218/q219 (found when q217b's sf1 scale
+    # golden was silently compared against its sf0.01 fixture instead).
     pinned = {k for k, v in oracle.items()
-              if ("VALUES" in v or "goldens" in v) and not k.startswith("q21")
+              if ("VALUES" in v or "goldens" in v)
+              and not (k.startswith("q21_") or k.startswith("q21b_"))
               and k not in COMPUTED_VALUES}
     # SCALE GOLDENS (round 8): goldens/<sfbase>/<name>.sql, pinned by
     # tools/pin_goldens.py --scale against the canonical GenData corpus of
