@@ -39,9 +39,16 @@ object Relational12 {
     * minted MAP-SIDE by a double explode — no self-join of the count
     * table on user_id, no second corpus shuffle. The pair frame is
     * |types|² rows regardless of event volume. */
-  private def q217(s: SparkSession, d: String): DataFrame = {
-    val counts = Tables.events(s, d)
-      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+  private def q217(s: SparkSession, d: String): DataFrame =
+    prefPairsFromCounts(
+      Tables.events(s, d)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c")))
+
+  /** Pair minting from a final (user_id, event_type, c) count frame —
+    * shared with the streaming twin (q217c), which maintains the SAME
+    * count frame through the state store and hands its drained final
+    * counts here. */
+  private[graft] def prefPairsFromCounts(counts: DataFrame): DataFrame = {
     val perUser = counts.groupBy("user_id")
       .agg(collect_list(struct(col("event_type").as("t"), col("c").as("c"))).as("ts"))
     perUser
@@ -56,7 +63,7 @@ object Relational12 {
         count(lit(1)).as("n_users"))
   }
 
-  private val q217Sql: String =
+  private[graft] val q217Sql: String =
     s"""$EvCte,
       |c AS (SELECT user_id, event_type, count(*) AS c FROM ev GROUP BY 1, 2)
       |SELECT a.event_type AS item_a, b.event_type AS item_b,

@@ -809,6 +809,32 @@ object StreamingPipeline {
       .select("o_custkey", "n_orders")
   }
 
+  /** q217c — the preference comparison matrix maintained THROUGH
+    * Structured Streaming: the same (user, type) counts q217 computes in
+    * one batch aggregate are held in the state store across AvailableNow
+    * micro-batches and emitted in UPDATE mode — each trigger appends only
+    * the keys whose count CHANGED, not the full state (the q65b
+    * complete-mode re-emission cost, avoided: counts are monotone, so the
+    * final count per key is simply the max over its emitted updates).
+    * Post-drain, the max-per-key fold and q217's own pair minting
+    * ([[graft.queries.Relational12.prefPairsFromCounts]]) run as one
+    * static pass over the aggregated (user × type) frame — corpus-scale
+    * work stays inside the streaming aggregate. Registered under q217's
+    * exact-integer DuckDB oracle: batch/stream parity for the RLHF
+    * comparison-matrix shape. */
+  def q217StreamPrefPairs(s: SparkSession, d: String): DataFrame = {
+    val counts = eventsStream(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val sink = s"q217c_mem_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = counts.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Update()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val finalCounts = s.table(sink)
+      .groupBy("user_id", "event_type").agg(max("c").as("c"))
+    graft.queries.Relational12.prefPairsFromCounts(finalCounts)
+  }
+
   val queries: Seq[graft.queries.GraftQuery] = Seq(
     graft.queries.GraftQuery("q21b_stream_pipeline", q21StreamPipeline _,
       Some(Pipeline.q21ZonesOracleSql)),
@@ -829,7 +855,9 @@ object StreamingPipeline {
     graft.queries.GraftQuery("q65b_stream_heavy_hitters", q65StreamHeavyHitters _,
       Some(graft.queries.Relational6.q65Sql)),
     graft.queries.GraftQuery("q65c_stream_heavy_hitters_mg", q65StreamHeavyHittersBounded _,
-      Some(graft.queries.Relational6.q65Sql)))
+      Some(graft.queries.Relational6.q65Sql)),
+    graft.queries.GraftQuery("q217c_stream_pref_pairs", q217StreamPrefPairs _,
+      Some(graft.queries.Relational12.q217Sql)))
 }
 
 /** StatefulProcessor for [[StreamingPipeline.userStatsTws]]: one named

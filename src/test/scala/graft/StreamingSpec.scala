@@ -551,4 +551,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(one == batch, s"single-file twin diverged: ${one.diff(batch)} extra")
     assert(dir == batch, s"multi-batch twin diverged: ${dir.diff(batch)} extra")
   }
+
+  test("q217c streaming preference matrix == batch q217 under multi-batch slicing") {
+    // The twin's update-mode claim: per-key counts accumulate in the state
+    // store across triggers, each trigger emits only CHANGED keys, and the
+    // post-drain max-per-key fold recovers the final counts (monotonicity).
+    // Slicing a user's events across micro-batches must therefore change
+    // nothing — same pair matrix whether events arrive as 1 file (1
+    // trigger) or 4 part files (>= 2 triggers, cross-batch count state).
+    val src = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q217c").toString
+    spark.read.parquet(s"$src/events.parquet").repartition(4)
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val batch = asSet(SparkEntry.queries("q217_pref_pairs")(spark, src))
+    val one = asSet(StreamingPipeline.q217StreamPrefPairs(spark, src))
+    val dir = asSet(StreamingPipeline.q217StreamPrefPairs(spark, tmp))
+    assert(batch.nonEmpty)
+    assert(one == batch, s"single-file twin diverged: ${one.diff(batch)} vs ${batch.diff(one)}")
+    assert(dir == batch, s"multi-batch twin diverged: ${dir.diff(batch)} vs ${batch.diff(dir)}")
+  }
 }
