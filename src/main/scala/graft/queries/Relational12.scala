@@ -378,11 +378,166 @@ object Relational12 {
       |         * ln(1.0 - 2.0 * abs(u - 0.5))) * 10000 + 0.5) / 10000.0 AS n_noisy
       |FROM noised""".stripMargin
 
+  // ---------------------------------------------------------------- q221
+  /** l-diversity audit (Machanavajjhala et al. 2007) — the attack
+    * k-anonymity (q161) misses: a group can be k-large yet expose its
+    * sensitive attribute if every member SHARES it (homogeneity). Per
+    * quasi-identifier group (nation × market segment): size, distinct
+    * sensitive values (account-balance band), and entropy l-diversity
+    * exp(H) — the effective number of sensitive values an attacker must
+    * distinguish — flagged against [[LDiv]]. The sensitive band is
+    * derived through exact integer cents (floor once), so distinct counts
+    * are engine-exact; entropy uses exact count ratios with the q89
+    * word-entropy rounding discipline.
+    *
+    * Scale: one keyed aggregate to the (QI, band) cell frame, one more to
+    * the QI frame — cells ≤ |QI| × |bands|, both map-side combining. */
+  private val LDiv = 3
+
+  private def q221(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.customer(s, d)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(floor(col("c_acctbal") * 100 + 0.5) / 200000).cast("long").as("bal_band"))
+      .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+      .agg(count(lit(1)).as("cnt"))
+    val p = col("cnt").cast("double") /
+      sum("cnt").over(Window.partitionBy("c_nationkey", "c_mktsegment"))
+    cells.withColumn("term", -p * log(p))
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(sum("cnt").as("n"), count(lit(1)).as("l_distinct"),
+        sum("term").as("h"))
+      // the flag compares the ROUNDED entropy: a uniform l-cell group
+      // computes exp(H) = l - (a few ulps) (ln/exp round-trip), so a
+      // raw-value >= l test flips on float noise — and the rounded value
+      // is the one both engines share bit-identically
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n"), col("l_distinct"),
+        floor4(exp(col("h"))).as("entropy_l"),
+        (col("l_distinct") >= LDiv && floor4(exp(col("h"))) >= LDiv).as("l_diverse"))
+  }
+
+  private val q221Sql: String =
+    s"""WITH cells AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |         CAST(floor(floor(c_acctbal * 100 + 0.5) / 200000) AS BIGINT) AS bal_band,
+      |         count(*) AS cnt
+      |  FROM customer GROUP BY 1, 2, 3),
+      |terms AS (
+      |  SELECT c_nationkey, c_mktsegment, cnt,
+      |         -(cnt * 1.0 / sum(cnt) OVER (PARTITION BY c_nationkey, c_mktsegment))
+      |           * ln(cnt * 1.0 / sum(cnt) OVER (PARTITION BY c_nationkey, c_mktsegment))
+      |           AS term
+      |  FROM cells),
+      |g AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |         CAST(sum(cnt) AS BIGINT) AS n,
+      |         count(*) AS l_distinct,
+      |         sum(term) AS h
+      |  FROM terms GROUP BY 1, 2)
+      |SELECT c_nationkey, c_mktsegment, n, l_distinct,
+      |       floor(exp(h) * 10000 + 0.5) / 10000.0 AS entropy_l,
+      |       (l_distinct >= $LDiv
+      |        AND floor(exp(h) * 10000 + 0.5) / 10000.0 >= $LDiv) AS l_diverse
+      |FROM g""".stripMargin
+
+  // ---------------------------------------------------------------- q222
+  /** Sequential probability ratio test (Wald 1945) on daily conversion —
+    * the always-valid sequential monitor an experimentation platform runs
+    * instead of a fixed-horizon z-test (peeking at q207's EWMA chart
+    * inflates false positives; the SPRT's error bounds hold at EVERY
+    * look). Per event type: a "conversion" is value > [[SprtCut]]; the
+    * cumulative log-likelihood ratio of H1: p=[[SprtP1]] vs H0:
+    * p=[[SprtP0]] is LLR_t = k_t·ln(p1/p0) + (n_t−k_t)·ln((1−p1)/(1−p0)),
+    * compared to the Wald bounds ±ln((1−β)/α) at α=β=0.05; the verdict
+    * LOCKS at the first crossing (a sequential test stops — later
+    * re-crossings are not evidence).
+    *
+    * Exactness: k_t and n_t are exact cumulative BIGINTs (prefix-sum
+    * windows over the per-day frame — the q215 time-span-sized-frame
+    * argument), the conversion predicate compares exact cents, and the
+    * LLR is exact-int × identical-literal logs — a single-expression
+    * double both engines compute bit-identically, floor-spelled on
+    * output.
+    *
+    * Scale: one corpus-scale keyed aggregate to the (type, day) frame;
+    * everything after is windows over time-span-sized data. */
+  private val SprtCut = 100.0
+  private val SprtP0 = 0.10
+  private val SprtP1 = 0.15
+  private val SprtAlpha = 0.05
+
+  private def q222(s: SparkSession, d: String): DataFrame = {
+    val upper = math.log((1 - SprtAlpha) / SprtAlpha)
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(floor(col("value") * 100 + 0.5) > (SprtCut * 100).toLong, 1L)
+          .otherwise(0L)).as("k"))
+    val wcum = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily
+      .withColumn("n_cum", sum("n").over(wcum))
+      .withColumn("k_cum", sum("k").over(wcum))
+      .withColumn("llr",
+        col("k_cum") * math.log(SprtP1 / SprtP0) +
+          (col("n_cum") - col("k_cum")) * math.log((1 - SprtP1) / (1 - SprtP0)))
+      .withColumn("crossed",
+        when(col("llr") >= upper, 1).when(col("llr") <= -upper, -1).otherwise(0))
+    val decision = cum.filter(col("crossed") =!= 0)
+      .groupBy("event_type")
+      .agg(min("day").as("dec_day"))
+      .join(cum.select(col("event_type"), col("day").as("dec_day"),
+        col("crossed").as("dec_dir")), Seq("event_type", "dec_day"))
+    cum.join(broadcast(decision), Seq("event_type"), "left")
+      .select(col("event_type"), col("day"), col("n_cum"), col("k_cum"),
+        floor4(col("llr")).as("llr"),
+        when(col("dec_day").isNull || col("day") < col("dec_day"), "continue")
+          .when(col("dec_dir") === 1, "accept_h1").otherwise("accept_h0")
+          .as("verdict"))
+  }
+
+  private val q222Sql: String = {
+    val upper = math.log((1 - SprtAlpha) / SprtAlpha)
+    s"""$EvCte,
+      |daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n,
+      |         sum(CASE WHEN floor(value * 100 + 0.5) > ${(SprtCut * 100).toLong}
+      |                  THEN 1 ELSE 0 END) AS k
+      |  FROM ev GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, day,
+      |         CAST(sum(n) OVER w AS BIGINT) AS n_cum,
+      |         CAST(sum(k) OVER w AS BIGINT) AS k_cum
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |scored AS (
+      |  SELECT event_type, day, n_cum, k_cum,
+      |         k_cum * ln($SprtP1 / $SprtP0)
+      |           + (n_cum - k_cum) * ln((1 - $SprtP1) / (1 - $SprtP0)) AS llr
+      |  FROM cum),
+      |flagged AS (
+      |  SELECT *, CASE WHEN llr >= $upper THEN 1
+      |                 WHEN llr <= -$upper THEN -1 ELSE 0 END AS crossed
+      |  FROM scored),
+      |decision AS (
+      |  SELECT f.event_type, d.dec_day, f.crossed AS dec_dir
+      |  FROM (SELECT event_type, min(day) AS dec_day FROM flagged
+      |        WHERE crossed <> 0 GROUP BY 1) d
+      |  JOIN flagged f ON f.event_type = d.event_type AND f.day = d.dec_day)
+      |SELECT f.event_type, f.day, f.n_cum, f.k_cum,
+      |       floor(f.llr * 10000 + 0.5) / 10000.0 AS llr,
+      |       CASE WHEN d.dec_day IS NULL OR f.day < d.dec_day THEN 'continue'
+      |            WHEN d.dec_dir = 1 THEN 'accept_h1' ELSE 'accept_h0' END AS verdict
+      |FROM flagged f LEFT JOIN decision d ON f.event_type = d.event_type""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q217_pref_pairs", q217, Some(q217Sql)),
     GraftQuery("q217b_bradley_terry", q217b,
       Some(graft.core.Goldens.load("q217b_bradley_terry"))),
     GraftQuery("q218_calibration_ece", q218, Some(q218Sql)),
     GraftQuery("q219_conformal", q219, Some(q219Sql)),
-    GraftQuery("q220_dp_counts", q220, Some(q220Sql)))
+    GraftQuery("q220_dp_counts", q220, Some(q220Sql)),
+    GraftQuery("q221_l_diversity", q221, Some(q221Sql)),
+    GraftQuery("q222_sprt", q222, Some(q222Sql)))
 }

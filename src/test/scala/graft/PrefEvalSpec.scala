@@ -136,4 +136,49 @@ class PrefEvalSpec extends AnyFunSuite {
     val meanAbs = absNoise.sum / absNoise.length
     assert(meanAbs > 1.0 && meanAbs < 15.0, s"mean |noise| $meanAbs implausible for b=5")
   }
+
+  test("q221: entropy l-diversity is bounded by the distinct count and flags agree") {
+    val rows = run("q221_l_diversity").collect()
+    assert(rows.length > 50, "QI grid should be nation × segment sized")
+    rows.foreach { r =>
+      val (l, el) = (r.getAs[Long]("l_distinct"), r.getAs[Double]("entropy_l"))
+      // exp(H) ≤ support size, = 1 for a homogeneous group (up to rounding)
+      assert(el >= 1.0 - 1e-4 && el <= l + 1e-4,
+        s"$r: entropy_l $el outside [1, l_distinct=$l]")
+      assert(r.getAs[Boolean]("l_diverse") == (l >= 3 && el >= 3.0), r.toString)
+      assert(r.getAs[Long]("n") >= l)
+    }
+    assert(rows.exists(!_.getAs[Boolean]("l_diverse")),
+      "fixture should contain at least one homogeneity-risk group")
+  }
+
+  test("q222: SPRT verdicts lock at the first crossing and cumulative counts are monotone") {
+    val byType = run("q222_sprt").collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .map { case (t, rs) => t -> rs.sortBy(_.getAs[java.sql.Timestamp]("day").getTime) }
+    assert(byType.nonEmpty)
+    val upper = math.log(0.95 / 0.05)
+    byType.foreach { case (t, rs) =>
+      val verdicts = rs.map(_.getAs[String]("verdict"))
+      // once decided, never back to continue, never a different decision
+      val decided = verdicts.dropWhile(_ == "continue")
+      assert(decided.distinct.length <= 1, s"$t: verdict flipped after lock: ${verdicts.mkString(",")}")
+      // the locked verdict matches the llr's first bound crossing
+      val firstCross = rs.find(r => math.abs(r.getAs[Double]("llr")) >= upper - 1e-3)
+      (decided.headOption, firstCross) match {
+        case (Some(v), Some(r)) =>
+          val expect = if (r.getAs[Double]("llr") > 0) "accept_h1" else "accept_h0"
+          assert(v == expect, s"$t: locked $v but first crossing was ${r.getAs[Double]("llr")}")
+        case _ => ()
+      }
+      // cumulative monotonicity, k ≤ n
+      rs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("n_cum") >= a.getAs[Long]("n_cum"))
+          assert(b.getAs[Long]("k_cum") >= a.getAs[Long]("k_cum"))
+        case _ => ()
+      }
+      rs.foreach(r => assert(r.getAs[Long]("k_cum") <= r.getAs[Long]("n_cum")))
+    }
+  }
 }
