@@ -531,6 +531,207 @@ object Relational12 {
       |FROM flagged f LEFT JOIN decision d ON f.event_type = d.event_type""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q223
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013, WSDM) —
+    * the pre-experiment-covariate adjustment every experimentation
+    * platform applies before reading an A/B metric: per user, pre-period
+    * value X and post-period value Y (integer cents), md5-replayable
+    * 50/50 assignment, pooled θ = cov(X,Y)/var(X), adjusted metric
+    * Y_c = Y − θ(X − mean_X). The POOLED adjusted mean equals the raw
+    * mean exactly (Σ(X − mean_X) = 0 over all users); per arm the
+    * adjustment shifts the mean by −θ·(arm mean_X − pooled mean_X) —
+    * exactly the pre-exposure imbalance CUPED removes from the
+    * treatment-effect estimate.
+    *
+    * Exactness discipline (the q203b moment pattern): all five pooled and
+    * per-arm moments (ΣX, ΣY, ΣXY, ΣX², ΣY²) are exact integers
+    * (DECIMAL(38,0) / HUGEINT — cent products reach ~1e21 at 100×, past
+    * BIGINT), θ and mean_X are single divisions of exact ints, and the
+    * adjusted second moment expands CLOSED-FORM as
+    * ΣY² + θ²ΣX² + n(θm)² − 2θΣXY + 2θmΣY − 2θ²mΣX — single-expression
+    * doubles over exact ints, so NO row-order float accumulation exists
+    * anywhere (a naive Σ(y−θx+θm)² over rows would be fold-order
+    * sensitive). The synthetic corpus draws value i.i.d., so ρ ≈ 0.07 and
+    * the honest reduction is ~0.5% — the machinery, not the magnitude, is
+    * what the oracle gates.
+    *
+    * Scale: one (user) keyed aggregate, one 2-row arm aggregate, 1-row θ
+    * broadcast. */
+  private val CupedSplit = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+
+  private def q223(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val users = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("ts") < lit(CupedSplit),
+          floor(col("value") * 100 + 0.5)).otherwise(0L)).cast(dec).as("x"),
+        sum(when(col("ts") >= lit(CupedSplit),
+          floor(col("value") * 100 + 0.5)).otherwise(0L)).cast(dec).as("y"))
+      .withColumn("arm",
+        when(substring(md5(concat_ws("|", lit("ab"), col("user_id"))), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"), "treat").otherwise("control"))
+    val g = users.agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).cast(dec).as("sxy"),
+      sum(col("x") * col("x")).cast(dec).as("sxx"))
+      .select(
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")).as("theta"),
+        (col("sx").cast("double") / col("n").cast("double")).as("mx"))
+    users.groupBy("arm")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("x").cast(dec).as("ax"), sum("y").cast(dec).as("ay"),
+        sum(col("x") * col("y")).cast(dec).as("axy"),
+        sum(col("x") * col("x")).cast(dec).as("axx"),
+        sum(col("y") * col("y")).cast(dec).as("ayy"))
+      .crossJoin(broadcast(g))
+      .withColumn("sy2c",
+        col("ayy").cast("double") + col("theta") * col("theta") * col("axx").cast("double")
+          + col("n") * col("theta") * col("mx") * (col("theta") * col("mx"))
+          - lit(2.0) * col("theta") * col("axy").cast("double")
+          + lit(2.0) * col("theta") * col("mx") * col("ay").cast("double")
+          - lit(2.0) * col("theta") * col("theta") * col("mx") * col("ax").cast("double"))
+      .withColumn("my", col("ay").cast("double") / col("n"))
+      // per-arm Σ(x − mean_x) ≠ 0 (only the POOLED sum vanishes), so the
+      // adjusted mean and the centering of the adjusted variance both use
+      // the closed form Σy_c = Σy − θ(Σx − n·mean_x) — still exact-int ×
+      // scalar, no row-order float fold
+      .withColumn("myc",
+        (col("ay").cast("double") - col("theta") *
+          (col("ax").cast("double") - col("n") * col("mx"))) / col("n"))
+      .withColumn("var_y",
+        col("ayy").cast("double") / col("n") - col("my") * col("my"))
+      .withColumn("var_yc", col("sy2c") / col("n") - col("myc") * col("myc"))
+      .select(col("arm"), col("n"),
+        floor4(col("my") / 100.0).as("mean_y"),
+        floor4(col("myc") / 100.0).as("mean_y_cuped"),
+        floor4(col("theta")).as("theta"),
+        floor4(sqrt(col("var_y")) / 100.0).as("sd_y"),
+        floor4(sqrt(col("var_yc")) / 100.0).as("sd_y_cuped"),
+        floor4(lit(1.0) - col("var_yc") / col("var_y")).as("var_reduction"))
+  }
+
+  private val q223Sql: String =
+    s"""$EvCte,
+      |u AS (
+      |  SELECT user_id,
+      |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+      |                  THEN floor(value * 100 + 0.5) ELSE 0 END) AS HUGEINT) AS x,
+      |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+      |                  THEN floor(value * 100 + 0.5) ELSE 0 END) AS HUGEINT) AS y,
+      |    CASE WHEN substring(md5('ab|' || user_id), 1, 1)
+      |              IN ('0','1','2','3','4','5','6','7')
+      |         THEN 'treat' ELSE 'control' END AS arm
+      |  FROM ev GROUP BY user_id),
+      |g AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |         sum(x) AS sx, sum(y) AS sy,
+      |         sum(x * y) AS sxy, sum(x * x) AS sxx
+      |  FROM u),
+      |t AS (
+      |  SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+      |           / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+      |         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx
+      |  FROM g),
+      |a AS (
+      |  SELECT arm, count(*) AS n,
+      |         sum(x) AS ax, sum(y) AS ay,
+      |         sum(x * y) AS axy, sum(x * x) AS axx, sum(y * y) AS ayy
+      |  FROM u GROUP BY arm),
+      |m AS (
+      |  SELECT arm, n, theta, mx,
+      |         CAST(ay AS DOUBLE) / n AS my,
+      |         (CAST(ay AS DOUBLE) - theta * (CAST(ax AS DOUBLE) - n * mx)) / n AS myc,
+      |         CAST(ayy AS DOUBLE) / n
+      |           - (CAST(ay AS DOUBLE) / n) * (CAST(ay AS DOUBLE) / n) AS var_y,
+      |         (CAST(ayy AS DOUBLE) + theta * theta * CAST(axx AS DOUBLE)
+      |            + n * theta * mx * (theta * mx)
+      |            - 2.0 * theta * CAST(axy AS DOUBLE)
+      |            + 2.0 * theta * mx * CAST(ay AS DOUBLE)
+      |            - 2.0 * theta * theta * mx * CAST(ax AS DOUBLE)) / n
+      |           - ((CAST(ay AS DOUBLE) - theta * (CAST(ax AS DOUBLE) - n * mx)) / n)
+      |             * ((CAST(ay AS DOUBLE) - theta * (CAST(ax AS DOUBLE) - n * mx)) / n)
+      |           AS var_yc
+      |  FROM a CROSS JOIN t)
+      |SELECT arm, n,
+      |  floor(my / 100.0 * 10000 + 0.5) / 10000.0 AS mean_y,
+      |  floor(myc / 100.0 * 10000 + 0.5) / 10000.0 AS mean_y_cuped,
+      |  floor(theta * 10000 + 0.5) / 10000.0 AS theta,
+      |  floor(sqrt(var_y) / 100.0 * 10000 + 0.5) / 10000.0 AS sd_y,
+      |  floor(sqrt(var_yc) / 100.0 * 10000 + 0.5) / 10000.0 AS sd_y_cuped,
+      |  floor((1.0 - var_yc / var_y) * 10000 + 0.5) / 10000.0 AS var_reduction
+      |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------- q224
+  /** Sample-ratio-mismatch check (Fabijan et al. 2019's top experiment
+    * diagnostic): does the realized treat/control split match the
+    * intended 50/50? χ² = Σ(obs − exp)²/exp over the two arms, flagged
+    * against the df=1 α=0.05 critical value 3.8415 — comparing the
+    * STATISTIC to the critical value needs no special-function p-value,
+    * so the whole check stays exact-int-derived. Sliced per first-touch
+    * event type (first event per user by (ts, event_id) — deterministic
+    * tie-break), which is where real SRM bugs hide (a redirect dropping
+    * one arm's users for one entry surface), plus the overall row.
+    *
+    * Scale: the first-touch slice is one row_number window keyed by user
+    * (corpus-scale but keyed), then counts on the user frame. */
+  private def q224(s: SparkSession, d: String): DataFrame = {
+    val firstTouch = Tables.events(s, d)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("slice"))
+      .withColumn("treat",
+        when(substring(md5(concat_ws("|", lit("ab"), col("user_id"))), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"), 1L).otherwise(0L))
+    val sliced = firstTouch.groupBy("slice")
+      .agg(count(lit(1)).as("n"), sum("treat").as("n_treat"))
+    val overall = firstTouch.groupBy(lit("ALL").as("slice"))
+      .agg(count(lit(1)).as("n"), sum("treat").as("n_treat"))
+    sliced.unionAll(overall)
+      .withColumn("exp", col("n").cast("double") / 2)
+      .withColumn("chi2",
+        (col("n_treat") - col("exp")) * (col("n_treat") - col("exp")) / col("exp") +
+          ((col("n") - col("n_treat")) - col("exp")) *
+            ((col("n") - col("n_treat")) - col("exp")) / col("exp"))
+      .select(col("slice"), col("n"), col("n_treat"),
+        (col("n") - col("n_treat")).as("n_control"),
+        floor4(col("chi2")).as("chi2"),
+        (col("chi2") > 3.8415).as("srm_flag"))
+  }
+
+  private val q224Sql: String =
+    s"""$EvCte,
+      |ft AS (
+      |  SELECT user_id, event_type AS slice,
+      |         CASE WHEN substring(md5('ab|' || user_id), 1, 1)
+      |                   IN ('0','1','2','3','4','5','6','7')
+      |              THEN 1 ELSE 0 END AS treat
+      |  FROM (SELECT user_id, event_type, ts, event_id,
+      |               row_number() OVER (PARTITION BY user_id
+      |                                  ORDER BY ts, event_id) AS rn
+      |        FROM ev)
+      |  WHERE rn = 1),
+      |s AS (
+      |  SELECT slice, count(*) AS n, CAST(sum(treat) AS BIGINT) AS n_treat
+      |  FROM ft GROUP BY slice
+      |  UNION ALL
+      |  SELECT 'ALL' AS slice, count(*) AS n, CAST(sum(treat) AS BIGINT) AS n_treat
+      |  FROM ft),
+      |c AS (
+      |  SELECT slice, n, n_treat,
+      |         (n_treat - n / 2.0) * (n_treat - n / 2.0) / (n / 2.0)
+      |           + ((n - n_treat) - n / 2.0) * ((n - n_treat) - n / 2.0) / (n / 2.0)
+      |           AS chi2
+      |  FROM s)
+      |SELECT slice, n, n_treat, CAST(n - n_treat AS BIGINT) AS n_control,
+      |       floor(chi2 * 10000 + 0.5) / 10000.0 AS chi2,
+      |       chi2 > 3.8415 AS srm_flag
+      |FROM c""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q217_pref_pairs", q217, Some(q217Sql)),
     GraftQuery("q217b_bradley_terry", q217b,
@@ -539,5 +740,7 @@ object Relational12 {
     GraftQuery("q219_conformal", q219, Some(q219Sql)),
     GraftQuery("q220_dp_counts", q220, Some(q220Sql)),
     GraftQuery("q221_l_diversity", q221, Some(q221Sql)),
-    GraftQuery("q222_sprt", q222, Some(q222Sql)))
+    GraftQuery("q222_sprt", q222, Some(q222Sql)),
+    GraftQuery("q223_cuped", q223, Some(q223Sql)),
+    GraftQuery("q224_srm", q224, Some(q224Sql)))
 }

@@ -568,7 +568,11 @@ class PlanQualitySpec extends AnyFunSuite {
       // Calibration/ECE (Relational12 q218): the nested-loop is the
       // single-row (N, Σ|gap|) totals broadcast crossed onto the ≤10-row
       // bin frame — the q216/q100 bounded-grid pattern.
-      ("q218_calibration_ece", "nested-loop"))
+      ("q218_calibration_ece", "nested-loop"),
+      // CUPED (Relational12 q223): the nested-loop is the single-row
+      // pooled (θ, mean_X) broadcast crossed onto the 2-row arm frame —
+      // the q100 grand-total pattern.
+      ("q223_cuped", "nested-loop"))
     def offenders(df: DataFrame): Seq[String] = {
       // manual subquery recursion: collectWithSubqueries casts every
       // PlanExpression plan to SparkPlan, but at the sparkPlan stage

@@ -181,4 +181,59 @@ class PrefEvalSpec extends AnyFunSuite {
       rs.foreach(r => assert(r.getAs[Long]("k_cum") <= r.getAs[Long]("n_cum")))
     }
   }
+
+  test("q223: θ is the pooled cov/var and the pooled CUPED identity var(y_c) = var_y(1−ρ²) holds") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q223_cuped").collect()
+    assert(rows.map(_.getAs[String]("arm")).sorted.sameElements(Array("control", "treat")))
+    // brute-force the pooled moments from the same per-user frame
+    val split = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val u = graft.core.Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(sum(when(col("ts") < lit(split), floor(col("value") * 100 + 0.5))
+          .otherwise(0L)).as("x"),
+        sum(when(col("ts") >= lit(split), floor(col("value") * 100 + 0.5))
+          .otherwise(0L)).as("y"))
+      .collect().map(r => (r.getLong(1).toDouble, r.getLong(2).toDouble))
+    val n = u.length.toDouble
+    val (mx, my) = (u.map(_._1).sum / n, u.map(_._2).sum / n)
+    val cov = u.map { case (x, y) => (x - mx) * (y - my) }.sum / n
+    val (vx, vy) = (u.map(t => (t._1 - mx) * (t._1 - mx)).sum / n,
+      u.map(t => (t._2 - my) * (t._2 - my)).sum / n)
+    val theta = cov / vx
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("theta") - theta) <= 2e-4,
+      s"theta ${r.getAs[Double]("theta")} vs brute-force $theta"))
+    // pooled identity: var of the adjusted metric over ALL users = vy(1−ρ²)
+    val rho2 = cov * cov / (vx * vy)
+    val vyc = u.map { case (x, y) =>
+      val yc = y - theta * (x - mx); (yc - my) * (yc - my)
+    }.sum / n
+    assert(math.abs(vyc - vy * (1 - rho2)) / vy < 1e-9,
+      s"CUPED identity broken: $vyc vs ${vy * (1 - rho2)}")
+    // per-arm means: the adjustment shifts by −θ·(arm mean_x − pooled mean_x)
+    rows.foreach { r =>
+      val (m0, mc) = (r.getAs[Double]("mean_y"), r.getAs[Double]("mean_y_cuped"))
+      assert(math.abs(m0 - mc) < 100.0, s"adjustment implausibly large: $m0 vs $mc")
+      assert(r.getAs[Double]("sd_y") > 0 && r.getAs[Double]("sd_y_cuped") > 0)
+    }
+  }
+
+  test("q224: SRM counts partition, the ALL row sums the slices, flags match the statistic") {
+    val rows = run("q224_srm").collect()
+    val slices = rows.filter(_.getAs[String]("slice") != "ALL")
+    val all = rows.find(_.getAs[String]("slice") == "ALL").get
+    assert(slices.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_treat") + r.getAs[Long]("n_control") == r.getAs[Long]("n"))
+      assert(r.getAs[Double]("chi2") >= 0.0)
+      // rounded chi2 vs the flag's raw comparison agree away from the cut
+      val c = r.getAs[Double]("chi2")
+      if (math.abs(c - 3.8415) > 1e-3)
+        assert(r.getAs[Boolean]("srm_flag") == (c > 3.8415), r.toString)
+    }
+    assert(slices.map(_.getAs[Long]("n")).sum == all.getAs[Long]("n"))
+    assert(slices.map(_.getAs[Long]("n_treat")).sum == all.getAs[Long]("n_treat"))
+    // a fair md5 split on this fixture should NOT flag overall
+    assert(!all.getAs[Boolean]("srm_flag"), s"unexpected SRM on a fair split: $all")
+  }
 }
