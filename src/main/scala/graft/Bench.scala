@@ -134,7 +134,14 @@ object Bench {
       }
       val (w1, c1) = once()
       val floor = floors.get(name)
-      if (w1 > 0.4 && floor.exists(f => w1 > 2.0 * f)) {
+      // Streaming twins are fixed-cost TRIGGER TRAINS (5-15 micro-batch
+      // commits of ~0.2-1 s each), not throughput measurements: ambient
+      // load stretches every commit, so their wall/floor ratio runs
+      // 2-3.5× on mildly-loaded windows where throughput queries stay
+      // under 2× (r09/r10: q176/q176b/q35b flagged stale on every loaded
+      // window). Wider band for them; same 2× elsewhere (VERDICT-r10 #8).
+      val tol = if (name.contains("stream")) 3.5 else 2.0
+      if (w1 > 0.4 && floor.exists(f => w1 > tol * f)) {
         val probe = calibParMs()
         if (probe > 1.6 * parSteadyMs) {
           val (w2, c2) = once()

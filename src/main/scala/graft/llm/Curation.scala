@@ -474,12 +474,19 @@ object Curation {
     val qual = base
       .join(qualityLogit(s, d).filter(col("keep")).select("doc_id"), "doc_id")
       .localCheckpoint(true)
-    // 2. near-dup dedup on the survivors
-    val rawPairs = candidates match {
+    // 2. near-dup dedup on the survivors; "auto" (q149c) resolves the
+    // strategy from the ρ=Σdf²/Σdf posting-skew probe over the ALREADY-
+    // CHECKPOINTED survivor frame (operators.Dispatch, the q169c signal)
+    val strategy = candidates match {
+      case "auto" => graft.operators.Dispatch
+        .chooseCurateDedup(s, qual.select("doc_id", "text"))
+      case fixed  => fixed
+    }
+    val rawPairs = strategy match {
       case "minhash" => Dedup.minhashNearDupOf(qual.select("doc_id", "text"), 0.4)
       case "exact"   => Dedup.ngramJaccardOf(qual.select("doc_id", "text"))
       case other     => throw new IllegalArgumentException(
-        s"unknown candidates strategy '$other' (expected exact|minhash)")
+        s"unknown candidates strategy '$other' (expected exact|minhash|auto)")
     }
     val pairs = rawPairs.select("a_id", "b_id").localCheckpoint(true)
     val groups = Dedup.dedupGroupsFromPairs(pairs)

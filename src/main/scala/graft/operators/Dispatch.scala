@@ -177,11 +177,51 @@ object Dispatch {
     else graft.llm.Dedup.containmentPrefixFromShEx(sh, ex, 0.9)
   }
 
+  // ------------------------------------------------------------ q149c
+  /** Fourth instance — curate()'s stage-2 near-dup strategy (exact
+    * trigram-Jaccard counting join vs banded-MinHash + exact confirm),
+    * the one lever pair round 10 still picked by hand (VERDICT-r10
+    * "What's missing #2"). Decision input: the SAME ρ = Σdf²/Σdf
+    * posting-skew probe as q169c, computed over the quality-gate
+    * SURVIVORS — the stage's actual input, which curate() has already
+    * localCheckpoint'ed, so the probe is one shingle+agg pass over a
+    * cached frame (the shared-scan bargain q169c measured at ~1 agg).
+    * The counting join's pair work is Σdf² (q55 family: 6.39× wall at
+    * 5.30× Σdf², BASELINE.md) while minhash stays flat (q149b 1.11× on
+    * the same corpus), and ρ is the same scale-invariant amplification
+    * signal — so the κ default is shared with containment's measured
+    * band (equal walls at ρ=5.89 disjoint, blowup by ρ=9.72 zipf). */
+  val CurateMaxMeanPostingsKey = "graft.dispatch.curate.maxMeanPostings"
+
+  /** ρ = Σdf²/Σdf over word-3-shingle postings of any (doc_id, text)
+    * frame — the per-posting candidate amplification of the exact
+    * counting join (identical shingle semantics to ngramJaccardOf). */
+  def ngramSkewRho(docs: DataFrame): Double = {
+    import org.apache.spark.sql.functions._
+    rhoFromEx(graft.llm.Dedup.shingledN(docs, 3)
+      .select(explode_outer(col("sh")).as("shingle"))
+      .select(xxhash64(col("shingle")).as("shk")))
+  }
+
+  def chooseCurateDedup(s: SparkSession, survivors: DataFrame): String = {
+    val kappa = s.conf.get(CurateMaxMeanPostingsKey, "8.0").toDouble
+    if (ngramSkewRho(survivors) <= kappa) "exact" else "minhash"
+  }
+
+  /** q149c — the full curation composition with the dedup stage picked
+    * by the ρ probe, gated by the SAME composed oracle both variants
+    * already pass (q149/q149b's funnel equivalence is CurationSpec-
+    * pinned: LSH recall ≈ 1 at J ≥ 0.4 under the widened banding). */
+  def curateAuto(s: SparkSession, d: String): DataFrame =
+    graft.llm.Curation.curate(s, d, candidates = "auto")
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q182c_label_prop_auto", labelPropAuto _,
       Some(Relational11.q182Sql)),
     GraftQuery("q203c_assort_auto", assortativityAuto _,
       Some(Relational11.q203Sql)),
     GraftQuery("q169c_containment_auto", containmentAuto _,
-      Some(graft.llm.Dedup.containmentSql)))
+      Some(graft.llm.Dedup.containmentSql)),
+    GraftQuery("q149c_curate_auto", curateAuto _,
+      Some(graft.llm.Curation.curateSql)))
 }

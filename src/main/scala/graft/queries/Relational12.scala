@@ -244,7 +244,8 @@ object Relational12 {
     * quantile swaps to approx_percentile with a documented (ε-inflated)
     * miscoverage bound, but the EXACT spelling is what an oracle can
     * gate. */
-  private val ConfAlpha = 0.1
+  // α = 0.1; the rank spells ceil((1−α)(n+1)) as the exact-integer
+  // (9(n+1)+9) div 10 in BOTH engines — no float α appears in the plan.
 
   private def q219(s: SparkSession, d: String): DataFrame = {
     val quantized = Tables.events(s, d).select(
@@ -261,7 +262,10 @@ object Relational12 {
     val qhat = resid.filter(col("is_calib"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("event_type").orderBy(col("r"), col("event_id"))).cast("long"))
-      .filter(col("rn") === ceil((col("n_calib") + 1) * lit(1.0 - ConfAlpha)).cast("long"))
+      // exact-integer ceil of (1−α)(n+1) = (9(n+1)+9) div 10 — the float
+      // spelling ceil((n+1)*0.9) overshoots by one at exact multiples
+      // (10*0.9 = 9.000…002 in IEEE) and can silently drop the type.
+      .filter(col("rn") === expr("CAST(((n_calib + 1) * 9 + 9) DIV 10 AS BIGINT)"))
       .select(col("event_type"), col("n_calib"), col("r").as("qh"))
     resid.filter(!col("is_calib")).drop("n_calib")
       .join(broadcast(qhat), "event_type")
@@ -296,7 +300,7 @@ object Relational12 {
       |  FROM resid WHERE is_calib),
       |qhat AS (
       |  SELECT event_type, n_calib, r AS qh
-      |  FROM ranked WHERE rn = CAST(ceil((n_calib + 1) * ${1.0 - ConfAlpha}) AS BIGINT)),
+      |  FROM ranked WHERE rn = ((n_calib + 1) * 9 + 9) // 10),
       |test AS (
       |  SELECT r.event_type, count(*) AS n_test,
       |         CAST(sum(CASE WHEN r.r <= q2.qh THEN 1 ELSE 0 END) AS BIGINT) AS covered
@@ -318,14 +322,23 @@ object Relational12 {
     * user-level ε-DP per cell. Companion to q161's k-anonymity and q99's
     * redaction on the privacy shelf.
     *
-    * The noise draw is md5-class replayable (the q60/q163 testability
-    * precedent — a DP release for production would use a real CSPRNG; a
-    * RELEASE you can oracle-gate cannot): uniform u from a product of two
-    * affine-in-(week, type) modular forms — the ADVICE-r09 lesson, a
-    * single affine form strides u by a constant per week and the noise
-    * sequence lattices — inverted through the Laplace CDF. n_raw/n_capped
-    * stay exact BIGINTs (audit columns for the oracle; a real release
-    * publishes only n_noisy).
+    * TWO noise modes, registered separately so the name never claims a
+    * guarantee the draw voids (VERDICT-r10 #2):
+    *  - q220_dp_counts_replay — md5-class REPLAYABLE draw (the q60/q163
+    *    testability precedent): uniform u from a product of two
+    *    affine-in-(week, type) modular forms — the ADVICE-r09 lesson, a
+    *    single affine form strides u by a constant per week and the
+    *    noise sequence lattices — inverted through the Laplace CDF.
+    *    Deterministic ⇒ oracle-gateable, and therefore NOT private
+    *    against an adversary who has the code (they subtract the noise
+    *    exactly). It is the mechanism-shape test harness, not a release.
+    *  - q220b_dp_counts_secure — the PRODUCTION path: the same clamp →
+    *    sum → Laplace(C/ε) pipeline with u drawn from
+    *    `java.security.SecureRandom` (nondeterministic UDF; driver gate
+    *    is rows-only by design, PrefEvalSpec gates the draw's
+    *    distribution and run-to-run freshness instead). n_raw/n_capped
+    *    stay exact BIGINTs (audit columns; a real release publishes only
+    *    n_noisy — and drops the audit columns).
     *
     * Scale: two keyed aggregates — (type, week, user) clamp then
     * (type, week) sum, both map-side-combining; the noise attach is pure
@@ -333,7 +346,16 @@ object Relational12 {
   private val DpCap = 5L
   private val DpEps = 1.0
 
-  private def q220(s: SparkSession, d: String): DataFrame = {
+  /** Laplace(b) from a thread-local CSPRNG — the production draw.
+    * Inverse-CDF over SecureRandom.nextDouble; marked nondeterministic
+    * so Catalyst never collapses, reorders past barriers, or re-executes
+    * it under the assumption of purity. */
+  private lazy val secureLaplace = udf { (b: Double) =>
+    val u = SecureNoise.rng.get().nextDouble() - 0.5
+    -b * math.signum(u) * math.log(1.0 - 2.0 * math.abs(u))
+  }.asNondeterministic()
+
+  private def q220(s: SparkSession, d: String, secure: Boolean = false): DataFrame = {
     val P = 1000003L
     val capped = Tables.events(s, d)
       .groupBy(col("event_type"), date_trunc("week", col("ts")).as("wk"), col("user_id"))
@@ -343,11 +365,18 @@ object Relational12 {
     val w = floor(unix_timestamp(col("wk")) / 604800).cast("long")
     val a = ascii(substring(col("event_type"), 1, 1)).cast("long")
     val u = ((((w * 131 + a) % P) * ((w * 9176 + a * 31 + 7) % P)) % P + lit(0.5)) / P.toDouble
-    val lap = lit(-DpCap.toDouble / DpEps) * signum(u - 0.5) *
-      log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    val lap =
+      if (secure) secureLaplace(lit(DpCap.toDouble / DpEps))
+      else lit(-DpCap.toDouble / DpEps) * signum(u - 0.5) *
+        log(lit(1.0) - lit(2.0) * abs(u - 0.5))
     capped
-      .withColumn("noise", floor4(lap))
-      .withColumn("n_noisy", floor4(col("n_capped") + lap))
+      // lap_raw in its OWN projection: a nondeterministic expression is
+      // never inlined by CollapseProject, so noise and n_noisy are
+      // guaranteed to see the SAME draw (two inline references to the
+      // secure UDF would draw twice and the audit column would lie)
+      .withColumn("lap_raw", lap)
+      .withColumn("noise", floor4(col("lap_raw")))
+      .withColumn("n_noisy", floor4(col("n_capped") + col("lap_raw")))
       .select("event_type", "wk", "n_raw", "n_capped", "noise", "n_noisy")
   }
 
@@ -557,16 +586,20 @@ object Relational12 {
     *
     * Scale: one (user) keyed aggregate, one 2-row arm aggregate, 1-row θ
     * broadcast. */
-  private val CupedSplit = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+  // ANSI literal so the cutoff parses in the SESSION timezone (UTC) — a
+  // lit(java.sql.Timestamp) would be converted via the JVM default zone
+  // and shift the pre/post split on any non-UTC host, diverging from the
+  // DuckDB oracle's naive TIMESTAMP literal.
+  private def cupedSplit = expr("TIMESTAMP '2024-01-15 00:00:00'")
 
   private def q223(s: SparkSession, d: String): DataFrame = {
     val dec = "decimal(38,0)"
     val users = Tables.events(s, d)
       .groupBy("user_id")
       .agg(
-        sum(when(col("ts") < lit(CupedSplit),
+        sum(when(col("ts") < cupedSplit,
           floor(col("value") * 100 + 0.5)).otherwise(0L)).cast(dec).as("x"),
-        sum(when(col("ts") >= lit(CupedSplit),
+        sum(when(col("ts") >= cupedSplit,
           floor(col("value") * 100 + 0.5)).otherwise(0L)).cast(dec).as("y"))
       .withColumn("arm",
         when(substring(md5(concat_ws("|", lit("ab"), col("user_id"))), 1, 1)
@@ -720,7 +753,11 @@ object Relational12 {
       |  FROM ft GROUP BY slice
       |  UNION ALL
       |  SELECT 'ALL' AS slice, count(*) AS n, CAST(sum(treat) AS BIGINT) AS n_treat
-      |  FROM ft),
+      |  FROM ft
+      |  -- empty-corpus agreement: Spark's groupBy(lit('ALL')) emits zero
+      |  -- rows on empty input; without this guard the ungrouped branch
+      |  -- emits an n=0 row and divides by zero in chi2
+      |  HAVING count(*) > 0),
       |c AS (
       |  SELECT slice, n, n_treat,
       |         (n_treat - n / 2.0) * (n_treat - n / 2.0) / (n / 2.0)
@@ -738,9 +775,24 @@ object Relational12 {
       Some(graft.core.Goldens.load("q217b_bradley_terry"))),
     GraftQuery("q218_calibration_ece", q218, Some(q218Sql)),
     GraftQuery("q219_conformal", q219, Some(q219Sql)),
-    GraftQuery("q220_dp_counts", q220, Some(q220Sql)),
+    GraftQuery("q220_dp_counts_replay",
+      (s: SparkSession, d: String) => q220(s, d), Some(q220Sql)),
+    // production draw: nondeterministic by construction, so no value
+    // oracle CAN exist — the driver records the rows-only check and
+    // PrefEvalSpec gates the draw's distribution + freshness
+    GraftQuery("q220b_dp_counts_secure",
+      (s: SparkSession, d: String) => q220(s, d, secure = true), None),
     GraftQuery("q221_l_diversity", q221, Some(q221Sql)),
     GraftQuery("q222_sprt", q222, Some(q222Sql)),
     GraftQuery("q223_cuped", q223, Some(q223Sql)),
     GraftQuery("q224_srm", q224, Some(q224Sql)))
+}
+
+/** Per-executor-thread CSPRNG for q220b's production Laplace draw.
+  * SecureRandom is internally synchronized — a shared instance would
+  * serialize all 32 task threads on the lock; thread-local instances
+  * draw independently (each seeded from the platform entropy source). */
+object SecureNoise {
+  val rng: ThreadLocal[java.security.SecureRandom] =
+    ThreadLocal.withInitial(() => new java.security.SecureRandom())
 }

@@ -144,6 +144,39 @@ class DispatchSpec extends AnyFunSuite {
     assert(exact == prefix, "q169 and q169b disagree through the dispatcher")
   }
 
+  // ------------------------------------------------------------ q149c
+
+  test("curate dedup selection flips at the kappa threshold") {
+    val key = Dispatch.CurateMaxMeanPostingsKey
+    val docs = graft.core.Tables.documents(spark, sf).select("doc_id", "text")
+    val rho = Dispatch.ngramSkewRho(docs)
+    assert(rho > 1.0, s"implausible curate rho: $rho")
+    spark.conf.set(key, (rho * 2).toString)
+    try assert(Dispatch.chooseCurateDedup(spark, docs) == "exact")
+    finally spark.conf.unset(key)
+    spark.conf.set(key, (rho / 2).toString)
+    try assert(Dispatch.chooseCurateDedup(spark, docs) == "minhash")
+    finally spark.conf.unset(key)
+  }
+
+  test("curate dispatched funnel equals both variants") {
+    def canon(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    val key = Dispatch.CurateMaxMeanPostingsKey
+    val exact = {
+      spark.conf.set(key, "1e18")
+      try canon(Dispatch.curateAuto(spark, sf))
+      finally spark.conf.unset(key)
+    }
+    val minhash = {
+      spark.conf.set(key, "0.0")
+      try canon(Dispatch.curateAuto(spark, sf))
+      finally spark.conf.unset(key)
+    }
+    assert(exact.nonEmpty)
+    assert(exact == minhash, "q149 and q149b disagree through the dispatcher")
+  }
+
   test("containment calibration: zipf corpus flips to prefix at default kappa") {
     // testdata/sf1z (zipf R=10, gitignored scale corpus): measured
     // rho = 9.72 > kappa=8; disjoint replication stays at 5.89 < 8 at

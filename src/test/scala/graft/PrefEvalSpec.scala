@@ -110,7 +110,7 @@ class PrefEvalSpec extends AnyFunSuite {
   }
 
   test("q220: DP release bounds per-user contribution and adds the declared noise") {
-    val rows = run("q220_dp_counts").collect()
+    val rows = run("q220_dp_counts_replay").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (raw, capped) = (r.getAs[Long]("n_raw"), r.getAs[Long]("n_capped"))
@@ -135,6 +135,38 @@ class PrefEvalSpec extends AnyFunSuite {
     val absNoise = rows.map(r => math.abs(r.getAs[Double]("noise")))
     val meanAbs = absNoise.sum / absNoise.length
     assert(meanAbs > 1.0 && meanAbs < 15.0, s"mean |noise| $meanAbs implausible for b=5")
+  }
+
+  test("q220b: secure draw is Laplace(b=5)-distributed and fresh per run") {
+    // distribution gate on the UDF itself (10k draws, far tighter than
+    // the release frame's ~40 cells allows): Laplace(b) has mean 0,
+    // E|x| = b, P(x<0) = 1/2 — check each within a generous 4σ band
+    val draws = Array.fill(10000) {
+      val u = graft.queries.SecureNoise.rng.get().nextDouble() - 0.5
+      -5.0 * math.signum(u) * math.log(1.0 - 2.0 * math.abs(u))
+    }
+    val mean = draws.sum / draws.length
+    val meanAbs = draws.map(math.abs).sum / draws.length
+    val negFrac = draws.count(_ < 0).toDouble / draws.length
+    assert(math.abs(mean) < 0.3, s"secure Laplace mean $mean not ~0")    // σ≈0.071
+    assert(math.abs(meanAbs - 5.0) < 0.25, s"E|x| $meanAbs not ~b=5")    // σ≈0.05
+    assert(math.abs(negFrac - 0.5) < 0.02, s"sign split $negFrac not ~1/2")
+    // end-to-end: audit columns exact, noise consistent within one run,
+    // and two RUNS disagree (freshness — the property the replay draw
+    // deliberately lacks)
+    val r1 = run("q220b_dp_counts_secure").collect()
+    val r2 = run("q220b_dp_counts_secure").collect()
+    assert(r1.nonEmpty)
+    r1.foreach { r =>
+      assert(r.getAs[Long]("n_capped") <= r.getAs[Long]("n_raw"))
+      assert(math.abs(r.getAs[Double]("n_noisy") - r.getAs[Long]("n_capped")
+        - r.getAs[Double]("noise")) <= 2e-4, s"$r: noise/n_noisy drew twice")
+    }
+    def noiseMap(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getAs[String]("event_type"), r.get(1)) -> r.getAs[Double]("noise")).toMap
+    val (m1, m2) = (noiseMap(r1), noiseMap(r2))
+    assert(m1.keySet == m2.keySet)
+    assert(m1.exists { case (k, v) => m2(k) != v }, "secure draw replayed identically")
   }
 
   test("q221: entropy l-diversity is bounded by the distinct count and flags agree") {
