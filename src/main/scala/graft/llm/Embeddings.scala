@@ -29,13 +29,30 @@ object Embeddings {
       eigenvalues: Array[Double],
       components: Array[Array[Double]])
 
+  /** Neumaier compensated add: folds `x` into `(hi(k), lo(k))`. The
+    * residual after collapsing hi+lo is O(n·ε²)·Σ|x| ≈ 1e-27 relative at
+    * n=10⁶ — some 10¹¹ times smaller than the final double's ulp — so the
+    * collapsed sum is the correctly-rounded exact sum for ANY partition
+    * layout or reduce order (a boundary flip needs the exact sum within
+    * ~1e-11 ulps of a rounding boundary). This is what makes the fitted
+    * covariance — and q117's eigenvalue profile — bit-stable across
+    * 2/8/32-CPU runs at every scale decade, i.e. golden-pinnable at sf10,
+    * where the plain-double fold's ~√n·ulp(S) reduce-order drift is not. */
+  @inline private def cadd(hi: Array[Double], lo: Array[Double], k: Int, x: Double): Unit = {
+    val h = hi(k)
+    val t = h + x
+    lo(k) += (if (math.abs(h) >= math.abs(x)) (h - t) + x else (x - t) + h)
+    hi(k) = t
+  }
+
   /** Fit PCA over an `(… , v: array<double>)` frame in ONE data pass —
     * the vector width is taken from each partition's first row (no
     * up-front `first()` job re-reading the source). Throws on an empty
-    * frame (PCA of nothing is undefined). */
+    * frame (PCA of nothing is undefined). Accumulation is compensated
+    * (see `cadd`) so the model is layout-independent bit-for-bit. */
   def fitPca(e: DataFrame): PcaModel = {
     val rdd = e.select(col("v")).rdd.map(_.getSeq[Double](0).toArray)
-    val (n, sum, scatter) = rdd
+    val (n, sum, sumC, scatter, scatterC) = rdd
       .mapPartitions { it =>
         if (!it.hasNext) Iterator.empty
         else {
@@ -43,28 +60,37 @@ object Embeddings {
           val dim = head.length
           var n = 0L
           val s = new Array[Double](dim)
+          val sc = new Array[Double](dim)
           val m = new Array[Double](dim * dim) // lower triangle accumulated
+          val mc = new Array[Double](dim * dim)
           (Iterator(head) ++ it).foreach { v =>
             n += 1
             var i = 0
             while (i < dim) {
-              s(i) += v(i)
+              cadd(s, sc, i, v(i))
               var j = 0
-              while (j <= i) { m(i * dim + j) += v(i) * v(j); j += 1 }
+              // v is float32-sourced: each 24-bit×24-bit product is EXACT
+              // in double, so the only rounding lives in the (compensated)
+              // accumulation.
+              while (j <= i) { cadd(m, mc, i * dim + j, v(i) * v(j)); j += 1 }
               i += 1
             }
           }
-          Iterator((n, s, m))
+          Iterator((n, s, sc, m, mc))
         }
       }
-      .reduce { case ((n1, s1, m1), (n2, s2, m2)) =>
+      .reduce { case ((n1, s1, sc1, m1, mc1), (n2, s2, sc2, m2, mc2)) =>
         var i = 0
-        while (i < s1.length) { s1(i) += s2(i); i += 1 }
+        while (i < s1.length) { cadd(s1, sc1, i, s2(i)); sc1(i) += sc2(i); i += 1 }
         var j = 0
-        while (j < m1.length) { m1(j) += m2(j); j += 1 }
-        (n1 + n2, s1, m1)
+        while (j < m1.length) { cadd(m1, mc1, j, m2(j)); mc1(j) += mc2(j); j += 1 }
+        (n1 + n2, s1, sc1, m1, mc1)
       }
     val dim = sum.length
+    var k = 0
+    while (k < dim) { sum(k) += sumC(k); k += 1 }
+    k = 0
+    while (k < dim * dim) { scatter(k) += scatterC(k); k += 1 }
     val mean = sum.map(_ / n)
     val cov = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
     for (i <- 0 until dim; j <- 0 to i) {
@@ -118,10 +144,12 @@ object Embeddings {
 
   /** q117 — explained-variance profile of the corpus embeddings: top-8
     * components' eigenvalues and the cumulative variance ratio. The
-    * eigenvalues are deterministic up to reduce-order float drift
-    * (~1e-12 on these magnitudes); round-4/5 absorbs it, so the sf0.01
-    * output pins as a golden. NOTE the golden (like the other pinned ANN
-    * goldens) is data-dependent: the driver's gate always runs at sf0.01;
+    * covariance fold is COMPENSATED (see `cadd`), so the model — and this
+    * profile — is bit-identical across partition layouts and scales:
+    * the sf0.01/sf1/sf10 outputs all pin as goldens (pre-compensation the
+    * plain-double fold's reduce-order drift blocked the sf10 pin). NOTE
+    * the golden (like the other pinned ANN goldens) is data-dependent:
+    * the driver's gate always runs at sf0.01;
     * a local Verify at another SF will report a q117 mismatch that means
     * "wrong fixture", not "wrong code" (see SKILL.md). The semantic checks (variance-of-projection
     * == eigenvalue, orthonormal components) live in RetrievalSpec. */

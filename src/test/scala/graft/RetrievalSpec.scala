@@ -252,6 +252,21 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("pca: compensated fold is bit-identical across partition layouts") {
+    // The property that makes q117 pinnable at every scale decade: the
+    // (n, Σv, Σvvᵀ) fold is Neumaier-compensated, so two maximally
+    // different layouts (1 vs 32 partitions → different reduce orders)
+    // must produce the SAME doubles, not merely close ones.
+    import graft.llm.Embeddings
+    val e = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val m1 = Embeddings.fitPca(e.repartition(1))
+    val m32 = Embeddings.fitPca(e.repartition(32, org.apache.spark.sql.functions.col("vec_id")))
+    assert(m1.mean.toSeq == m32.mean.toSeq, "means drift across layouts")
+    assert(m1.eigenvalues.toSeq == m32.eigenvalues.toSeq,
+      "eigenvalues drift across layouts")
+  }
+
   test("repetition quality gate recomputes from raw text") {
     val corpus = docs()
     val got = Retrieval.repetitionQuality(spark, sf).collect()
