@@ -37,6 +37,24 @@ import graft.queries.{GraftQuery, Relational11}
   */
 object Dispatch {
 
+  // Which pairs get a dispatcher — the closure argument (round 11):
+  // a dispatcher is REGISTERED only where (a) both variants are
+  // result-equal under the pair's own oracle, so the pick can be
+  // hash-gated (q182/q182b, q203/q203b, q169/q169b, q149/q149b), and
+  // (b) a measured crossover exists inside the testable decades. The
+  // two remaining pairs fail one leg each, deliberately:
+  //  - q65b/q65c: no crossover — the bounded MG form is exact
+  //    end-to-end and faster at every measured scale (BASELINE "q65
+  //    pair"); a dispatcher needs two regimes to arbitrate.
+  //  - q143/q143b: not result-equal — the LSH-shortlist form is
+  //    approximate BY CONSTRUCTION (recall pinned in LlmSpec, separate
+  //    golden). Flipping between different result SETS on a size signal
+  //    would silently change answer quality; exact-vs-approximate is a
+  //    contract the CALLER declares (the bits/tables knobs), not a plan
+  //    equivalence a dispatcher may pick. Same reasoning keeps
+  //    q26/q26b-style sketch swaps and q219's exact-vs-approx quantile
+  //    out of dispatch scope.
+
   /** In-memory HashedRelation cost per broadcast label row: 16-byte
     * two-long UnsafeRow + row header + LongToUnsafeRowMap slot/array
     * overhead ≈ 48–80 B measured; 64 is the decade-accurate middle. */
