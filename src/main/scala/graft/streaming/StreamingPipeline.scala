@@ -385,6 +385,39 @@ object StreamingPipeline {
     s.table(sink)
   }
 
+  /** q09c — streaming twin of q09b, completing the time-band family's
+    * scale story: the quadratic-output anti-baseline (q09) has a bounded
+    * batch form (q09b, 1.5 s vs 1003 s at sf10) and now a bounded
+    * STREAMING form — the shape a continuous ingest pipeline actually
+    * runs for co-occurrence volume. The stream holds only the
+    * per-(hour, event_type) count state (time-span × |types| rows —
+    * data-size-independent, the q20b boundedness argument; complete mode,
+    * no watermark needed for an AvailableNow replay); the strictly-later-
+    * bucket pair product is a static fold over the drained count frame
+    * (thousands of rows), never a stream-stream join carrying events².
+    * Registered under q09b's DuckDB oracle — the streaming engine's
+    * source slicing, state store, and sink commit sit under the same
+    * hash gate as the batch twin. */
+  def q09StreamRangeVolume(s: SparkSession, d: String): DataFrame = {
+    val cnt = eventsStream(s, d)
+      .select(floor(unix_timestamp(col("ts")) / 3600).as("h"), col("event_type"))
+      .groupBy("h", "event_type").agg(count(lit(1)).as("n"))
+    // memory sink is BOUNDED here: rows ≤ hour-buckets × |event types| ×
+    // (≤5 triggers, tableStream's ceil(n/4) slicing) — time-span-scaled,
+    // not data-scaled (the q20b argument; not a VERDICT-r10 #1 drain).
+    val sink = s"q09c_mem_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = cnt.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val c = s.table(sink)
+    val a = c.select(col("h"), col("event_type").as("type_a"), col("n").as("na"))
+    val b = c.select((col("h") - 1).as("h"), col("event_type").as("type_b"),
+      col("n").as("nb"))
+    a.join(b, "h")
+      .groupBy("type_a", "type_b")
+      .agg(sum(col("na") * col("nb")).as("n_pairs"))
+  }
+
   /** Streaming twin of q35 under the oracle gate: the exact-dedup profile
     * recomputed with Structured Streaming primitives and checked against
     * the SAME DuckDB oracle as the batch query. Streaming aggregations
@@ -914,7 +947,9 @@ object StreamingPipeline {
     graft.queries.GraftQuery("q65c_stream_heavy_hitters_mg", q65StreamHeavyHittersBounded _,
       Some(graft.queries.Relational6.q65Sql)),
     graft.queries.GraftQuery("q217c_stream_pref_pairs", q217StreamPrefPairs _,
-      Some(graft.queries.Relational12.q217Sql)))
+      Some(graft.queries.Relational12.q217Sql)),
+    graft.queries.GraftQuery("q09c_stream_range_volume", q09StreamRangeVolume _,
+      Some(graft.queries.Relational.q09bSql)))
 }
 
 /** StatefulProcessor for [[StreamingPipeline.userStatsTws]]: one named

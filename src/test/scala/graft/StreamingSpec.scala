@@ -477,6 +477,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(dir51.nonEmpty && dir51 == one51)
   }
 
+  test("q09c streaming hour-bucket pair volume == batch q09b on both layouts") {
+    // The bounded streaming member of the time-band family: exact-integer
+    // output, so equality is set equality — on the single-file corpus AND
+    // on a multi-part directory rewrite (>= 2 real micro-batches through
+    // the complete-mode count state).
+    val src = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q09c").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$src/events.parquet").repartition(3)
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val batch = graft.SparkEntry.queries("q09b_range_join_bucketed")(spark, src)
+      .collect().toSet
+    val one = StreamingPipeline.q09StreamRangeVolume(spark, src).collect().toSet
+    val dir = StreamingPipeline.q09StreamRangeVolume(spark, tmp).collect().toSet
+    assert(one.nonEmpty && one == batch, "stream != batch on single-file layout")
+    assert(dir == batch, "stream != batch on directory layout")
+  }
+
   test("q176 stream-stream join == batch pairs under multi-batch slicing") {
     // the corpus-span watermark makes the join exact under ANY slicing:
     // file order is not time order, and a part-file split must not change
