@@ -144,6 +144,15 @@ def main():
     scale_digests = {}
     for f in glob.glob(f"{root}/src/main/resources/graft/goldens/{sfbase}/*.digest.json"):
         scale_digests[os.path.basename(f)[: -len(".digest.json")]] = json.load(open(f))
+    # Live oracles MEASURED DuckDB-infeasible at a scale (spill exceeds
+    # free disk, aborts with IOException): the engine output is verified
+    # against a bit-stability-pinned scale golden instead. Round 11:
+    # q185's wedge-closure SQL spilled >75 GB at sf1 and aborted (the
+    # q182/q69 class) — the corpus is unchanged (the r8-era sf1 goldens
+    # still verify), the budget is the host's free disk. Listed per scale
+    # so a feasible live oracle is never silently bypassed.
+    INFEASIBLE_LIVE = {"sf1": {"q185_triangle_count"},
+                       "sf10": {"q185_triangle_count"}}
     counts = {"OK": 0, "CLOSE": 0, "FAIL": 0, "GOLDEN": 0, "TIMEOUT": 0}
     # SCALEVERIFY_SKIP: comma-separated names known DuckDB-infeasible at
     # this scale (q149's curate SQL spills >75 GB at 10x — round 7) —
@@ -194,7 +203,8 @@ def main():
                   flush=True)
             counts["GOLDEN"] += 1
             continue
-        sql = scale_goldens.get(name, oracle[name]) if name in pinned else oracle[name]
+        use_golden = name in pinned or name in INFEASIBLE_LIVE.get(sfbase, set())
+        sql = scale_goldens.get(name, oracle[name]) if use_golden else oracle[name]
         q = mp.Queue()
         child = mp.Process(target=run_oracle, args=(sfdir, sql, q))
         child.start()
