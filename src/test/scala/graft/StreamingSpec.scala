@@ -477,6 +477,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(dir51.nonEmpty && dir51 == one51)
   }
 
+  test("every memory-sink drain carries an explicit boundedness rationale") {
+    // The VERDICT-r10 drain class: a driver-resident memory sink is only
+    // acceptable when its row count is bounded by something data-size-
+    // independent (time span, |types|, sketch k, dup rate) or when the
+    // query is the documented honest anti-baseline (q65b). The rewrite of
+    // q217c/q176/q176b/q51b to foreachBatch parquet ledgers closed the
+    // unbounded members; this lint keeps the class closed — any new
+    // format("memory") site must state its bound in the preceding lines.
+    val src = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      "src/main/scala/graft/streaming/StreamingPipeline.scala"))
+    val lines = src.split("\n", -1)
+    val sites = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("format(\"memory\")") => i
+    }
+    assert(sites.nonEmpty, "expected at least one memory-sink site")
+    sites.foreach { i =>
+      val context = lines.slice(math.max(0, i - 15), i).mkString("\n").toLowerCase
+      assert(context.contains("bounded") || context.contains("anti-baseline"),
+        s"memory sink at StreamingPipeline.scala:${i + 1} has no boundedness " +
+          "rationale in the preceding 15 lines — state the size bound or " +
+          "convert to a foreachBatch lake ledger (the q21b idiom)")
+    }
+  }
+
   test("q09c streaming hour-bucket pair volume == batch q09b on both layouts") {
     // The bounded streaming member of the time-band family: exact-integer
     // output, so equality is set equality — on the single-file corpus AND
