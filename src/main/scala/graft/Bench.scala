@@ -74,8 +74,19 @@ object Bench {
     // q86,q130 times just those queries — for isolating a perf target from
     // suite-order effects; the committed BENCH_local.json is always a full run
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    // Anti-baseline tier (VERDICT-r11 #4): q09 is the registry's one
+    // DELIBERATELY quadratic-output query — 1003 s of the 3182 s sf10
+    // full-suite wall (31.5%) for a number that is already pinned and
+    // priced (its scale-survivable twins q09b/q09c are in the suite).
+    // The default bench run excludes it; SPARK_GRAFT_TIER=full includes
+    // it, and either way the artifact reports suite_wall and
+    // anti_baseline_wall separately. Correctness (Verify) always runs it.
+    val antiBaseline = Set("q09_range_join")
+    val tier = sys.env.getOrElse("SPARK_GRAFT_TIER", "suite")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .filter { case (n, _) =>
+        tier == "full" || only.nonEmpty || !antiBaseline(n) }
     // Starvation-aware timing protocol, v2. The hypervisor intermittently
     // withholds cycles from this VM, uniformly inflating wall-clock
     // (committed rounds 3-5 were each ~2-5× inflated vs isolated reruns).
@@ -146,7 +157,19 @@ object Bench {
         if (probe > 1.6 * parSteadyMs) {
           val (w2, c2) = once()
           QRes(name, w1, c1, Some((w2, c2, probe)), None)
-        } else QRes(name, w1, c1, None, Some(probe))
+        } else {
+          // Probe read clean but the wall tripped the floor — on loaded
+          // hosts a 175 ms spin can sneak through a scheduling gap while
+          // the multi-second query still absorbed the load (q184,
+          // VERDICT-r11 #4). Grant the one rerun BEFORE flagging: only if
+          // the min of both samples still exceeds the band is the floor
+          // genuinely stale; otherwise the first sample was transient
+          // load-noise and no flag is emitted. Both samples land in
+          // rerun_detail either way, so the decision stays auditable.
+          val (w2, c2) = once()
+          val stale = if (math.min(w1, w2) > tol * floor.get) Some(probe) else None
+          QRes(name, w1, c1, Some((w2, c2, probe)), stale)
+        }
       } else QRes(name, w1, c1, None, None)
     }
     val calibAfter = calibMs()
@@ -163,6 +186,11 @@ object Bench {
     val qs = headline.map(r => "\"" + r.name + "\":" + r3(r.wall))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_.wall).sum else 0.0
+    // two-tier walls (VERDICT-r11 #4): suite_wall excludes the
+    // anti-baseline members; anti_baseline_wall is their sum when they ran
+    // (0 under the default tier). value/total remains sum-of-ran.
+    val suiteWall = results.filterNot(r => antiBaseline(r.name)).map(_.wall).sum
+    val antiWall = results.filter(r => antiBaseline(r.name)).map(_.wall).sum
     val nRerun = results.count(_.rerun.isDefined)
     val nStale = results.count(_.floorStale.isDefined)
     // Sample process CPU exactly once so cpu_sec and effective_cores are
@@ -195,7 +223,10 @@ object Bench {
     val staleQs = results.filter(_.floorStale.isDefined)
       .map(r => "\"" + r.name + s"""\":[${r3(r.w1)},${r3(r.c1)},${r.floorStale.get.round},${r3(floors.getOrElse(r.name, -1.0))}]""")
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},$calib,"queries":$fullQs,"rerun_detail":$rerunQs,"floor_stale":$staleQs,"sf":"$sfDir"}"""
+    val tiers = s""""tier":"$tier","suite_wall":${r3(suiteWall)},""" +
+      s""""anti_baseline_wall":${r3(antiWall)},""" +
+      s""""anti_baseline":[${antiBaseline.map("\"" + _ + "\"").mkString(",")}]"""
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},$tiers,$calib,"queries":$fullQs,"rerun_detail":$rerunQs,"floor_stale":$staleQs,"sf":"$sfDir"}"""
     // SPARK_GRAFT_OUT redirects the full-detail artifact (e.g. a scale run
     // at sf1 → BENCH_sf1.json); without it, never let a filtered run
     // overwrite the committed full-suite sf0.1 artifact. A filtered run
@@ -217,7 +248,7 @@ object Bench {
         java.nio.file.Paths.get(outPath.getOrElse("BENCH_local.json")),
         (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},$calib,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},$tiers,$calib,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 /** Scale-up generator for local scale testing above the driver-provided
   * sf0.1 (TESTDATA.md caps there; `/root/testdata` is read-only).
   *
-  * `runMain graft.GenData <srcSfDir> <outDir> <R> [eventsMode] [docsMode]`
-  * replicates every table
+  * `runMain graft.GenData <srcSfDir> <outDir> <R> [eventsMode] [docsMode]
+  * [vecsMode]` replicates every table
   * R× with key offsets so the star-schema join graph stays consistent
   * (replica i's lineitem rows reference replica i's orders/part/supplier),
   * while perturbing the two content tables so scale-up does NOT fabricate a
@@ -65,6 +65,9 @@ object GenData {
     val docsMode = if (args.length > 4) args(4) else "disjoint"
     require(docsMode == "disjoint" || docsMode == "zipf",
       s"docs mode must be disjoint|zipf: $docsMode")
+    val vecsMode = if (args.length > 5) args(5) else "noise"
+    require(vecsMode == "noise" || vecsMode == "bitext",
+      s"vecs mode must be noise|bitext: $vecsMode")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -86,6 +89,78 @@ object GenData {
     /** Union R replicas of `df`, applying `f(df, i)` per replica. */
     def rep(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until r).map(i => f(df, i)).reduce(_ unionAll _)
+
+    // ------------------------------------------------------------ bitext
+    // vecsMode="bitext": a PLANTED-BITEXT embeddings corpus — the geometry
+    // real CCMatrix-style mining runs on, which the default corpus
+    // adversarially lacks (its cross-label pair cosines are 0.25–0.45, so
+    // the q143b LSH probe path loses to brute at every decade; VERDICT-r11
+    // #1 asked for the winning regime to be MEASURED, not asserted).
+    // Construction, fully deterministic:
+    //  - label-0 rows ("language X") are fresh unit hash-random vectors
+    //    u(k), k = the row's rank within its label across all replicas —
+    //    background cross-pair cosine ~ N(0, 1/dim) ≈ 0 ± 0.125;
+    //  - label-9 rows ("language Y") with rank k ≤ |X| are TRANSLATIONS:
+    //    normalize(u(k) + δ·w(k)) with independent hash-random w and
+    //    δ = 0.23 ⇒ planted pair cosine ≈ 1/√(1+δ²) ≈ 0.975 (the
+    //    translation band); ranks beyond |X| are background randoms;
+    //  - every other label keeps its source vector (replica 0) /
+    //    noise-perturbed replica (i > 0, the standard contract) — only
+    //    the two bitext sides get the planted geometry.
+    // Labels 0/9 are [[graft.llm.Similarity]]'s LangA/LangB. Output is the
+    // EMBEDDINGS TABLE ONLY (plus the fixed dims already written): the
+    // bitext corpus exists to measure q143/q143b, and replicating the
+    // other tables would burn the scale-run disk budget for nothing.
+    if (vecsMode == "bitext") {
+      import org.apache.spark.sql.expressions.Window
+      val e = read("embeddings")
+      val nVecB = e.count()
+      val dim = e.select(size(col("embedding"))).head.getInt(0)
+      val delta = 0.23
+      def hrand(tag: String, k: org.apache.spark.sql.Column,
+                j: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        (pmod(xxhash64(lit(tag), k, j), lit(2000001L)) - lit(1000000L))
+          .cast("double") / lit(1000000.0)
+      val eps = math.sqrt(3.0) * 0.125
+      val repd = rep(e) { (df, i) =>
+        val base = df.withColumn("vec_id", col("vec_id") + lit(i * nVecB))
+        if (i == 0) base
+        else {
+          val noisy = transform(col("embedding"), (x, kk) =>
+            x + lit(eps) * ((pmod(xxhash64(col("vec_id"), lit(i), kk), lit(2000001L)) -
+              lit(1000000L)).cast("double") / lit(1000000.0)))
+          base.withColumn("nv", noisy)
+            .withColumn("nrm", sqrt(aggregate(col("nv"), lit(0.0d), (a, x) => a + x * x)))
+            .withColumn("embedding",
+              transform(col("nv"), x => (x / col("nrm")).cast("float")))
+            .drop("nv", "nrm")
+        }
+      }
+      val nX = repd.filter(col("label") === 0).count()
+      val byLabel = Window.partitionBy("label").orderBy("vec_id")
+      val js = sequence(lit(0), lit(dim - 1))
+      val u = transform(js, j => hrand("bx_u", col("k"), j))
+      val w = transform(js, j => hrand("bx_w", col("k"), j))
+      val bg = transform(js, j => hrand("bx_b", col("k"), j))
+      val planted = repd
+        .withColumn("k", row_number().over(byLabel).cast("long"))
+        .withColumn("raw",
+          when(col("label") === 0, u)
+            .when(col("label") === 9 && col("k") <= lit(nX),
+              zip_with(u, w, (a, b) => a + lit(delta) * b))
+            .when(col("label") === 9, bg)
+            .otherwise(col("embedding").cast("array<double>")))
+        .withColumn("nrm", sqrt(aggregate(col("raw"), lit(0.0d), (a, x) => a + x * x)))
+        .withColumn("embedding",
+          when(col("label").isin(0, 9),
+            transform(col("raw"), x => (x / col("nrm")).cast("float")))
+            .otherwise(col("embedding")))
+        .drop("k", "raw", "nrm")
+      write("embeddings", planted, math.max(1, r / 2))
+      println(s"""{"gen":"$out","r":$r,"src":"$src","vecs":"bitext","dim":$dim,"nx":$nX}""")
+      spark.stop()
+      return
+    }
 
     val nCust = read("customer").count()
     val nOrd  = read("orders").count()

@@ -409,7 +409,11 @@ object StreamingPipeline {
     val q = cnt.writeStream.format("memory").queryName(sink)
       .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val c = s.table(sink)
+    // materialize the (small, bounded) drained count frame eagerly, then
+    // DROP the UUID-named sink view: repeated invocations in one session
+    // must not accumulate leaked temp views (ADVICE r11)
+    val c = s.table(sink).localCheckpoint(true)
+    s.catalog.dropTempView(sink)
     val a = c.select(col("h"), col("event_type").as("type_a"), col("n").as("na"))
     val b = c.select((col("h") - 1).as("h"), col("event_type").as("type_b"),
       col("n").as("nb"))
@@ -575,15 +579,24 @@ object StreamingPipeline {
         col("inter") / (size(col("sh_i")) + size(col("sh_e")) - col("inter")), 4))
       .filter(col("jaccard") >= 0.5)
       .select("inc_id", "ex_id", "jaccard")
-    // memory-sink size = CONFIRMED near-dup pairs of the incoming slice —
-    // the job's actual product, dup-rate-bounded, emitted once (append
-    // mode); a production ingest would point this same append at the lake
-    // (the q176 ledger idiom) with no other change.
-    val sink = s"q128b_mem_${java.util.UUID.randomUUID().toString.take(8)}"
-    val q = confirmed.writeStream.format("memory").queryName(sink)
-      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    // Output = CONFIRMED near-dup pairs of the incoming slice — the job's
+    // actual product, which scales with the corpus dup RATE: drained to a
+    // parquet ledger on executors (the q176/q21b lakeSink idiom), never
+    // through driver memory. Append mode emits each confirmed pair exactly
+    // once, so ledger = stream output with no post-fold needed — this IS
+    // what the production ingest does (round-12 directive closing the
+    // last output-scaled memory drain).
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q128b_").toString
+    val q = confirmed.writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(s"$tmp/ledger")
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    s.table(sink).localCheckpoint(true)
+    s.read.parquet(s"$tmp/ledger")
   }
 
   /** Streaming twin of q175: the sliding-window aggregate run through the
@@ -601,9 +614,12 @@ object StreamingPipeline {
     val q = buckets.writeStream.format("memory").queryName(sink)
       .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    // eager localCheckpoint (as in q128b/q176) so the result survives
-    // independently of the memory-sink table's lifetime
-    s.table(sink).localCheckpoint(true)
+    // eager localCheckpoint (as in q176) so the result survives
+    // independently of the memory-sink table's lifetime; drop the
+    // UUID-named sink view so repeated calls never accumulate (ADVICE r11)
+    val out = s.table(sink).localCheckpoint(true)
+    s.catalog.dropTempView(sink)
+    out
   }
 
   /** Oracle-gated STREAM-STREAM inner join: clicks ⋈ purchases per user
@@ -835,6 +851,7 @@ object StreamingPipeline {
       .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     val t = s.table(sink).localCheckpoint(true)
+    s.catalog.dropTempView(sink) // per-call view leak — ADVICE r11
     t.crossJoin(broadcast(t.agg(sum("n_orders").as("total"))))
       .filter(col("n_orders") > col("total") / lit(1000.0))
       .select("o_custkey", "n_orders")

@@ -494,7 +494,10 @@ class StreamingSpec extends AnyFunSuite {
     assert(sites.nonEmpty, "expected at least one memory-sink site")
     sites.foreach { i =>
       val context = lines.slice(math.max(0, i - 15), i).mkString("\n").toLowerCase
-      assert(context.contains("bounded") || context.contains("anti-baseline"),
+      // word-boundary match: a bare contains("bounded") would also match
+      // the substring inside "unbounded" and defeat the lint (ADVICE r11)
+      val bounded = "\\bbounded\\b".r.findFirstIn(context).isDefined
+      assert(bounded || context.contains("anti-baseline"),
         s"memory sink at StreamingPipeline.scala:${i + 1} has no boundedness " +
           "rationale in the preceding 15 lines — state the size bound or " +
           "convert to a foreachBatch lake ledger (the q21b idiom)")

@@ -108,8 +108,64 @@ def prop_q60(con, sdf):
     return None
 
 
+def prop_q185(con, sdf):
+    """Scale-invariant anchor for q185 alongside its pinned golden (the
+    golden is engine-output-pinned because the live wedge-closure SQL is
+    disk-infeasible at sf1+, so golden-only would be regression-only —
+    ADVICE r11). Three independent checks:
+    1. per-row: 0 < n_triangles <= C(degree,2) and clust_coef equals
+       round(2*tri/(d*(d-1)), 4) (the engine's own declared formula);
+    2. global: sum(n_triangles) % 3 == 0 (every triangle is counted at
+       exactly its 3 corners);
+    3. sampled wedge-closure recheck: for 3 deterministic small-degree
+       nodes, recompute the co-purchase neighborhood and the triangles at
+       that node LIVE in DuckDB with the node id pushed into the scan —
+       feasible at any scale because the quadratic stages are filtered to
+       one node's neighborhood."""
+    tri_min_co = 2
+    total = 0
+    for _, r in sdf.iterrows():
+        d, t, cc = int(r["degree"]), int(r["n_triangles"]), float(r["clust_coef"])
+        if not (0 < t <= d * (d - 1) // 2):
+            return f"node {r['partkey']}: n_triangles {t} vs C({d},2)"
+        want = (2.0 * t) / (d * (d - 1))
+        if abs(cc - want) > 5.001e-5:
+            return f"node {r['partkey']}: clust_coef {cc} != round({want}, 4)"
+        total += t
+    if total % 3 != 0:
+        return f"sum(n_triangles) = {total} not divisible by 3"
+    picks = sdf.sort_values(["degree", "partkey"]).head(3)
+    for _, r in picks.iterrows():
+        n, d, t = int(r["partkey"]), int(r["degree"]), int(r["n_triangles"])
+        if d > 60:
+            continue  # keep the neighborhood recheck cheap
+        nbrs = [int(x[0]) for x in con.sql(
+            "WITH io AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem), "
+            f"ion AS (SELECT o FROM io WHERE p = {n}) "
+            f"SELECT b.p FROM io b JOIN ion USING (o) WHERE b.p <> {n} "
+            f"GROUP BY 1 HAVING count(*) >= {tri_min_co}").fetchall()]
+        if len(nbrs) != d:
+            return f"node {n}: recomputed degree {len(nbrs)} != reported {d}"
+        ids = ",".join(str(x) for x in nbrs)
+        (tri,) = con.sql(
+            "WITH sel AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem "
+            f"WHERE l_partkey IN ({ids})) "
+            "SELECT count(*) FROM (SELECT a.p, b.p FROM sel a JOIN sel b "
+            "ON a.o = b.o AND a.p < b.p "
+            f"GROUP BY a.p, b.p HAVING count(*) >= {tri_min_co})").fetchone()
+        if int(tri) != t:
+            return f"node {n}: recomputed n_triangles {tri} != reported {t}"
+    return None
+
+
 PROPERTY_CHECKS = {"q26_approx_percentile": prop_q26,
                    "q60_stratified_sample": prop_q60}
+
+# Property checks that run IN ADDITION to a passing scale golden (the
+# golden proves bit-identity to the pinned run; the property anchors the
+# pinned values to the corpus independently — ADVICE r11 on q185's
+# engine-output-pinned goldens).
+GOLDEN_PLUS_PROPERTY = {"q185_triangle_count": prop_q185}
 
 
 def main():
@@ -153,6 +209,18 @@ def main():
     # so a feasible live oracle is never silently bypassed.
     INFEASIBLE_LIVE = {"sf1": {"q185_triangle_count"},
                        "sf10": {"q185_triangle_count"}}
+    # Fail FAST if an INFEASIBLE_LIVE member has no scale golden/digest for
+    # this sfbase: the get(name, oracle[name]) substitution below would
+    # otherwise silently fall back to running the live oracle that was just
+    # declared infeasible, burning the timeout/disk the table exists to
+    # avoid (ADVICE r11).
+    missing = INFEASIBLE_LIVE.get(sfbase, set()) - set(scale_goldens) - set(scale_digests)
+    if missing:
+        print(f"FATAL: INFEASIBLE_LIVE[{sfbase}] members with no scale "
+              f"golden/digest under goldens/{sfbase}/: {sorted(missing)} — "
+              "pin them (tools/pin_goldens.py --scale) before routing their "
+              "live oracle away", flush=True)
+        return 2
     counts = {"OK": 0, "CLOSE": 0, "FAIL": 0, "GOLDEN": 0, "TIMEOUT": 0}
     # SCALEVERIFY_SKIP: comma-separated names known DuckDB-infeasible at
     # this scale (q149's curate SQL spills >75 GB at 10x — round 7) —
@@ -225,7 +293,16 @@ def main():
             continue
         sdf = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
         v = localverify.compare(name, sdf, odf)
-        key = "OK" if v == "OK" else ("CLOSE" if v.startswith("CLOSE") else "FAIL")
+        if v == "OK" and use_golden and name in GOLDEN_PLUS_PROPERTY:
+            # golden passed — ALSO anchor the pinned values to the corpus
+            # via the scale-invariant property (ADVICE r11)
+            pcon = _views(sfdir)
+            try:
+                err = GOLDEN_PLUS_PROPERTY[name](pcon, sdf)
+            finally:
+                pcon.close()
+            v = "OK (golden + property)" if err is None else f"FAIL property: {err}"
+        key = "OK" if v.startswith("OK") else ("CLOSE" if v.startswith("CLOSE") else "FAIL")
         counts[key] += 1
         if key == "FAIL":
             fails.append(name)
