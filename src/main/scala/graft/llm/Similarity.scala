@@ -116,6 +116,57 @@ object Similarity {
       .select(col("label"), col("a_id"), col("b_id"), col("cos"))
   }
 
+  // ------------------------------------------------------------ q226/q226b
+  /** Planted-twin near-dup frame: the registered measured lever for the
+    * q38 family at a REAL near-dup threshold (VERDICT-r11 stretch #8).
+    * The corpus's own pair cosines top out ≈ 0.47, so at threshold 0.9 the
+    * raw table is empty — an empty-vs-empty oracle would prove nothing.
+    * Instead every vec_id ≡ 0 (mod [[TwinEvery]]) gets a DETERMINISTIC
+    * twin (id → −id−1, same label): elementwise v + [[TwinEps]]·w with
+    * w_k = ((id·31 + k·7) mod 21 − 10)/10 — an affine integer pattern both
+    * engines compute bit-identically (Spark `transform` 0-based index,
+    * DuckDB `list_transform` 1-based, see the oracle) — giving twin cosine
+    * ≈ 0.9953, comfortably in the near-dup band, over the untouched
+    * background. q226b runs the exact tiled all-pairs join (q38's plan) at
+    * 0.9; q226 runs the LSH-bucketed path (B=8, L=8 per its scaladoc:
+    * per-pair miss (1−p⁸)⁸ ≈ 6e-6 at cosine 0.995, background candidate
+    * fraction ≈ L·2⁻ᴮ ≈ 3%) — both under the SAME live DuckDB oracle, so
+    * the shortlist path's full recall at this geometry is hash-gated, not
+    * asserted. The pair is the measured exact-vs-LSH lever: identical
+    * results, brute Ω(within-label pairs) vs bucket-join candidates. */
+  private val NearDupReal = 0.9
+  private val TwinEvery = 37
+  private val TwinEps = 0.02
+
+  private[graft] def plantedVecs(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d)
+    val twins = e.filter(pmod(col("vec_id"), lit(TwinEvery)) === 0)
+      .withColumn("v", transform(col("v"), (x, i) =>
+        x + lit(TwinEps) *
+          (pmod(col("vec_id") * 31 + i.cast("long") * 7, lit(21)) - lit(10))
+            .cast("double") / lit(10.0)))
+      .withColumn("vec_id", -col("vec_id") - 1)
+    e.unionByName(twins)
+  }
+
+  def cosineNearDupLshReal(s: SparkSession, d: String): DataFrame =
+    cosineNearDupLsh(plantedVecs(s, d), NearDupReal)
+
+  def cosineNearDupExactReal(s: SparkSession, d: String): DataFrame =
+    cosineNearDupPairs(plantedVecs(s, d), NearDupReal)
+
+  val cosineNearDupRealSql: String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |t AS (SELECT -vec_id - 1 AS vec_id, label,
+      |        list_transform(v, (x, i) ->
+      |          x + $TwinEps * ((vec_id * 31 + (i - 1) * 7) % 21 - 10) / 10.0) AS v
+      |      FROM e WHERE vec_id % $TwinEvery = 0),
+      |u AS (SELECT * FROM e UNION ALL SELECT * FROM t)
+      |SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+      |       round(list_cosine_similarity(a.v, b.v), 4) AS cos
+      |FROM u a JOIN u b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= $NearDupReal""".stripMargin
+
   val cosineNearDupSql: String =
     """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings)
       |SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
@@ -1228,6 +1279,10 @@ object Similarity {
       (s: SparkSession, d: String) => hardNegativesLsh(s, d),
       Some(graft.core.Goldens.load("q139b_hard_negatives_lsh"))),
     GraftQuery("q141_semantic_decontam", semanticDecontam _, Some(semanticDecontamSql)),
+    GraftQuery("q226_cosine_neardup_lsh", cosineNearDupLshReal _,
+      Some(cosineNearDupRealSql)),
+    GraftQuery("q226b_cosine_neardup_exact", cosineNearDupExactReal _,
+      Some(cosineNearDupRealSql)),
     GraftQuery("q143_bitext_mine", bitextMine _, Some(bitextMineSql)),
     GraftQuery("q143b_bitext_mine_lsh",
       (s: SparkSession, d: String) => bitextMineLsh(s, d),

@@ -26,15 +26,24 @@ def digest(path):
 
 
 def main(a, b):
-    names = sorted(
-        os.path.basename(p)[:-8]
-        for p in glob.glob(os.path.join(a, "*.parquet"))
-        if os.path.exists(os.path.join(b, os.path.basename(p))))
+    # a graft.Verify dump holds one DIRECTORY per query (no .parquet
+    # suffix); accept both that layout and bare <name>.parquet files
+    def qdirs(root):
+        out = {}
+        for p in glob.glob(os.path.join(root, "*")):
+            base = os.path.basename(p)
+            if base == "oracle_sql.json":
+                continue
+            name = base[:-8] if base.endswith(".parquet") else base
+            out[name] = p
+        return out
+    qa, qb = qdirs(a), qdirs(b)
+    names = sorted(set(qa) & set(qb))
     bad = 0
     for n in names:
         try:
-            da, ra = digest(os.path.join(a, n + ".parquet"))
-            db, rb = digest(os.path.join(b, n + ".parquet"))
+            da, ra = digest(qa[n])
+            db, rb = digest(qb[n])
         except Exception as e:
             print(f"{n:32s} ERROR {type(e).__name__}: {e}", flush=True)
             bad += 1
