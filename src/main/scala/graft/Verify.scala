@@ -18,8 +18,14 @@ object Verify {
     // local-iteration filter: SPARK_GRAFT_ONLY=q86,q93 dumps matching
     // prefixes only (the driver never sets it → full dump)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    // SPARK_GRAFT_SKIP: exact names to exclude — for scale dumps where a
+    // query's OUTPUT is corpus-quadratic (q09 at sf10 would write events²
+    // band pairs to disk; its bounded twin q09b carries the value
+    // evidence). The driver never sets it → full dump at sf0.01.
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
     val selected = SparkEntry.queries.filter { case (name, _) =>
-      only.forall(_.exists(name.startsWith))
+      only.forall(_.exists(name.startsWith)) && !skip.contains(name)
     }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
