@@ -80,6 +80,44 @@ object SemiJoin {
       weekOrders(s, d).hint("shuffle_merge"),
       col("l_orderkey") === col("o_orderkey")))
 
+  /** Which join regime the dispatcher would run — exposed for the
+    * DispatchSpec flip test and plan audits. The decision input is the
+    * q182c/q203c one: filtered-dim row count × the measured in-memory
+    * HashedRelation cost per row, against the session's OWN broadcast
+    * threshold. Below it, the right plan is the plain join with no hint
+    * and no bloom — Catalyst broadcasts the dim, the fact never shuffles,
+    * and a bloom would only add its build cost to a map-side plan. Above
+    * it (or with broadcast disabled), the join must shuffle, and the
+    * bloom prefilter is what keeps the fact exchange proportional to
+    * matches instead of to the corpus. */
+  def chooseSemiJoin(s: SparkSession, d: String, dimRows: Long): String = {
+    val t = Dispatch.broadcastThresholdBytes(s)
+    if (t > 0 && BigInt(dimRows) * Dispatch.BroadcastBytesPerRow <= t)
+      "broadcast"
+    else "bloom"
+  }
+
+  /** q227c — semi-join reduction with automatic regime selection, gated
+    * by the pair's shared oracle (all three registrations are
+    * result-equal, so whichever plan the dispatcher picks must
+    * hash-match). The dim count doubles as the probe AND the bloom's
+    * honest sizing input, so the dispatcher adds no work the bloom path
+    * wasn't already paying (the q149c pricing lesson, at zero premium). */
+  def autoSemiJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = weekOrders(s, d).localCheckpoint(true)
+    val n = dim.count()
+    if (chooseSemiJoin(s, d, n) == "broadcast")
+      revenueAgg(Tables.lineitem(s, d)
+        .join(dim, col("l_orderkey") === col("o_orderkey")))
+    else {
+      val bits = BloomFilters.buildLongBloom(dim, "o_orderkey", n, Fpp)
+      val fact = Tables.lineitem(s, d)
+        .filter(BloomFilters.bloom_might_contain(bits, col("l_orderkey")))
+      revenueAgg(fact.join(dim.hint("shuffle_merge"),
+        col("l_orderkey") === col("o_orderkey")))
+    }
+  }
+
   private val oracleSql =
     s"""SELECT l_returnflag, count(*) AS n_items,
       |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -90,5 +128,6 @@ object SemiJoin {
 
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q227_bloom_semijoin", bloomSemiJoin _, Some(oracleSql)),
-    GraftQuery("q227b_plain_semijoin", plainSemiJoin _, Some(oracleSql)))
+    GraftQuery("q227b_plain_semijoin", plainSemiJoin _, Some(oracleSql)),
+    GraftQuery("q227c_semijoin_auto", autoSemiJoin _, Some(oracleSql)))
 }

@@ -194,4 +194,26 @@ class DispatchSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("semi-join selection flips at the broadcast threshold; both regimes oracle-equal") {
+    import graft.operators.SemiJoin
+    // default 10 MB threshold: any local-decade filtered dim is broadcast-sized
+    assert(SemiJoin.chooseSemiJoin(spark, sf, dimRows = 469) == "broadcast")
+    // the flip is the session's own definition of broadcast-sized
+    withThreshold((468 * Dispatch.BroadcastBytesPerRow).toString) {
+      assert(SemiJoin.chooseSemiJoin(spark, sf, 469) == "bloom")
+    }
+    withThreshold("-1") { // broadcast disabled ⇒ must take the bloom+shuffle plan
+      assert(SemiJoin.chooseSemiJoin(spark, sf, 1) == "bloom")
+    }
+    // dispatched result equals the pair on BOTH sides of the flip
+    val sf01 = "/root/testdata/sf0.01"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val plain = rows(SemiJoin.plainSemiJoin(spark, sf01))
+    assert(rows(SemiJoin.autoSemiJoin(spark, sf01)) == plain, "broadcast regime diverges")
+    withThreshold("-1") {
+      assert(rows(SemiJoin.autoSemiJoin(spark, sf01)) == plain, "bloom regime diverges")
+    }
+  }
 }
