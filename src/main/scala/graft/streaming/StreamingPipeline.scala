@@ -711,13 +711,25 @@ object StreamingPipeline {
 
   /** Stage the events table as [[q176StreamClickAttrOrdered]]'s
     * time-ordered bucket corpus, or reuse a previous staging: the output
-    * is a pure function of (source dir, nBuckets), so it lives at a
-    * content-addressed path and is built at most once per host. The build
-    * writes into a scratch dir and RENAMES into place, so a concurrent
-    * bench/verify either wins the rename or reuses the winner — never
-    * reads a half-written corpus (the `_STAGED_OK` marker is written after
-    * the last bucket, before the rename). */
-  private def stagedOrderedEvents(s: SparkSession, d: String, nBuckets: Int): String = {
+    * is a pure function of (source dir, nBuckets, sentinelFiles), so it
+    * lives at a content-addressed path and is built at most once per host.
+    * The build writes into a scratch dir and RENAMES into place, so a
+    * concurrent bench/verify either wins the rename or reuses the winner —
+    * never reads a half-written corpus (the `_STAGED_OK` marker is written
+    * after the last bucket, before the rename).
+    *
+    * `sentinelFiles > 0` appends that many single-pair FLUSH buckets after
+    * the real data — end-of-stream punctuation for the outer-join twins
+    * (q229/q229b): each holds one click and one purchase with negative ids
+    * at maxTs + (k/2 + 1) days, so the final watermark provably passes
+    * every real row's join bound and the state store MUST emit its
+    * null-completed outer results before the drain ends. Two sentinel
+    * trigger groups are required (the watermark bumped by group 1 evicts
+    * state only while group 2's batch runs — watermarks apply one batch
+    * late), which is why callers stage ≥2 groups' worth of files. Sentinel
+    * rows are filtered out of every registered result by `user_id >= 0`. */
+  private def stagedOrderedEvents(s: SparkSession, d: String, nBuckets: Int,
+                                  sentinelFiles: Int = 0): String = {
     import java.nio.file.{Files, Paths}
     // Cache key = path + a cheap DATA fingerprint (sorted file names,
     // sizes, max mtime of the source parquet dir). The r09 key was
@@ -741,7 +753,8 @@ object StreamingPipeline {
       maxMtime = Files.getLastModifiedTime(src).toMillis
     }
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${Paths.get(d).toAbsolutePath}|$nBuckets|$fp$maxMtime".getBytes("UTF-8"))
+      .digest(s"${Paths.get(d).toAbsolutePath}|$nBuckets|s$sentinelFiles|$fp$maxMtime"
+        .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
     val root = Paths.get(System.getProperty("java.io.tmpdir"), "graft_q176b_cache")
     val fin = root.resolve(key)
@@ -762,6 +775,20 @@ object StreamingPipeline {
     val evDir = scratch.resolve("ordered").toString
     (0 until nBuckets).foreach { k =>
       ev.filter(((unix_micros(col("ts")) - t0) * nBuckets / span).cast("int") === k)
+        .coalesce(1).write.mode("append").parquet(evDir)
+    }
+    (0 until sentinelFiles).foreach { k =>
+      // one click + one purchase per flush bucket: each join side's
+      // watermark column only sees rows that survive ITS type filter, so
+      // both types must be present for the global watermark to advance.
+      // Negative user ids join nothing real and are filtered post-drain.
+      val day = 86_400_000_000L * (k / 2 + 1)
+      val sentTs = new java.sql.Timestamp((t1 + day) / 1000L)
+      import scala.jdk.CollectionConverters._
+      val rows = Seq(
+        Row(-100L - 2L * k, -1L, "click", sentTs, 0.0),
+        Row(-101L - 2L * k, -2L, "purchase", sentTs, 0.0)).asJava
+      s.createDataFrame(rows, ev.schema)
         .coalesce(1).write.mode("append").parquet(evDir)
     }
     Files.createFile(Paths.get(evDir, "_STAGED_OK"))
@@ -942,7 +969,151 @@ object StreamingPipeline {
     graft.queries.Relational12.prefPairsFromCounts(finalCounts)
   }
 
+  /** Shared body of the q229 outer/semi stream-stream join family: the
+    * q176b ordered-bucket corpus EXTENDED with sentinel flush buckets
+    * ([[stagedOrderedEvents]] doc), both sides under the production
+    * 2-hour watermark, joined with the q176 attribution condition and
+    * drained through the foreachBatch parquet ledger (outer output is
+    * click-scaled — never driver memory, the VERDICT-r10 #1 class).
+    * `maxFilesPerTrigger=2` keeps the drain at 5 triggers for any corpus
+    * size: 3 data batches + 2 sentinel batches (the second sentinel batch
+    * is the one that runs AFTER the watermark has passed every real row's
+    * join bound, forcing the state store to emit all null-completed
+    * results — watermark effects are one batch delayed by design). */
+  private def runOuterFamilyJoin(s: SparkSession, d: String,
+                                 joinType: String): DataFrame = {
+    val evDir = stagedOrderedEvents(s, d, nBuckets = 6, sentinelFiles = 4)
+    val schema = s.read.parquet(evDir).schema
+    def side = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(evDir)
+    val clicks = side.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = side.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "2 hours")
+    val joined0 = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+        col("p_ts") > col("click_ts") &&
+        col("p_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+        joinType)
+    // semi joins expose only the left side's columns
+    val joined =
+      if (joinType == "left_semi") joined0.select(col("user_id"), col("click_id"))
+      else joined0.select(col("user_id"), col("click_id"), col("p_user"),
+        col("purchase_id"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q229_").toString
+    val q = joined.writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(s"$tmp/ledger")
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(s"$tmp/ledger")
+  }
+
+  /** q229 — watermarked stream-stream LEFT OUTER join under a batch
+    * oracle: every click emits exactly once — matched rows as purchases
+    * arrive, unmatched ("abandoned") clicks as null-completed rows once
+    * the watermark proves no future purchase can reach them. Outer
+    * results are the one stream-stream output an engine cannot produce
+    * eagerly without retractions, so their correctness rests entirely on
+    * watermark bookkeeping — which is exactly what the sentinel-flush
+    * corpus puts under q229's DuckDB LEFT JOIN oracle. State is bounded
+    * by the 2-hour horizon (q176b's argument); the per-user fold keeps
+    * the gate null-free and order-independent. */
+  def q229StreamOuterAttr(s: SparkSession, d: String): DataFrame =
+    runOuterFamilyJoin(s, d, "left_outer")
+      .filter(col("user_id") >= 0)
+      .groupBy("user_id")
+      .agg(count(col("purchase_id")).as("n_attributed"),
+        count(when(col("purchase_id").isNull, 1)).as("n_abandoned"))
+
+  val q229Sql: String =
+    """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+      |c AS (SELECT user_id, event_id AS click_id, ts AS cts FROM ev
+      |      WHERE event_type = 'click'),
+      |p AS (SELECT user_id AS p_user, event_id AS purchase_id, ts AS pts
+      |      FROM ev WHERE event_type = 'purchase')
+      |SELECT c.user_id,
+      |       count(p.purchase_id) AS n_attributed,
+      |       count(CASE WHEN p.purchase_id IS NULL THEN 1 END) AS n_abandoned
+      |FROM c LEFT JOIN p
+      |  ON c.user_id = p.p_user
+      | AND p.pts > c.cts AND p.pts <= c.cts + INTERVAL 1 HOUR
+      |GROUP BY c.user_id""".stripMargin
+
+  /** q229b — the FULL OUTER completion: both unmatched populations emit —
+    * abandoned clicks (null purchase side) and orphan purchases with no
+    * click inside the preceding hour (null click side). Same sentinel-
+    * flush corpus, same 2-hour bounded state; the coalesced-user fold
+    * counts all three row populations so the oracle pins matched pairs
+    * AND both watermark-finalized null populations in one hash. */
+  def q229FullOuterAttr(s: SparkSession, d: String): DataFrame =
+    runOuterFamilyJoin(s, d, "full_outer")
+      .withColumn("u", coalesce(col("user_id"), col("p_user")))
+      .filter(col("u") >= 0)
+      .groupBy(col("u").as("user_id"))
+      .agg(
+        count(when(col("click_id").isNotNull && col("purchase_id").isNotNull, 1))
+          .as("n_pairs"),
+        count(when(col("click_id").isNotNull && col("purchase_id").isNull, 1))
+          .as("n_open_clicks"),
+        count(when(col("click_id").isNull, 1)).as("n_orphan_purchases"))
+
+  val q229bSql: String =
+    """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+      |c AS (SELECT user_id, event_id AS click_id, ts AS cts FROM ev
+      |      WHERE event_type = 'click'),
+      |p AS (SELECT user_id AS p_user, event_id AS purchase_id, ts AS pts
+      |      FROM ev WHERE event_type = 'purchase')
+      |SELECT coalesce(c.user_id, p.p_user) AS user_id,
+      |       count(CASE WHEN c.click_id IS NOT NULL
+      |                   AND p.purchase_id IS NOT NULL THEN 1 END) AS n_pairs,
+      |       count(CASE WHEN c.click_id IS NOT NULL
+      |                   AND p.purchase_id IS NULL THEN 1 END) AS n_open_clicks,
+      |       count(CASE WHEN c.click_id IS NULL THEN 1 END) AS n_orphan_purchases
+      |FROM c FULL JOIN p
+      |  ON c.user_id = p.p_user
+      | AND p.pts > c.cts AND p.pts <= c.cts + INTERVAL 1 HOUR
+      |GROUP BY 1""".stripMargin
+
+  /** q229c — stream-stream LEFT SEMI join: converting clicks, emitted
+    * exactly once when their FIRST in-window purchase arrives (no
+    * watermark-delayed population — a semi row either matches during the
+    * run or never emits, so no sentinel flush is needed; the shared
+    * corpus's sentinels simply never match). The at-scale shape for
+    * "which stream-A rows have a stream-B witness" without materializing
+    * the pair blow-up the inner join (q176) carries. Same 2-hour bounded
+    * state; EXISTS oracle. */
+  def q229StreamSemiAttr(s: SparkSession, d: String): DataFrame =
+    runOuterFamilyJoin(s, d, "left_semi")
+      .filter(col("user_id") >= 0)
+      .select("user_id", "click_id")
+
+  val q229cSql: String =
+    """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+      |SELECT c.user_id, c.event_id AS click_id
+      |FROM ev c
+      |WHERE c.event_type = 'click'
+      |  AND EXISTS (SELECT 1 FROM ev p
+      |              WHERE p.event_type = 'purchase'
+      |                AND p.user_id = c.user_id
+      |                AND p.ts > c.ts
+      |                AND p.ts <= c.ts + INTERVAL 1 HOUR)""".stripMargin
+
   val queries: Seq[graft.queries.GraftQuery] = Seq(
+    graft.queries.GraftQuery("q229_stream_outer_attr", q229StreamOuterAttr _,
+      Some(q229Sql)),
+    graft.queries.GraftQuery("q229b_stream_full_outer_attr", q229FullOuterAttr _,
+      Some(q229bSql)),
+    graft.queries.GraftQuery("q229c_stream_semi_attr", q229StreamSemiAttr _,
+      Some(q229cSql)),
     graft.queries.GraftQuery("q21b_stream_pipeline", q21StreamPipeline _,
       Some(Pipeline.q21ZonesOracleSql)),
     graft.queries.GraftQuery("q128b_stream_neardup", q128StreamNearDup _,

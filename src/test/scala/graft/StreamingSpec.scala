@@ -577,6 +577,62 @@ class StreamingSpec extends AnyFunSuite {
         s"missing=${(batch -- ordered).take(3)} extra=${(ordered -- batch).take(3)}")
   }
 
+  test("q229/q229b/q229c outer-family stream-stream joins == batch semantics") {
+    // The outer twins' core claim: null-completed results are emitted
+    // if-and-only-if the watermark proves finality, and the sentinel-flush
+    // corpus closes EVERY real row before the drain ends — so the drained
+    // fold must equal the plain batch outer join, including the abandoned/
+    // orphan populations that only exist via watermark eviction. Also pins
+    // that no sentinel row (negative user id) leaks into a result.
+    val src = "/root/testdata/sf0.001"
+    val ev = graft.core.Tables.events(spark, src)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"), col("event_id").as("cid"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"), col("event_id").as("pid"))
+    val cond = col("user_id") === col("pu") && col("pts") > col("cts") &&
+      col("pts") <= col("cts") + expr("INTERVAL 1 HOUR")
+
+    // left outer
+    val expLeft = c.join(p, cond, "left_outer")
+      .groupBy("user_id")
+      .agg(count(col("pid")).as("n_attributed"),
+        count(when(col("pid").isNull, 1)).as("n_abandoned"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val gotLeft = StreamingPipeline.q229StreamOuterAttr(spark, src)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(expLeft.exists(_._3 > 0), "corpus should contain abandoned clicks")
+    assert(gotLeft == expLeft,
+      s"left-outer twin diverged: missing=${(expLeft -- gotLeft).take(3)} " +
+        s"extra=${(gotLeft -- expLeft).take(3)}")
+    assert(gotLeft.forall(_._1 >= 0), "sentinel rows leaked into q229")
+
+    // full outer
+    val expFull = c.join(p, cond, "full_outer")
+      .groupBy(coalesce(col("user_id"), col("pu")).as("u"))
+      .agg(count(when(col("cid").isNotNull && col("pid").isNotNull, 1)).as("np"),
+        count(when(col("cid").isNotNull && col("pid").isNull, 1)).as("noc"),
+        count(when(col("cid").isNull, 1)).as("nop"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val gotFull = StreamingPipeline.q229FullOuterAttr(spark, src)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(expFull.exists(_._4 > 0), "corpus should contain orphan purchases")
+    assert(gotFull == expFull,
+      s"full-outer twin diverged: missing=${(expFull -- gotFull).take(3)} " +
+        s"extra=${(gotFull -- expFull).take(3)}")
+
+    // left semi
+    val expSemi = c.join(p, cond, "left_semi")
+      .select(col("user_id"), col("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotSemi = StreamingPipeline.q229StreamSemiAttr(spark, src)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expSemi.nonEmpty, "corpus should contain converting clicks")
+    assert(gotSemi == expSemi,
+      s"semi twin diverged: missing=${(expSemi -- gotSemi).take(3)} " +
+        s"extra=${(gotSemi -- expSemi).take(3)}")
+  }
+
   test("q128b streaming near-dup == batch q128 under multi-batch slicing") {
     // Batch-slicing invariance is the twin's core claim: every incoming doc
     // is checked against the full static index independently, so the
