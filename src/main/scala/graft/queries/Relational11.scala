@@ -557,17 +557,7 @@ object Relational11 {
     // test scale, and the label frame is node-cardinality so the eager
     // materialization is cheap
     for (_ <- 1 to LpaRounds; side <- Seq(1, 0)) {
-      val contrib = broadcast(labels)
-        .join(edges, col("node") === col("src"))
-        .filter(pmod(col("dst"), lit(2)) === side)
-        .groupBy(col("dst"), col("lbl")).agg(sum("w").as("wsum"))
-      val wn = Window.partitionBy("dst")
-        .orderBy(col("wsum").desc, col("lbl").asc)
-      val best = contrib.withColumn("rn", row_number().over(wn))
-        .filter(col("rn") === 1)
-        .select(col("dst"), col("lbl").as("new_lbl"))
-      labels = labels.join(broadcast(best), col("node") === col("dst"), "left")
-        .select(col("node"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+      labels = lpaPhase(labels, edges, side, copart = false)
       // per-round cadence measured best at sf0.1: 11.6 s vs 15.8 s
       // checkpointing every 2 rounds — each phase references `labels`
       // TWICE (contrib + the keep-label join), so an unmaterialized
@@ -580,6 +570,36 @@ object Relational11 {
     labels.join(sizes, "lbl")
       .select(col("node").cast("long").as("node"),
         col("lbl").cast("long").as("community"), col("community_size"))
+  }
+
+  /** One LPA phase — shared by q182 (broadcast regime) and q182b
+    * (co-partitioned regime), and exposed to Explain/PlanQualitySpec so
+    * the ITERATED plan (not just the post-checkpoint tail) is what gets
+    * dumped and swept. r12 change (guide §2.3/§2.4): the plurality argmax
+    * is a SECOND aggregate ending in max_by over struct(wsum, -lbl) — the
+    * same exact-BIGINT "largest wsum, smallest lbl" pick the old
+    * row_number window computed ((dst,lbl) is the group key, so no
+    * duplicate struct can make it nondeterministic) — instead of a rank
+    * window. The partial max_by folds map-side BEFORE the dst exchange,
+    * so that exchange carries ~|dst| rows instead of |dst×lbl|, and the
+    * per-phase Sort+WindowExec disappears (×10 phases). In the copart
+    * regime `best` additionally leaves its final aggregate already
+    * hash-partitioned on dst — exactly the distribution the keep-label
+    * shuffle_hash join needs, so that join's best-side exchange vanishes
+    * too (before: Exchange(dst,lbl) + Exchange(dst)+Sort+Window +
+    * Exchange(dst) per phase; after: Exchange(dst,lbl) + Exchange(dst)). */
+  private[graft] def lpaPhase(labels: DataFrame, edges: DataFrame,
+                              side: Int, copart: Boolean): DataFrame = {
+    val lab = if (copart) labels.hint("shuffle_hash") else broadcast(labels)
+    val contrib = lab
+      .join(edges, col("node") === col("src"))
+      .filter(pmod(col("dst"), lit(2)) === side)
+      .groupBy(col("dst"), col("lbl")).agg(sum("w").as("wsum"))
+    val best0 = contrib.groupBy(col("dst"))
+      .agg(max_by(col("lbl"), struct(col("wsum"), -col("lbl"))).as("new_lbl"))
+    val best = if (copart) best0.hint("shuffle_hash") else broadcast(best0)
+    labels.join(best, col("node") === col("dst"), "left")
+      .select(col("node"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
   }
 
   /** Phase CTEs generated by the same (round, side) loop as the Spark
@@ -662,18 +682,7 @@ object Relational11 {
       val nodes = edges.select(col("src").as("node")).distinct()
       var labels = nodes.select(col("node"), col("node").as("lbl"))
       for (_ <- 1 to LpaRounds; side <- Seq(1, 0)) {
-        val contrib = labels.hint("shuffle_hash")
-          .join(edges, col("node") === col("src"))
-          .filter(pmod(col("dst"), lit(2)) === side)
-          .groupBy(col("dst"), col("lbl")).agg(sum("w").as("wsum"))
-        val wn = Window.partitionBy("dst")
-          .orderBy(col("wsum").desc, col("lbl").asc)
-        val best = contrib.withColumn("rn", row_number().over(wn))
-          .filter(col("rn") === 1)
-          .select(col("dst"), col("lbl").as("new_lbl"))
-        labels = labels.join(best.hint("shuffle_hash"),
-            col("node") === col("dst"), "left")
-          .select(col("node"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+        labels = lpaPhase(labels, edges, side, copart = true)
         // same per-round checkpoint cadence as q182 (analyzer-depth cap);
         // the node-sized re-exchange it costs next phase is the designed
         // per-phase price of this plan
@@ -685,6 +694,44 @@ object Relational11 {
           col("lbl").cast("long").as("community"), col("community_size"))
         .localCheckpoint(true)
     } finally edges.unpersist(false)
+  }
+
+  /** One-phase LAZY plans for Explain/PlanQualitySpec (the registered
+    * queries checkpoint per round, so their final explain shows only the
+    * post-checkpoint tail — these expose the plan each of the 10 phases
+    * actually runs; the `Dedup.minhashNearDupPlan` precedent). Label
+    * frame = the initial node labels, side = 1 (the supplier half-step). */
+  private[graft] def q182PhasePlan(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("cust"),
+        (col("l_suppkey") * 2 + 1).as("supp"))
+      .agg(count(lit(1)).as("w"))
+    val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"), col("w"))
+      .union(pairs.select(col("supp").as("src"), col("cust").as("dst"), col("w")))
+    val labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    (lpaPhase(labels, edges, 1, copart = false), Nil)
+  }
+
+  private[graft] def q182bPhasePlan(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("cust"),
+        (col("l_suppkey") * 2 + 1).as("supp"))
+      .agg(count(lit(1)).as("w"))
+    val edges = pairs
+      .select(explode(array(
+        struct(col("cust").as("src"), col("supp").as("dst"), col("w")),
+        struct(col("supp").as("src"), col("cust").as("dst"), col("w")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    (lpaPhase(labels, edges, 1, copart = true), Seq(edges))
   }
 
   // ---------------------------------------------------------------- q185
@@ -1076,18 +1123,25 @@ object Relational11 {
       .select(col("cust"), lit(1.0).as("h"))
     var auth: DataFrame = null
     for (_ <- 1 to HitsRounds) {
+      // checkpoint the RAW score frame, not the normalized one (r12):
+      // normalizing under broadcast(max) references the raw subtree twice
+      // (once inside the broadcast's agg, once in the main pass), so
+      // checkpointing after the division was executing every half-step's
+      // join+agg TWICE. Checkpointed raw, the max agg and the division
+      // are node-sized replays over materialized blocks — same plan, same
+      // fold order, same floats; half the join work per round.
       val araw = e.join(hub, "cust")
         .groupBy("supp").agg(sum(col("w") * col("h")).as("a"))
+        .localCheckpoint(true)
       val amax = araw.agg(max("a").as("m"))
       auth = araw.crossJoin(broadcast(amax))
         .select(col("supp"), (col("a") / col("m")).as("a"))
-        .localCheckpoint(true)
       val hraw = e.join(auth, "supp")
         .groupBy("cust").agg(sum(col("w") * col("a")).as("h"))
+        .localCheckpoint(true)
       val hmax = hraw.agg(max("h").as("m"))
       hub = hraw.crossJoin(broadcast(hmax))
         .select(col("cust"), (col("h") / col("m")).as("h"))
-        .localCheckpoint(true)
     }
     val topH = hub.orderBy(round(col("h"), 4).desc, col("cust")).limit(HitsTopK)
       .select(lit("hub").as("role"), col("cust").cast("long").as("node"),

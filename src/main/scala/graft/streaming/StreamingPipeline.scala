@@ -18,6 +18,60 @@ import graft.hl7.Pipeline
   */
 object StreamingPipeline {
 
+  /** Scale-adaptive state partitioning for the streaming drains (r12,
+    * guide §2.2/§2.5: size partitions to DATA, not to core count — and AQE,
+    * which would do this for batch, is disabled inside stateful streaming).
+    *
+    * `spark.sql.shuffle.partitions` fixes the state-store partition count
+    * at a streaming query's first batch, and every micro-batch then pays
+    * (load + commit + snapshot bookkeeping) × partitions × state stores —
+    * a stream-stream join carries FOUR stores per partition. With the
+    * session default tied to the core count (32 locally), a 5-trigger
+    * drain over a few MB of input was paying ~640 store commits of pure
+    * fixed cost: measured on the q229 family at sf0.1, 32 state
+    * partitions = 99.6 s vs 8 = 33.7 s for identical results. So state
+    * partitions are derived from the source's byte size (~16 MB of input
+    * per partition: sf0.1 → 1, sf1 → 2, sf10 → 13, growing linearly with
+    * data), capped at max(2×cores, 256) so a cluster-sized corpus still
+    * spreads over the cluster, floored at 1. Override:
+    * `spark.graft.streaming.statePartitions`. Partition count never
+    * changes results (state is hash-partitioned by key) — every streaming
+    * twin stays under its batch oracle, and the driver already varies the
+    * count across its 4-vs-32-CPU runs. */
+  private def sourceBytes(s: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+  }
+
+  private def statePartitions(s: SparkSession, inputBytes: Long, minParts: Int): Int =
+    s.conf.getOption("spark.graft.streaming.statePartitions")
+      .map(_.toInt)
+      .getOrElse {
+        val cap = math.max(2L * s.sparkContext.defaultParallelism, 256L)
+        math.max(math.max(1L, minParts.toLong),
+          math.min(inputBytes / (16L << 20) + 1L, cap)).toInt
+      }
+
+  /** Run `body` (stream start → awaitTermination) with the shuffle/state
+    * partition count sized to `inputBytes`; always restores the session
+    * default after the drain, so post-drain batch folds are unaffected.
+    * `minParts` is the floor for drains whose PER-BATCH stage is
+    * compute-bound (q128b's candidate-confirm join evaluates an
+    * array_intersect per collision pair inside the batch): there the
+    * partition count must keep the machine busy, and the state-commit
+    * overhead the floor re-admits is the smaller term — measured at
+    * sf0.1: q128b 8.2 s at 32 partitions vs 10.6 s at the 1-partition
+    * data-derived count, while the state-bound drains (q229 family) go
+    * the other way by 3×. */
+  private def withStatePartitions[T](s: SparkSession, inputBytes: Long,
+                                     minParts: Int = 1)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, statePartitions(s, inputBytes, minParts).toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** A20 — storage-event source: new files in the inbox dir trigger
     * processing, exactly the reference's CloudTrail→EventBridge flow. One
     * message per file row; multi-message files are exploded like batch. */
@@ -108,8 +162,10 @@ object StreamingPipeline {
       lit(null: String).as("error"))
     val staged = Pipeline.stage(ingested).drop("segments")
     val events = Pipeline.withZone(ingestedEvents.unionByName(staged))
-    val q = lakeSink(events, s"$tmp/lake", s"$tmp/ckpt").start()
-    q.awaitTermination()
+    withStatePartitions(s, sourceBytes(s, Pipeline.MessagesDir)) {
+      val q = lakeSink(events, s"$tmp/lake", s"$tmp/ckpt").start()
+      q.awaitTermination()
+    }
     s.read.parquet(s"$tmp/lake/messages")
       .groupBy("zone", "format").agg(count(lit(1)).as("n_messages"))
       .localCheckpoint(true)
@@ -379,9 +435,11 @@ object StreamingPipeline {
     // time-span/1h, data-size-independent) × (≤5 triggers, tableStream's
     // ceil(n/4) slicing) — not a VERDICT-r10 #1 drain.
     val sink = s"q20b_mem_${java.util.UUID.randomUUID().toString.take(8)}"
-    val q = buckets.writeStream.format("memory").queryName(sink)
-      .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatePartitions(s, sourceBytes(s, s"$d/events.parquet")) {
+      val q = buckets.writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     s.table(sink)
   }
 
@@ -406,9 +464,11 @@ object StreamingPipeline {
     // (≤5 triggers, tableStream's ceil(n/4) slicing) — time-span-scaled,
     // not data-scaled (the q20b argument; not a VERDICT-r10 #1 drain).
     val sink = s"q09c_mem_${java.util.UUID.randomUUID().toString.take(8)}"
-    val q = cnt.writeStream.format("memory").queryName(sink)
-      .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatePartitions(s, sourceBytes(s, s"$d/events.parquet")) {
+      val q = cnt.writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     // materialize the (small, bounded) drained count frame eagerly, then
     // DROP the UUID-named sink view: repeated invocations in one session
     // must not accumulate leaked temp views (ADVICE r11)
@@ -444,14 +504,14 @@ object StreamingPipeline {
       .groupBy("source").agg(count(lit(1)).as("n_unique"))
     // memory sinks are BOUNDED here: rows ≤ |distinct sources| (a small
     // enum, not corpus-scaled) × ≤5 triggers — not a VERDICT-r10 #1 drain.
-    val sinks = Seq("tot" -> totals, "uniq" -> uniques).map { case (tag, df) =>
-      val sink = s"q35b_${tag}_$runId"
-      val q = df.writeStream.format("memory").queryName(sink)
-        .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
-      sink -> q
+    withStatePartitions(s, sourceBytes(s, s"$d/documents.parquet")) {
+      val started = Seq("tot" -> totals, "uniq" -> uniques).map { case (tag, df) =>
+        df.writeStream.format("memory").queryName(s"q35b_${tag}_$runId")
+          .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+      }
+      started.foreach(_.awaitTermination())
     }
-    sinks.foreach(_._2.awaitTermination())
-    val Seq(tot, uniq) = sinks.map(x => s.table(x._1))
+    val Seq(tot, uniq) = Seq("tot", "uniq").map(tag => s.table(s"q35b_${tag}_$runId"))
     tot.join(uniq, "source").select("source", "n_docs", "n_unique")
   }
 
@@ -499,15 +559,17 @@ object StreamingPipeline {
     // (VERDICT-r10 #1 class). The per-trigger full rewrite is complete
     // mode's honest re-emission cost, paid to the lake, not the driver.
     val tmp = java.nio.file.Files.createTempDirectory("graft_q51b_").toString
-    val q = sessions.writeStream
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .outputMode(OutputMode.Complete())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("overwrite").parquet(s"$tmp/ledger")
-        ()
-      }
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatePartitions(s, sourceBytes(s, s"$d/events.parquet")) {
+      val q = sessions.writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode(OutputMode.Complete())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(s"$tmp/ledger")
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     val byUser = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("session_start")
     s.read.parquet(s"$tmp/ledger")
@@ -587,15 +649,18 @@ object StreamingPipeline {
     // what the production ingest does (round-12 directive closing the
     // last output-scaled memory drain).
     val tmp = java.nio.file.Files.createTempDirectory("graft_q128b_").toString
-    val q = confirmed.writeStream
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(s"$tmp/ledger")
-        ()
-      }
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatePartitions(s, sourceBytes(s, s"$d/documents.parquet"),
+        minParts = s.sparkContext.defaultParallelism) {
+      val q = confirmed.writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode(OutputMode.Append())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(s"$tmp/ledger")
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     s.read.parquet(s"$tmp/ledger")
   }
 
@@ -611,9 +676,11 @@ object StreamingPipeline {
     // memory sink is BOUNDED: rows ≤ 3× hour-bucket count (20-min slide)
     // × ≤5 triggers — time-span-scaled, not data-scaled (q20b argument).
     val sink = s"q175b_mem_${java.util.UUID.randomUUID().toString.take(8)}"
-    val q = buckets.writeStream.format("memory").queryName(sink)
-      .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatePartitions(s, sourceBytes(s, s"$d/events.parquet")) {
+      val q = buckets.writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     // eager localCheckpoint (as in q176) so the result survives
     // independently of the memory-sink table's lifetime; drop the
     // UUID-named sink view so repeated calls never accumulate (ADVICE r11)
@@ -655,15 +722,17 @@ object StreamingPipeline {
     // (VERDICT-r10 #1 class): append mode emits each joined row exactly
     // once, so ledger = stream output with no post-fold needed.
     val tmp = java.nio.file.Files.createTempDirectory("graft_q176_").toString
-    val q = joined.writeStream
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(s"$tmp/ledger")
-        ()
-      }
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatePartitions(s, sourceBytes(s, s"$d/events.parquet")) {
+      val q = joined.writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode(OutputMode.Append())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(s"$tmp/ledger")
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     s.read.parquet(s"$tmp/ledger")
   }
 
@@ -843,15 +912,17 @@ object StreamingPipeline {
     // same lake-ledger drain as q176: join-output-scaled rows never
     // transit the driver (VERDICT-r10 #1 class)
     val tmp = java.nio.file.Files.createTempDirectory("graft_q176b_").toString
-    val q = joined.writeStream
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(s"$tmp/ledger")
-        ()
-      }
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatePartitions(s, sourceBytes(s, evDir)) {
+      val q = joined.writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode(OutputMode.Append())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(s"$tmp/ledger")
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     s.read.parquet(s"$tmp/ledger")
   }
 
@@ -874,9 +945,11 @@ object StreamingPipeline {
     // the registered honest anti-baseline whose re-emission cost q65c's
     // O(k) MisraGries drain exists to beat (measured 14.1 vs 5.3 s sf1).
     val sink = s"q65b_mem_${java.util.UUID.randomUUID().toString.take(8)}"
-    val q = counts.writeStream.format("memory").queryName(sink)
-      .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatePartitions(s, sourceBytes(s, s"$d/orders.parquet")) {
+      val q = counts.writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     val t = s.table(sink).localCheckpoint(true)
     s.catalog.dropTempView(sink) // per-call view leak — ADVICE r11
     t.crossJoin(broadcast(t.agg(sum("n_orders").as("total"))))
@@ -955,15 +1028,17 @@ object StreamingPipeline {
     val counts = eventsStream(s, d)
       .groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("c"))
-    val q = counts.writeStream
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .outputMode(OutputMode.Update())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(s"$tmp/ledger")
-        ()
-      }
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatePartitions(s, sourceBytes(s, s"$d/events.parquet")) {
+      val q = counts.writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode(OutputMode.Update())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(s"$tmp/ledger")
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     val finalCounts = s.read.parquet(s"$tmp/ledger")
       .groupBy("user_id", "event_type").agg(max("c").as("c"))
     graft.queries.Relational12.prefPairsFromCounts(finalCounts)
@@ -1005,15 +1080,17 @@ object StreamingPipeline {
       else joined0.select(col("user_id"), col("click_id"), col("p_user"),
         col("purchase_id"))
     val tmp = java.nio.file.Files.createTempDirectory("graft_q229_").toString
-    val q = joined.writeStream
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(s"$tmp/ledger")
-        ()
-      }
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatePartitions(s, sourceBytes(s, evDir)) {
+      val q = joined.writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode(OutputMode.Append())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(s"$tmp/ledger")
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     s.read.parquet(s"$tmp/ledger")
   }
 

@@ -526,10 +526,14 @@ class PlanQualitySpec extends AnyFunSuite {
       // (source × 100 rows) — the q172 side-table pattern; the CDF
       // window is keyed by source with ≤ KsBins rows per partition.
       ("q200_ks_distance", "nested-loop"),
-      // (q201 HITS has per-half-step single-row max-normalizer broadcasts
-      // of the q100 class, but they sit behind the per-round checkpoints,
-      // so the registered plan the sweep sees is checkpoint scans + the
-      // TakeOrderedAndProject union — no whitelist entry needed.)
+      // HITS (q201): the nested-loop is the final half-step's SINGLE-ROW
+      // max-normalizer broadcast (the q100 pattern). r12 moved the
+      // per-half-step checkpoint from the normalized frame to the RAW
+      // score frame (the normalization under broadcast(max) was executing
+      // each half-step's join+agg twice), so the last normalization is
+      // now visible in the registered plan instead of hiding behind a
+      // checkpoint — same bounded single-row broadcast either way.
+      ("q201_hits", "nested-loop"),
       // Benford audit (Relational11 q202): single-row total and MAD
       // broadcasts over a 9-row digit frame.
       ("q202_benford", "nested-loop"),
