@@ -30,10 +30,15 @@ object StreamingPipeline {
     * drain over a few MB of input was paying ~640 store commits of pure
     * fixed cost: measured on the q229 family at sf0.1, 32 state
     * partitions = 99.6 s vs 8 = 33.7 s for identical results. So state
-    * partitions are derived from the source's byte size (~16 MB of input
-    * per partition: sf0.1 → 1, sf1 → 2, sf10 → 13, growing linearly with
-    * data), capped at max(2×cores, 256) so a cluster-sized corpus still
-    * spreads over the cluster, floored at 1. Override:
+    * partitions are derived from the source's byte size (~4 MB of input
+    * per partition: sf0.1 → 1, sf1 → 6, sf10 → 51, growing linearly with
+    * data — the first cut used 16 MB, which kept the sf0.1/sf1 wins but
+    * starved the complete-mode re-emission drains at sf10: q51b's
+    * session-merge state on 13 partitions ran 110 s vs 16.1 s at r11's 32;
+    * at 4 MB the sf10 count lands above the old core-count default while
+    * sf0.1 keeps the 32×-too-fine fix), capped at max(2×cores, 256) so a
+    * cluster-sized corpus still spreads over the cluster, floored at 1.
+    * Override:
     * `spark.graft.streaming.statePartitions`. Partition count never
     * changes results (state is hash-partitioned by key) — every streaming
     * twin stays under its batch oracle, and the driver already varies the
@@ -50,7 +55,7 @@ object StreamingPipeline {
       .getOrElse {
         val cap = math.max(2L * s.sparkContext.defaultParallelism, 256L)
         math.max(math.max(1L, minParts.toLong),
-          math.min(inputBytes / (16L << 20) + 1L, cap)).toInt
+          math.min(inputBytes / (4L << 20) + 1L, cap)).toInt
       }
 
   /** Run `body` (stream start → awaitTermination) with the shuffle/state
