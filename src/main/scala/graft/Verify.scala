@@ -10,8 +10,8 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // sort writer always — see Bench.scala r12 note (no-op at cluster R)
-      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
+      // r13: r12's sort-writer forcing reverted — see Bench.scala (the
+      // clean-window A/B showed the Spark default wins wall and CPU)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -72,8 +72,8 @@ object Sessions {
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", "32")
-      // sort writer always — see Bench.scala r12 note (no-op at cluster R)
-      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
+      // r13: r12's sort-writer forcing reverted — see Bench.scala (the
+      // clean-window A/B showed the Spark default wins wall and CPU)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
