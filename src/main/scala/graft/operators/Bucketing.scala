@@ -10,14 +10,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bucketing {
 
   /** Write `df` as a bucketed managed table (sorted within buckets so the
-    * sort-merge join also skips its sort). */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int = 8): Unit =
-    df.write
-      .bucketBy(buckets, key)
-      .sortBy(key)
+    * sort-merge join also skips its sort; pass `sorted = false` when every
+    * consumer joins shuffle_hash — co-partitioning needs only the bucket
+    * hash, and skipping the sort removes a full write-side sort pass —
+    * the r13 q182b case). */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int = 8,
+                    sorted: Boolean = true): Unit = {
+    val w = df.write.bucketBy(buckets, key)
+    (if (sorted) w.sortBy(key) else w)
       .mode("overwrite")
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Join two bucketed tables on their bucket key — planned without an
     * Exchange on either side when bucket counts match. */

@@ -663,7 +663,18 @@ object Relational11 {
     *
     * The broadcast form stays registered as q182: below the broadcast
     * threshold it wins (no label exchange at all) — the pair is the same
-    * measured lever ladder as q169/q169b: pick by node-table size. */
+    * measured lever ladder as q169/q169b: pick by node-table size.
+    *
+    * r13 (VERDICT-r12 #2): the edge frame is now written ONCE as a
+    * BUCKETED table (the q203b machinery) instead of repartition+persist.
+    * The r12 plan dump exposed that the persisted frame's hash(src)
+    * partitioning is NOT recognized through the AQE-wrapped
+    * InMemoryRelation (plans/r12/q182b_..._after.txt, Exchange (31)
+    * ENSURE_REQUIREMENTS re-shuffling the cached edges), so every one of
+    * the 10 phases re-exchanged the EDGE-SCALE frame. A bucketed scan
+    * reports hash(src, 32) statically, so each phase's contrib join
+    * consumes the edge side with zero exchange — at 100 TB the corpus-
+    * scale frame moves exactly once (the bucket write), never per phase. */
   private[graft] def q182b(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
     val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
@@ -671,14 +682,16 @@ object Relational11 {
       .groupBy((col("o_custkey") * 2).as("cust"),
         (col("l_suppkey") * 2 + 1).as("supp"))
       .agg(count(lit(1)).as("w"))
-    val edges = pairs
-      .select(explode(array(
-        struct(col("cust").as("src"), col("supp").as("dst"), col("w")),
-        struct(col("supp").as("src"), col("cust").as("dst"), col("w")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
-      .repartition(col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tbl = s"graft_q182b_edges_${java.util.UUID.randomUUID().toString.take(8)}"
+    // both edge directions in ONE pass over the pair aggregate (q203b)
+    graft.operators.Bucketing.writeBucketed(
+      pairs.select(explode(array(
+          struct(col("cust").as("src"), col("supp").as("dst"), col("w")),
+          struct(col("supp").as("src"), col("cust").as("dst"), col("w")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w")),
+      tbl, "src", buckets = 32, sorted = false)
     try {
+      val edges = s.table(tbl)
       val nodes = edges.select(col("src").as("node")).distinct()
       var labels = nodes.select(col("node"), col("node").as("lbl"))
       for (_ <- 1 to LpaRounds; side <- Seq(1, 0)) {
@@ -693,7 +706,7 @@ object Relational11 {
         .select(col("node").cast("long").as("node"),
           col("lbl").cast("long").as("community"), col("community_size"))
         .localCheckpoint(true)
-    } finally edges.unpersist(false)
+    } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
   /** One-phase LAZY plans for Explain/PlanQualitySpec (the registered
@@ -722,16 +735,29 @@ object Relational11 {
       .groupBy((col("o_custkey") * 2).as("cust"),
         (col("l_suppkey") * 2 + 1).as("supp"))
       .agg(count(lit(1)).as("w"))
-    val edges = pairs
-      .select(explode(array(
-        struct(col("cust").as("src"), col("supp").as("dst"), col("w")),
-        struct(col("supp").as("src"), col("cust").as("dst"), col("w")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
-      .repartition(col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // FIXED table name, overwritten per dump (never accumulates): the
+    // plan consumers (Explain / the PlanQualitySpec sweep) need the lazy
+    // phase frame alive after this returns, so the table cannot be
+    // dropped here the way q182b proper drops its UUID-named one. A NEW
+    // session's in-memory catalog forgets the table while its warehouse
+    // directory survives on disk — clear the leftover location first or
+    // saveAsTable fails with LOCATION_ALREADY_EXISTS.
+    val tbl = "graft_q182b_plan_edges"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    val whDir = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir") + "/" + tbl)
+    val fs = whDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(whDir)) fs.delete(whDir, true)
+    graft.operators.Bucketing.writeBucketed(
+      pairs.select(explode(array(
+          struct(col("cust").as("src"), col("supp").as("dst"), col("w")),
+          struct(col("supp").as("src"), col("cust").as("dst"), col("w")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w")),
+      tbl, "src", buckets = 32, sorted = false)
+    val edges = s.table(tbl)
     val labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
-    (lpaPhase(labels, edges, 1, copart = true), Seq(edges))
+    (lpaPhase(labels, edges, 1, copart = true), Nil)
   }
 
   // ---------------------------------------------------------------- q185
