@@ -51,7 +51,13 @@ object StreamingPipeline {
 
   private def statePartitions(s: SparkSession, inputBytes: Long, minParts: Int): Int =
     s.conf.getOption("spark.graft.streaming.statePartitions")
-      .map(_.toInt)
+      .map { v =>
+        // validate the override (ADVICE r12): a typo'd value must fail
+        // naming the conf key, never throw a bare NumberFormatException
+        // mid-drain or silently set 0 shuffle partitions
+        v.toIntOption.filter(_ >= 1).getOrElse(throw new IllegalArgumentException(
+          s"spark.graft.streaming.statePartitions must be a positive int, got '$v'"))
+      }
       .getOrElse {
         val cap = math.max(2L * s.sparkContext.defaultParallelism, 256L)
         math.max(math.max(1L, minParts.toLong),
@@ -71,6 +77,11 @@ object StreamingPipeline {
     * the other way by 3×. */
   private def withStatePartitions[T](s: SparkSession, inputBytes: Long,
                                      minParts: Int = 1)(body: => T): T = {
+    // NOTE (ADVICE r12): this mutates the session-global conf for the
+    // duration of the drain. Safe under the engine's SERIAL execution
+    // contract (Bench/Verify run queries one at a time on one session); a
+    // future concurrent driver must give streaming drains a cloned session
+    // (spark.newSession()) instead of sharing this one.
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     s.conf.set(key, statePartitions(s, inputBytes, minParts).toString)
@@ -516,8 +527,15 @@ object StreamingPipeline {
       }
       started.foreach(_.awaitTermination())
     }
+    // materialize the (source-cardinality, bounded) join eagerly and DROP
+    // both UUID-named sink views — repeated invocations must not keep sink
+    // rows alive in driver memory via leaked temp views (ADVICE r12; the
+    // same materialize-then-drop rule q09c/q65b/q175b already follow).
     val Seq(tot, uniq) = Seq("tot", "uniq").map(tag => s.table(s"q35b_${tag}_$runId"))
-    tot.join(uniq, "source").select("source", "n_docs", "n_unique")
+    val out = tot.join(uniq, "source").select("source", "n_docs", "n_unique")
+      .localCheckpoint(true)
+    Seq("tot", "uniq").foreach(tag => s.catalog.dropTempView(s"q35b_${tag}_$runId"))
+    out
   }
 
   /** Session-window core shared by q51b and its boundary spec: the input
@@ -606,9 +624,15 @@ object StreamingPipeline {
     import graft.llm.Dedup
     val existingPred = pmod(col("doc_id"), lit(10)) < 8
     val shAll = Dedup.shingledN(graft.core.Tables.documents(s, d), 3)
-    // the "stored index": materialized once, not replayed per micro-batch
+    // the "stored index": materialized once, not replayed per micro-batch.
+    // r13 (VERDICT-r12 #3): each band row now carries the existing doc's
+    // shingle-set SIZE so a length prefilter can kill impossible pairs
+    // BEFORE the stateful dedup and the array_intersect confirm (below) —
+    // a one-time doc-keyed join at index-build time, 8 bytes per band row.
     val exBands = Dedup.bandsOf(shAll.filter(existingPred))
       .select(col("doc_id").as("ex_id"), col("band"), col("bv"))
+      .join(shAll.filter(existingPred)
+        .select(col("doc_id").as("ex_id"), size(col("sh")).as("ex_sz")), "ex_id")
       .localCheckpoint(true)
     val exSets = shAll.filter(existingPred)
       .select(col("doc_id").as("ex_id"), col("sh").as("sh_e"))
@@ -637,6 +661,18 @@ object StreamingPipeline {
         posexplode(Dedup.bandKeysExpr).as(Seq("band", "bv")))
     val confirmed = withBands
       .join(exBands, Seq("band", "bv"))
+      // Length prefilter (r13, VERDICT-r12 #3 — the PPJoin size bound):
+      // jaccard ≤ min/max for any pair, and the output keeps pairs with
+      // round(j, 4) ≥ 0.5, i.e. raw j ≥ 0.49995 = 9999/20000. So any pair
+      // with 20000·min < 9999·max can NEVER confirm — drop it here, before
+      // it costs a state-store entry and an array_intersect. Exact-safe:
+      // the bound is evaluated in integer arithmetic (sizes ≤ 2^31, no
+      // overflow at bigint), the boundary is kept inclusive, and the raw
+      // double j of a dropped pair sits ≥1e-12 below the 0.49995 rounding
+      // boundary (one correctly-rounded division, error ~1e-16).
+      .filter(lit(20000L) * least(size(col("sh_i")), col("ex_sz"))
+        >= lit(9999L) * greatest(size(col("sh_i")), col("ex_sz")))
+      .drop("ex_sz")
       .dropDuplicatesWithinWatermark("inc_id", "ex_id")
       .drop("arrival_ts")
       .join(exSets, "ex_id")
