@@ -493,9 +493,17 @@ object Curation {
     val reps = groups.join(qual.select("doc_id", "n_chars"), "doc_id")
       .groupBy("group_id")
       .agg(max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id"))).as("doc_id"))
-    // a grouped doc survives iff it is its group's representative
-    val nonReps = groups.join(reps.select("doc_id"), Seq("doc_id"), "left_anti")
-    val dedup = qual.join(nonReps.select("doc_id"), Seq("doc_id"), "left_anti")
+    // a grouped doc survives iff it is its group's representative.
+    // shuffle_hash pins (r13, VERDICT-r12 #8): both anti-join build sides
+    // are dup-rate-bounded (grouped docs / non-representatives only, never
+    // the corpus), but the checkpointed frames' default size estimates
+    // made the planner fall back to SMJ — paying a sort of the corpus-
+    // scale `qual` frame. BuildRight left-anti SHJ is bounded and
+    // sort-free; PlanQualitySpec's SMJ whitelist keeps it pinned.
+    val nonReps = groups.join(reps.select("doc_id").hint("shuffle_hash"),
+      Seq("doc_id"), "left_anti")
+    val dedup = qual.join(nonReps.select("doc_id").hint("shuffle_hash"),
+      Seq("doc_id"), "left_anti")
     // 3. leakage-safe split (md5 draw; docs are their own group reps here)
     val splitDf = dedup.withColumn("split",
       when(substring(md5(concat_ws("|", lit("split"), col("doc_id"))), 1, 1)
@@ -729,8 +737,15 @@ object Curation {
   def neymanSample(s: SparkSession, d: String): DataFrame = {
     val budget = 100
     val docs = Tables.documents(s, d)
+    // localCheckpoint (r13, VERDICT-r12 #6 review): `stats` is referenced
+    // by alloc, totW AND the deficit subquery — unmaterialized, the
+    // corpus-scale stats aggregate re-ran once per reference (the r12 dump
+    // carried 19+ Exchange nodes, three of them identical corpus passes).
+    // The frame is stratum-cardinality (~20 rows), so eager
+    // materialization is free and the corpus is scanned once for stats.
     val stats = docs.groupBy("source").agg(
       count(lit(1)).as("n_docs"), stddev_pop("n_chars").as("sd"))
+      .localCheckpoint(true)
     val totW = stats.agg(sum(col("n_docs") * col("sd")).as("tot_w"))
     val alloc = stats.crossJoin(broadcast(totW))
       .withColumn("a", lit(budget) * col("n_docs") * col("sd") / col("tot_w"))
@@ -755,7 +770,9 @@ object Curation {
       .groupBy("source").agg(
         count(lit(1)).as("n_sampled"),
         round(avg("n_chars"), 2).as("sample_mean_chars"))
-    alloc.join(sampled, Seq("source"), "left")
+    // broadcast: both frames are stratum-cardinality (~20 rows); unhinted
+    // the planner emitted the dump's one SMJ here
+    alloc.join(broadcast(sampled), Seq("source"), "left")
       .select(col("source"), col("n_docs"), col("sd"), col("alloc"),
         coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
         col("sample_mean_chars"))

@@ -814,7 +814,17 @@ object Dedup {
     val pairs = ngramJaccard(s, d).select("a_id", "b_id").localCheckpoint(true)
     val groups = dedupGroupsFromPairs(pairs) // (doc_id, group_id), edged nodes only
     val docs = Tables.documents(s, d).select("doc_id")
-    val labeled = docs.join(groups, Seq("doc_id"), "left")
+    // SMJ audit (r13, VERDICT-r12 #8), site by site:
+    //  - docs ⟕ groups: `groups` holds only near-dup-EDGED docs (pair-
+    //    cardinality, dup-rate-bounded ≪ corpus), so pin shuffle_hash —
+    //    the build side stays bounded per partition and the corpus side
+    //    skips the SMJ sort entirely.
+    //  - labeled ⋈ sizes stays SMJ DELIBERATELY: `sizes` is one row per
+    //    group and singletons are their own group, so BOTH sides are
+    //    corpus-cardinality — a hash build of corpus/R keys per task is
+    //    exactly the SHJ OOM regime (guide §3.1); SMJ on radix-sortable
+    //    longs spills gracefully. Whitelisted in PlanQualitySpec.
+    val labeled = docs.join(groups.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("group_id"), col("doc_id")).as("group_id"))
     val sizes = labeled.groupBy("group_id").agg(count(lit(1)).as("n_members"))
     labeled.join(sizes, "group_id")
